@@ -1,0 +1,142 @@
+"""Batch read alignment against one gene's variant graph.
+
+Replaces the reference's `hisat2` subprocess + SAM parsing
+(typing_common.py:985-1056 -> typing_core.py:800-1124) with a two-stage
+TPU pipeline: MXU diagonal placement over a variant-aware backbone PWM
+(hgtpu.ops.placement) followed by variant-graph verification that emits
+cmp lists directly (hgtpu.align.verify).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..db.catalog import GeneRef
+from ..ops.placement import backbone_pwm, encode_reads, place_with_orientation
+from ..utils.dna import encode_seq, revcomp_encoded
+from .types import ReadAln
+from .verify import GeneVerifier
+
+
+class GeneAligner:
+    def __init__(self, gene: GeneRef, num_editdist: int = 2,
+                 top_k: int = 8, min_seed_frac: float = 0.3):
+        self.gene = gene
+        self.pwm = backbone_pwm(gene)
+        self.verifier = GeneVerifier(gene, max_novel=num_editdist)
+        self.num_editdist = num_editdist
+        self.top_k = top_k
+        self.min_seed_frac = min_seed_frac
+
+    def align_batch(self, read_ids, seqs, mate: str):
+        """Align a batch of same-mate reads; returns list[ReadAln | None].
+
+        mate: 'L' reads are used as-is-forward-preferred, 'R' reads are
+        expected reverse-complemented (both orientations are always
+        scored; the better one wins, ref SAM flag 0x10 equivalent).
+        """
+        n = len(seqs)
+        if n == 0:
+            return []
+        max_len = max(len(s) for s in seqs)
+        fwd = encode_reads(seqs, max_len)
+        fwd_codes = [encode_seq(s) for s in seqs]
+        rc_codes = [revcomp_encoded(c) for c in fwd_codes]
+        rc = np.full((n, max_len), 4, dtype=np.int8)
+        for i, c in enumerate(rc_codes):
+            rc[i, : len(c)] = c
+        sf, pf, sr, pr, use_rc = place_with_orientation(
+            self.pwm, fwd, rc, top_k=self.top_k)
+
+        out = []
+        for i in range(n):
+            m = len(fwd_codes[i])
+            # try the better orientation first, fall back to the other
+            order = [(True, rc_codes[i], pr[i], sr[i]),
+                     (False, fwd_codes[i], pf[i], sf[i])]
+            if not use_rc[i]:
+                order.reverse()
+            aln = None
+            is_rc = False
+            for o_rc, codes, cand_p, cand_s in order:
+                aln = self._verify_candidates(codes, cand_p, cand_s, m)
+                if aln is not None:
+                    is_rc = o_rc
+                    break
+            if aln is None:
+                out.append(None)
+                continue
+            use_rc[i] = is_rc
+            cost, ops, start = aln
+            cmp_list, right = self.verifier.ops_to_cmp_list(ops, start, m)
+            if right > len(self.gene.backbone):
+                out.append(None)
+                continue
+            out.append(ReadAln(
+                read_id=read_ids[i],
+                mate=mate,
+                pos=start,
+                right=right,
+                cmp=cmp_list,
+                nm=cost,
+                is_rc=bool(use_rc[i]),
+                seq="".join("ACGTN."[c] for c in
+                            (rc_codes[i] if use_rc[i] else fwd_codes[i])),
+            ))
+        return out
+
+    def _verify_candidates(self, codes, cand_pos, cand_scores, m):
+        best = None
+        min_score = m * self.min_seed_frac
+        tried = set()
+        for k in range(len(cand_pos)):
+            if cand_scores[k] < min_score:
+                break
+            for start in self._start_proposals(int(cand_pos[k]), m):
+                if start in tried:
+                    continue
+                tried.add(start)
+                res = self.verifier.verify(codes, start)
+                if res is None:
+                    continue
+                cost, ops = res
+                if best is None or cost < best[0]:
+                    best = (cost, ops, start)
+                    if cost == 0:
+                        return best
+        return best
+
+    def _start_proposals(self, p, m, max_depth=3, cap=48):
+        """Candidate read-start positions for an anchor diagonal p.
+
+        The MXU placement votes for the read's longest match segment; every
+        known indel preceding that segment within the read shifts the true
+        start (deletion: start -= len, insertion: start += len).  We close
+        over up to `max_depth` stacked indel shifts.  Ref equivalent:
+        HISAT2's internal seed-chain resolution across graph edges.
+        """
+        v = self.verifier
+        seen = {p}
+        frontier = [p]
+        order = [p]
+        for _ in range(max_depth):
+            nxt = []
+            for s in frontier:
+                i = np.searchsorted(v.indel_pos, s + 1)
+                while i < len(v.indel_pos) and v.indel_pos[i] <= s + m + 8:
+                    q = int(v.indel_pos[i])
+                    for dlen, _vi in v.dels_at.get(q, ()):
+                        t = s - dlen
+                        if t >= 0 and t < q and t not in seen:
+                            seen.add(t)
+                            nxt.append(t)
+                    for ins_codes, _vi in v.ins_at.get(q, ()):
+                        t = s + len(ins_codes)
+                        if t < q and t not in seen:
+                            seen.add(t)
+                            nxt.append(t)
+                    i += 1
+            order.extend(nxt)
+            frontier = nxt
+            if not frontier or len(order) >= cap:
+                break
+        return order[:cap]

@@ -1,0 +1,89 @@
+"""Diagonal placement of read batches on the backbone — alignment as
+convolution on the MXU.
+
+The reference delegates placement to the HISAT2 graph FM index (invoked at
+typing_common.py:995-1036).  The TPU-native formulation: one-hot encode the
+read batch and correlate it against a variant-aware position-weight matrix
+of the backbone (1.0 where a base matches the backbone *or* a known SNP
+variant).  The correlation over all diagonals is a single convolution that
+XLA lowers onto the MXU; `top_k` then yields candidate start diagonals per
+read.  Known SNPs therefore never cost placement score, mirroring the
+graph aligner's behavior of not charging known variants to NM.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..db.catalog import GeneRef, VT_SINGLE
+
+
+def backbone_pwm(gene: GeneRef) -> np.ndarray:
+    """[P, 5] float: 1 where base matches backbone or a known single-nt
+    variant at that position; N (code 4) scores 0 everywhere."""
+    P = len(gene.backbone)
+    pwm = np.zeros((P, 5), dtype=np.float32)
+    pwm[np.arange(P), gene.backbone_enc] = 1.0
+    singles = gene.var_type == VT_SINGLE
+    for vi in np.flatnonzero(singles):
+        base = "ACGT".index(gene.var_data[vi])
+        pwm[int(gene.var_pos[vi]), base] = 1.0
+    pwm[:, 4] = 0.0
+    return pwm
+
+
+def encode_reads(seqs, read_len: int) -> np.ndarray:
+    """Pad/truncate reads to read_len; returns int8 [N, read_len] codes
+    (pad code 4 = N, which scores 0)."""
+    from ..utils.dna import encode_seq
+
+    out = np.full((len(seqs), read_len), 4, dtype=np.int8)
+    for i, s in enumerate(seqs):
+        codes = encode_seq(s[:read_len])
+        out[i, : len(codes)] = codes
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def place_batch(pwm_ext: jax.Array, reads: jax.Array, top_k: int = 4):
+    """Score every start diagonal for every read.
+
+    pwm_ext: [P + m, 5] backbone PWM padded with m zero rows.
+    reads:   [N, m] int8 codes.
+    Returns (scores [N, top_k], positions [N, top_k]).
+    """
+    n, m = reads.shape
+    onehot = jax.nn.one_hot(reads, 5, dtype=jnp.bfloat16)        # [N, m, 5]
+    # windows W[p, j, b] = pwm_ext[p + j, b]; scores = einsum npj
+    # expressed as a conv: input [1, 5, P+m], filters [N, 5, m]
+    inp = pwm_ext.astype(jnp.bfloat16).T[None]                    # [1, 5, P+m]
+    filt = jnp.transpose(onehot, (0, 2, 1))                       # [N, 5, m]
+    out = jax.lax.conv_general_dilated(
+        inp, filt, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )                                                             # [1, N, P+1]
+    scores = out[0]                                               # [N, P+1]
+    top_scores, top_pos = jax.lax.top_k(scores, top_k)
+    return top_scores, top_pos
+
+
+def place_with_orientation(pwm: np.ndarray, fwd: np.ndarray, rc: np.ndarray,
+                           top_k: int = 4):
+    """Place both orientations.
+
+    Returns (scores_f, pos_f, scores_r, pos_r) each [N, top_k], plus
+    use_rc [N] marking which orientation scored best.
+    """
+    m = fwd.shape[1]
+    pwm_ext = np.concatenate([pwm, np.zeros((m, 5), np.float32)], axis=0)
+    both = np.concatenate([fwd, rc], axis=0)
+    s, p = place_batch(jnp.asarray(pwm_ext), jnp.asarray(both), top_k=top_k)
+    s = np.asarray(s)
+    p = np.asarray(p)
+    n = fwd.shape[0]
+    use_rc = s[n:, 0] > s[:n, 0]
+    return s[:n], p[:n], s[n:], p[n:], use_rc

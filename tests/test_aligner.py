@@ -1,0 +1,83 @@
+"""Aligner tests: simulated reads must be placed at their true backbone
+position with exactly the true variant list (hit-identity vs the
+simulator oracle — the strategy SURVEY.md §7 step 3 calls for)."""
+import numpy as np
+import pytest
+
+from hgtpu.align import GeneAligner
+from hgtpu.db import build_gene_ref
+from hgtpu.sim import simulate_reads, parse_truth_name
+from tests.synth import make_gene_msa
+
+
+@pytest.fixture(scope="module")
+def generef():
+    spec = make_gene_msa(seed=11)
+    ref, _ = build_gene_ref(
+        "A", spec["names"], spec["rows"], spec["ref_allele"],
+        exons_ref_coords=spec["exons"], min_var_freq=0.0,
+    )
+    return ref
+
+
+@pytest.fixture(scope="module")
+def aligner(generef):
+    return GeneAligner(generef)
+
+
+def _check_against_truth(generef, alns, reads, mate):
+    n_pos_ok = n_var_ok = n = 0
+    for aln, r in zip(alns, reads):
+        t = parse_truth_name(r.name)
+        assert aln is not None, r.name
+        assert aln.nm == 0, (r.name, aln.cmp)
+        n += 1
+        if aln.pos == t["pos"]:
+            n_pos_ok += 1
+        got_vars = {generef.var_ids[e[3]] for e in aln.cmp
+                    if e[0] != "match" and e[3] is not None and e[3] >= 0}
+        if got_vars == set(t["vars"]):
+            n_var_ok += 1
+        if mate == "R":
+            assert aln.is_rc
+    assert n_pos_ok == n, "all reads placed at true position"
+    # variant-identity: end-ambiguous spellings may legitimately differ
+    # before Alts trimming; require near-total identity
+    assert n_var_ok >= n * 0.97, (n_var_ok, n)
+    return n
+
+
+def test_left_reads_exact(generef, aligner):
+    for allele in generef.allele_names[:6]:
+        r1, r2, _ = simulate_reads(generef, [allele], simulate_interval=29)
+        alns = aligner.align_batch([r.name for r in r1],
+                                   [r.seq for r in r1], "L")
+        _check_against_truth(generef, alns, r1, "L")
+
+
+def test_right_reads_rc(generef, aligner):
+    allele = generef.allele_names[9]
+    _, r2, _ = simulate_reads(generef, [allele], simulate_interval=31)
+    alns = aligner.align_batch([r.name for r in r2],
+                               [r.seq for r in r2], "R")
+    _check_against_truth(generef, alns, r2, "R")
+
+
+def test_read_with_errors_gets_novel_mismatch(generef, aligner):
+    allele = generef.allele_names[2]
+    aseq = generef.allele_seq(allele)
+    read = aseq[100:200]
+    # inject 2 novel errors away from variant sites
+    read = read[:10] + ("A" if read[10] != "A" else "C") + read[11:]
+    read = read[:80] + ("G" if read[80] != "G" else "T") + read[81:]
+    alns = aligner.align_batch(["e1"], [read], "L")
+    assert alns[0] is not None
+    assert 0 < alns[0].nm <= 2
+
+
+def test_garbage_read_unmapped(aligner):
+    import random
+    rng = random.Random(5)
+    junk = "".join(rng.choice("ACGT") for _ in range(100))
+    alns = aligner.align_batch(["junk"], [junk], "L")
+    assert alns[0] is None
