@@ -1,0 +1,56 @@
+"""Benchmark: end-to-end typing throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (SURVEY.md §6); the
+baseline anchor is an estimated 1,000 reads/s for the reference's CPU
+HISAT2 + Python typing pipeline on a single-locus run (hg_test1-scale:
+622 reads in ~1 s of alignment plus several seconds of Python stream
+processing).  vs_baseline = our end-to-end reads/s divided by that anchor.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "tests")
+
+
+def main():
+    from synth import make_gene_msa
+    from hgtpu.db import build_gene_ref
+    from hgtpu.align import GeneAligner
+    from hgtpu.pipeline import type_reads
+    from hgtpu.sim import simulate_reads
+
+    spec = make_gene_msa(seed=11, n_alleles=60, length=3000)
+    ref, _ = build_gene_ref(
+        "A", spec["names"], spec["rows"], spec["ref_allele"],
+        exons_ref_coords=spec["exons"],
+        primary_exon_idx=spec["primary_exon_idx"], min_var_freq=0.0)
+    aligner = GeneAligner(ref)
+
+    alleles = ref.allele_names[:4]
+    r1, r2, _ = simulate_reads(ref, alleles, simulate_interval=1)
+    reads_1 = [(r.name, r.seq) for r in r1]
+    reads_2 = [(r.name, r.seq) for r in r2]
+    n_reads = len(reads_1) + len(reads_2)
+
+    # warm-up (compile)
+    type_reads(ref, reads_1[:64], reads_2[:64], aligner=aligner)
+
+    t0 = time.time()
+    res = type_reads(ref, reads_1, reads_2, aligner=aligner)
+    dt = time.time() - t0
+    assert res.prob, "typing produced no abundance"
+
+    reads_per_s = n_reads / dt
+    print(json.dumps({
+        "metric": "e2e_typing_reads_per_s",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / 1000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,25 +19,47 @@ from .verify import GeneVerifier
 
 class GeneAligner:
     def __init__(self, gene: GeneRef, num_editdist: int = 2,
-                 top_k: int = 8, min_seed_frac: float = 0.3):
+                 top_k: int = 8, min_seed_frac: float = 0.3,
+                 device_batch: int = 512, pad_len: int = 128):
         self.gene = gene
         self.pwm = backbone_pwm(gene)
         self.verifier = GeneVerifier(gene, max_novel=num_editdist)
         self.num_editdist = num_editdist
         self.top_k = top_k
         self.min_seed_frac = min_seed_frac
+        self.device_batch = device_batch
+        self.pad_len = pad_len
 
     def align_batch(self, read_ids, seqs, mate: str):
-        """Align a batch of same-mate reads; returns list[ReadAln | None].
+        """Align reads; returns list[ReadAln | None].
+
+        Device work runs in fixed-shape chunks of `device_batch` reads
+        padded to a multiple of `pad_len` bases so XLA compiles the
+        placement kernel once per (chunk, length-bucket) shape.
 
         mate: 'L' reads are used as-is-forward-preferred, 'R' reads are
         expected reverse-complemented (both orientations are always
         scored; the better one wins, ref SAM flag 0x10 equivalent).
         """
+        out = []
+        B = self.device_batch
+        for i in range(0, len(seqs), B):
+            chunk_ids = list(read_ids[i:i + B])
+            chunk = list(seqs[i:i + B])
+            pad = B - len(chunk)
+            if pad:
+                chunk += ["A" * 32] * pad
+                chunk_ids += ["__pad__"] * pad
+            res = self._align_chunk(chunk_ids, chunk, mate)
+            out.extend(res[: B - pad] if pad else res)
+        return out
+
+    def _align_chunk(self, read_ids, seqs, mate: str):
         n = len(seqs)
         if n == 0:
             return []
         max_len = max(len(s) for s in seqs)
+        max_len = ((max_len + self.pad_len - 1) // self.pad_len) * self.pad_len
         fwd = encode_reads(seqs, max_len)
         fwd_codes = [encode_seq(s) for s in seqs]
         rc_codes = [revcomp_encoded(c) for c in fwd_codes]
@@ -49,6 +71,9 @@ class GeneAligner:
 
         out = []
         for i in range(n):
+            if read_ids[i] == "__pad__":
+                out.append(None)
+                continue
             m = len(fwd_codes[i])
             # try the better orientation first, fall back to the other
             order = [(True, rc_codes[i], pr[i], sr[i]),

@@ -1,0 +1,83 @@
+"""End-to-end genotyping orchestration.
+
+Equivalent of the reference's genotyping_locus/typing drivers
+(typing_core.py:2278-2691): align read batches with the TPU aligner,
+group mates, run the typing engine, and (for simulations) sweep random
+allele draws checking that the truth ranks #1 — the reference's built-in
+self-test (`--debug basic,test_size:N,set_seed:S`).
+"""
+from __future__ import annotations
+
+import random
+from collections import defaultdict
+
+from ..align import GeneAligner
+from ..db.catalog import GeneRef
+from ..sim import simulate_reads
+from ..typer.engine import TypingOptions, type_gene
+
+
+def type_reads(gene: GeneRef, reads_1, reads_2=None, opts=None,
+               aligner: GeneAligner = None):
+    """reads_*: [(name, seq)].  Returns GeneTypingResult."""
+    opts = opts or TypingOptions()
+    aligner = aligner or GeneAligner(gene, num_editdist=opts.num_editdist)
+    by_read = defaultdict(list)
+    alns1 = aligner.align_batch([n for n, _ in reads_1],
+                                [s for _, s in reads_1], "L")
+    batches = [alns1]
+    if reads_2:
+        batches.append(aligner.align_batch([n for n, _ in reads_2],
+                                           [s for _, s in reads_2], "R"))
+    for alns in batches:
+        for a in alns:
+            if a is None:
+                continue
+            read_id = a.read_id.split("|")[0]
+            by_read[read_id].append(a)
+    return type_gene(gene, sorted(by_read.items(), key=lambda kv: kv[0]),
+                     opts)
+
+
+def simulation_sweep(gene: GeneRef, test_size=5, seed=None, paired=True,
+                     allele_count=1, simulate_interval=1, read_len=100,
+                     fragment_len=250, perbase_errorrate=0.0, opts=None,
+                     aligner=None, verbose=False):
+    """Reference self-test: draw random alleles, simulate, type, and check
+    the truth ranks #1 (typing_core.py:2488-2648).
+
+    Returns (n_passed, results list of (true alleles, GeneTypingResult)).
+    """
+    opts = opts or TypingOptions(simulation=True,
+                                 allow_discordant=not paired)
+    aligner = aligner or GeneAligner(gene, num_editdist=opts.num_editdist)
+    rng = random.Random(seed)
+    draws = rng.sample(range(len(gene.allele_names)),
+                       test_size * allele_count)
+    results = []
+    n_passed = 0
+    for t in range(test_size):
+        alleles = sorted(gene.allele_names[draws[t * allele_count + j]]
+                         for j in range(allele_count))
+        r1, r2, _ = simulate_reads(
+            gene, alleles, simulate_interval=simulate_interval,
+            read_len=read_len, frag_len=fragment_len,
+            perbase_errorrate=perbase_errorrate, seed=rng.random())
+        res = type_reads(
+            gene,
+            [(r.name, r.seq) for r in r1],
+            [(r.name, r.seq) for r in r2] if paired else None,
+            opts, aligner)
+        ranks = {}
+        for i, (allele, prob) in enumerate(res.prob):
+            if allele in alleles:
+                ranks[allele] = i
+        passed = all(ranks.get(a, 99) < allele_count for a in alleles)
+        n_passed += bool(passed)
+        if verbose:
+            top = res.prob[0] if res.prob else ("-", 0)
+            print("test %d: true=%s top=%s %.2f%% %s"
+                  % (t + 1, alleles, top[0], top[1] * 100,
+                     "PASS" if passed else "FAIL"))
+        results.append((alleles, res))
+    return n_passed, results

@@ -1,0 +1,155 @@
+"""Read-haplotype -> allele compatibility counting.
+
+Vectorized re-formulation of the reference's add_count set algebra
+(typing_core.py:626-677): for a read haplotype ht spanning [left, right]
+with known variant set V,
+
+    compatible(a) = (a carries every v in V)
+                  & not (a carries any other variant overlapping [left,right])
+
+expressed over the [V, A] link matrix as an AND-reduce plus a range-count
+(prefix sums over position-sorted non-deletion variants; the handful of
+deletion variants are tested directly, mirroring the reference's
+boundary-overlap rule `var_left in [l,r] or var_right in [l,r]`).
+Novel variants ('nv*', not in Links) never constrain — same as the
+reference's skip.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..db.catalog import GeneRef, VT_DELETION
+
+
+class HtOp:
+    """One non-match op inside a read haplotype."""
+    __slots__ = ("kind", "pos", "length", "var_idx", "data")
+
+    def __init__(self, kind, pos, length, var_idx, data):
+        self.kind = kind          # 'mismatch' | 'deletion' | 'insertion'
+        self.pos = pos
+        self.length = length
+        self.var_idx = var_idx    # >=0 catalog index, <0 novel
+        self.data = data
+
+    def key(self):
+        return (self.kind, self.pos, self.length, self.var_idx, self.data)
+
+    @property
+    def right(self):
+        if self.kind == "deletion":
+            return self.pos + self.length - 1
+        return self.pos
+
+
+class GeneCounter:
+    def __init__(self, gene: GeneRef):
+        self.gene = gene
+        A = gene.n_alleles
+        self.A = A
+        nondel = gene.var_type != VT_DELETION
+        self.nd_pos = gene.var_pos[nondel].astype(np.int64)
+        self.nd_prefix = np.zeros((int(nondel.sum()) + 1, A), dtype=np.int32)
+        np.cumsum(gene.links[nondel].astype(np.int32), axis=0,
+                  out=self.nd_prefix[1:])
+        self.del_idx = np.flatnonzero(gene.var_type == VT_DELETION)
+        self.del_pos = gene.var_pos[self.del_idx].astype(np.int64)
+        self.del_right = gene.var_right[self.del_idx].astype(np.int64)
+        self.del_links = gene.links[self.del_idx]
+
+    # ------------------------------------------------------------------ #
+    def alleles_for_ht(self, left: int, right: int, ops) -> np.ndarray:
+        """Boolean [A] mask of alleles compatible with the haplotype."""
+        g = self.gene
+        incl = np.ones(self.A, dtype=bool)
+        known = [op for op in ops if op.var_idx >= 0]
+        for op in known:
+            incl &= g.links[op.var_idx]
+        # count of each allele's variants overlapping [left, right]
+        i0 = np.searchsorted(self.nd_pos, left, "left")
+        i1 = np.searchsorted(self.nd_pos, right, "right")
+        cnt = self.nd_prefix[i1] - self.nd_prefix[i0]
+        dmask = ((self.del_pos >= left) & (self.del_pos <= right)) | \
+                ((self.del_right >= left) & (self.del_right <= right))
+        if dmask.any():
+            cnt = cnt + self.del_links[dmask].sum(axis=0, dtype=np.int32)
+        # how many of the ht's own known vars fall in that overlap set
+        kv = 0
+        for op in known:
+            vt = int(g.var_type[op.var_idx])
+            p = int(g.var_pos[op.var_idx])
+            r = int(g.var_right[op.var_idx])
+            if vt == VT_DELETION:
+                if (left <= p <= right) or (left <= r <= right):
+                    kv += 1
+            elif left <= p <= right:
+                kv += 1
+        excl = (cnt - kv) > 0
+        return incl & ~excl
+
+
+class StatAccumulator:
+    """Per-level equivalence-class statistics.
+
+    Mirrors add_stat (typing_core.py:1171-1236): per read, alleles at the
+    max compatibility count form the read's class; class counts feed EM,
+    per-allele firsts feed the ranked count report.
+    """
+
+    def __init__(self, allele_names, include_mask=None):
+        self.allele_names = allele_names
+        self.A = len(allele_names)
+        self.include = (np.ones(self.A, bool)
+                        if include_mask is None else include_mask)
+        self.counts = np.zeros(self.A, dtype=np.int64)   # Gene_counts
+        self.cmpt = {}                                    # key -> count
+        self.cmpt_order = {}                              # key -> first-seen
+        self.cmpt_mask = {}                               # key -> bool[A]
+
+    def add_read(self, count_per_read: np.ndarray):
+        """count_per_read: int [A] compatibility counts for one read.
+
+        Faithful to add_stat: the max count may be 0, in which case the
+        read contributes the uniform all-include-alleles class
+        (typing_core.py:1177-1186 takes every allele at max_count).
+        """
+        if not self.include.any():
+            return None
+        mx = count_per_read[self.include].max()
+        cur = (count_per_read == mx) & self.include
+        if not cur.any():
+            return None
+        self.counts[cur] += 1
+        key = cur.tobytes()
+        if key not in self.cmpt:
+            self.cmpt[key] = 0
+            self.cmpt_order[key] = len(self.cmpt_order)
+            self.cmpt_mask[key] = cur.copy()
+        self.cmpt[key] += 1
+        return key
+
+    # ------------------------------------------------------------------ #
+    def ranked_counts(self):
+        order = np.argsort(-self.counts, kind="stable")
+        return [(self.allele_names[i], int(self.counts[i]))
+                for i in order if self.counts[i] > 0]
+
+    def cmpt_names(self):
+        """{'A1-A2': count} with reference-style sorted-name keys."""
+        out = {}
+        for key, cnt in self.cmpt.items():
+            names = sorted(self.allele_names[i]
+                           for i in np.flatnonzero(self.cmpt_mask[key]))
+            out["-".join(names)] = out.get("-".join(names), 0) + cnt
+        return out
+
+    def dense(self):
+        """(membership [C, A] bool, counts [C]) for the device EM."""
+        C = len(self.cmpt)
+        M = np.zeros((C, self.A), dtype=bool)
+        c = np.zeros(C, dtype=np.float32)
+        for key, cnt in self.cmpt.items():
+            i = self.cmpt_order[key]
+            M[i] = self.cmpt_mask[key]
+            c[i] = cnt
+        return M, c

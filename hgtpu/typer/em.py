@@ -1,0 +1,171 @@
+"""EM abundance solver with SQUAREM acceleration.
+
+Faithful port of the reference's single_abundance / next_prob / prob_diff
+(hisatgenotype_typing_common.py:1267-1410): read-class EM over
+equivalence-class counts, SQUAREM step (Varadhan & Roland 2008, as in
+Sailfish), convergence diff < 1e-4, <=1000 iterations, optional length
+normalization and low-abundance pruning.
+
+Two implementations:
+- `single_abundance`: dict-based, semantics-identical to the reference
+  (used for parity and small problems).
+- `em_solve_dense`: jit-compiled dense jax version over a [C, A] class
+  membership matrix — the device path, psum-friendly for multi-chip.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def prob_diff(prob1: dict, prob2: dict) -> float:
+    diff = 0.0
+    for allele in prob1:
+        if allele in prob2:
+            diff += abs(prob1[allele] - prob2[allele])
+        else:
+            diff += prob1[allele]
+    return diff
+
+
+def single_abundance(cmpt_counts: dict,
+                     remove_low_abundance_allele: bool = False,
+                     lengths: dict = None):
+    """cmpt_counts: {'A1-A2-A3': count} (allele names joined by '-').
+    Returns [[allele, prob], ...] sorted by prob desc."""
+    lengths = lengths or {}
+
+    def normalize(prob):
+        total = sum(prob.values())
+        for a in prob:
+            prob[a] /= total
+
+    def normalize_len(prob):
+        total = sum(m / lengths[a] for a, m in prob.items())
+        for a, m in prob.items():
+            prob[a] = m / lengths[a] / total
+
+    norm = normalize_len if lengths else normalize
+
+    prob = {}
+    for cmpt, count in cmpt_counts.items():
+        alleles = cmpt.split("-")
+        for a in alleles:
+            prob[a] = prob.get(a, 0.0) + float(count) / len(alleles)
+    norm(prob)
+
+    def next_prob(prob):
+        nxt = {}
+        for cmpt, count in cmpt_counts.items():
+            alleles = cmpt.split("-")
+            denom = sum(prob.get(a, 0.0) for a in alleles)
+            if denom <= 0.0:
+                continue
+            for a in alleles:
+                if a not in prob:
+                    continue
+                nxt[a] = nxt.get(a, 0.0) + float(count) * prob[a] / denom
+        norm(nxt)
+        return nxt
+
+    def select_alleles(prob):
+        if not prob:
+            return prob
+        mx = max(prob.values())
+        return {a: p for a, p in prob.items() if p >= mx / 10.0}
+
+    diff = 1.0
+    it = 0
+    while diff > 0.0001 and it < 1000:
+        nxt = next_prob(prob)
+        # SQUAREM acceleration (ref: typing_common.py:1353-1383)
+        nxt2 = next_prob(nxt)
+        sum_sq_r = sum_sq_v = 0.0
+        p_r, p_v = {}, {}
+        for a in prob:
+            p_r[a] = nxt[a] - prob[a]
+            sum_sq_r += p_r[a] * p_r[a]
+            p_v[a] = nxt2[a] - nxt[a] - p_r[a]
+            sum_sq_v += p_v[a] * p_v[a]
+        if sum_sq_v > 0.0:
+            gamma = -math.sqrt(sum_sq_r / sum_sq_v)
+            accel = {
+                a: max(0.0,
+                       prob[a] - 2 * gamma * p_r[a] + gamma * gamma * p_v[a])
+                for a in prob
+            }
+            nxt = next_prob(accel)
+        diff = prob_diff(prob, nxt)
+        prob = nxt
+        if it >= 10 and remove_low_abundance_allele:
+            prob = select_alleles(prob)
+        it += 1
+
+    if remove_low_abundance_allele:
+        prob = select_alleles(prob)
+    norm(prob)
+    out = sorted(([a, p] for a, p in prob.items()),
+                 key=lambda x: x[1], reverse=True)
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# Dense device EM
+# --------------------------------------------------------------------------- #
+@jax.jit
+def _em_dense(M, counts, inv_len, use_len):
+    """M: [C, A] bool membership, counts: [C] f32, inv_len: [A] f32,
+    use_len: scalar bool.  Returns final prob [A]."""
+    Mf = M.astype(jnp.float32)
+    sizes = jnp.maximum(Mf.sum(axis=1), 1.0)
+
+    def norm(p):
+        p_len = jnp.where(use_len, p * inv_len, p)
+        return p_len / jnp.maximum(p_len.sum(), 1e-30)
+
+    def nxt(p):
+        denom = Mf @ p                                   # [C]
+        w = jnp.where(denom > 0, counts / jnp.maximum(denom, 1e-30), 0.0)
+        return norm((Mf.T @ w) * p)
+
+    p0 = norm(Mf.T @ (counts / sizes))
+
+    def body(state):
+        p, diff, it = state
+        p1 = nxt(p)
+        p2 = nxt(p1)
+        r = p1 - p
+        v = p2 - p1 - r
+        ssv = jnp.sum(v * v)
+        gamma = -jnp.sqrt(jnp.sum(r * r) / jnp.maximum(ssv, 1e-30))
+        accel = jnp.maximum(0.0, p - 2 * gamma * r + gamma * gamma * v)
+        p_acc = nxt(accel)
+        p_new = jnp.where(ssv > 0.0, p_acc, p1)
+        diff = jnp.sum(jnp.abs(p_new - p))
+        return p_new, diff, it + 1
+
+    def cond(state):
+        _, diff, it = state
+        return (diff > 1e-4) & (it < 1000)
+
+    p, _, _ = jax.lax.while_loop(cond, body, (p0, jnp.float32(1.0), 0))
+    return norm(p)
+
+
+def em_solve_dense(membership: np.ndarray, counts: np.ndarray,
+                   lengths: np.ndarray = None):
+    """Dense EM: membership [C, A] bool, counts [C].  Returns prob [A]."""
+    A = membership.shape[1]
+    if lengths is None:
+        inv_len = np.ones(A, np.float32)
+        use_len = False
+    else:
+        inv_len = (1.0 / np.asarray(lengths, np.float64)).astype(np.float32)
+        use_len = True
+    return np.asarray(_em_dense(jnp.asarray(membership),
+                                jnp.asarray(counts, jnp.float32),
+                                jnp.asarray(inv_len),
+                                jnp.asarray(use_len)))

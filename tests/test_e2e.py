@@ -1,0 +1,73 @@
+"""End-to-end closed-loop typing tests — the equivalent of the
+reference's `--debug basic,test_size:N,set_seed:S` self-test
+(typing_core.py:2488-2648) plus pair tests (hg_test2)."""
+import pytest
+
+from hgtpu.db import build_gene_ref
+from hgtpu.pipeline import simulation_sweep, type_reads
+from hgtpu.typer.engine import TypingOptions
+from hgtpu.sim import simulate_reads
+from tests.synth import make_gene_msa
+
+
+@pytest.fixture(scope="module")
+def generef():
+    spec = make_gene_msa(seed=11)
+    ref, _ = build_gene_ref(
+        "A", spec["names"], spec["rows"], spec["ref_allele"],
+        exons_ref_coords=spec["exons"],
+        primary_exon_idx=spec["primary_exon_idx"], min_var_freq=0.0,
+    )
+    return ref
+
+
+def test_basic_simulation_sweep(generef):
+    # hg_test1 equivalent: single-allele draws, paired reads, truth must
+    # rank #1 by abundance
+    n, results = simulation_sweep(generef, test_size=5, seed=101,
+                                  simulate_interval=3)
+    assert n == 5
+    for alleles, res in results:
+        assert res.prob[0][0] == alleles[0]
+        assert res.prob[0][1] > 0.9
+        assert res.counts[0][0] == alleles[0]
+        assert res.num_pairs > 0
+
+
+def test_pair_simulation(generef):
+    # hg_test2 equivalent: two-allele (heterozygous) draws; both alleles
+    # must rank in the top 2
+    n, results = simulation_sweep(generef, test_size=3, seed=7,
+                                  allele_count=2, simulate_interval=3)
+    assert n == 3
+    for alleles, res in results:
+        top2 = {res.prob[0][0], res.prob[1][0]}
+        assert top2 == set(alleles)
+
+
+def test_single_end(generef):
+    # single-end reads require allow_discordant (as in the reference's
+    # "single-end" debug mode)
+    allele = generef.allele_names[4]
+    r1, _, _ = simulate_reads(generef, [allele], simulate_interval=3)
+    res = type_reads(generef, [(r.name, r.seq) for r in r1], None,
+                     TypingOptions(simulation=True, allow_discordant=True))
+    assert res.prob[0][0] == allele
+
+
+def test_report_writer(tmp_path, generef):
+    from hgtpu.typer.report import ReportWriter
+    allele = generef.allele_names[11]
+    r1, r2, _ = simulate_reads(generef, [allele], simulate_interval=3)
+    res = type_reads(generef, [(r.name, r.seq) for r in r1],
+                     [(r.name, r.seq) for r in r2])
+    path = str(tmp_path / "out.report")
+    w = ReportWriter(path)
+    w.header(command="hgtpu test")
+    w.begin_aligner()
+    w.gene_result(res, simulation=True, true_alleles=[allele])
+    w.close()
+    text = open(path).read()
+    assert "reads and" in text and "pairs are aligned" in text
+    assert ("*** 1 ranked %s" % allele) in text
+    assert "(abundance:" in text
