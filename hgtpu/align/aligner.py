@@ -146,17 +146,20 @@ class GeneAligner:
         for _ in range(max_depth):
             nxt = []
             for s in frontier:
-                i = np.searchsorted(v.indel_pos, s + 1)
+                # the shift-causing indel lies between the true start t and
+                # the anchored segment, so its position can precede s by up
+                # to the deletion length: scan q in (s - 64, s + m]
+                i = np.searchsorted(v.indel_pos, max(0, s - 64))
                 while i < len(v.indel_pos) and v.indel_pos[i] <= s + m + 8:
                     q = int(v.indel_pos[i])
                     for dlen, _vi in v.dels_at.get(q, ()):
                         t = s - dlen
-                        if t >= 0 and t < q and t not in seen:
+                        if t >= 0 and t < q <= t + m and t not in seen:
                             seen.add(t)
                             nxt.append(t)
                     for ins_codes, _vi in v.ins_at.get(q, ()):
                         t = s + len(ins_codes)
-                        if t < q and t not in seen:
+                        if t < q <= t + m and t not in seen:
                             seen.add(t)
                             nxt.append(t)
                     i += 1

@@ -2,7 +2,8 @@
 
 Re-architecture of the reference's typing() hot loop
 (typing_core.py:800-1789) without the SAM/text round trip: consumes
-ReadAln batches from hgtpu.align, builds per-read haplotypes, counts
+ReadAln batches from hgtpu.align, registers novel variants, trims
+ambiguous read ends through the alternative-haplotype tables, counts
 allele compatibility through the vectorized link-matrix counter, and runs
 the exon-representative -> full-length EM staging for HLA-style families.
 """
@@ -13,6 +14,8 @@ import dataclasses
 import numpy as np
 
 from ..db.catalog import GeneRef
+from .alts import (VarTable, alts_sorted_lists, get_alternatives,
+                   identify_ambiguous_diffs)
 from .counting import GeneCounter, HtOp, StatAccumulator
 from .em import single_abundance
 from .exons import get_exon_haplotypes
@@ -27,6 +30,7 @@ class TypingOptions:
     remove_low_abundance_alleles: bool = False
     output_allele_counts: bool = False
     best_alleles: bool = False
+    use_alts: bool = True
 
 
 @dataclasses.dataclass
@@ -39,6 +43,7 @@ class GeneTypingResult:
     cmpt: dict                   # full-level class counts {names-joined: n}
     exon_cmpt: dict
     primary_exon_cmpt: dict
+    novel_vars: dict = dataclasses.field(default_factory=dict)
 
 
 def get_rep_alleles(gene: GeneRef, exon_var_mask, in_alleles=None):
@@ -53,10 +58,9 @@ def get_rep_alleles(gene: GeneRef, exon_var_mask, in_alleles=None):
     for a in range(gene.n_alleles):
         if in_alleles is not None and not in_alleles[a]:
             continue
-        key = cols[:, a].tobytes()
         if not cols[:, a].any():
             continue
-        groups.setdefault(key, []).append(a)
+        groups.setdefault(cols[:, a].tobytes(), []).append(a)
     rep_mask = np.zeros(gene.n_alleles, dtype=bool)
     rep_groups = {}
     for members in groups.values():
@@ -66,45 +70,145 @@ def get_rep_alleles(gene: GeneRef, exon_var_mask, in_alleles=None):
     return rep_mask, rep_groups
 
 
-def _cmp_to_ops(cmp_list):
-    """cmp_list entries -> (left, right, [HtOp]) dropping unknown/novel
-    mismatches (merged into matches, ref: typing_core.py:1352-1368)."""
-    ops = []
-    left = cmp_list[0][1]
-    right = left
-    for kind, pos, length, var_idx, data in cmp_list:
-        if kind in ("match", "deletion"):
-            right = max(right, pos + length - 1)
-        elif kind == "mismatch":
-            right = max(right, pos)
+class NovelVars:
+    """Per-run novel variant registry (ref: add_novel_var,
+    typing_core.py:404-431)."""
+
+    def __init__(self):
+        self.by_key = {}     # (type, pos, data) -> id
+        self.meta = {}       # id -> (type_str, pos, data)
+
+    def get(self, kind, pos, data):
+        key = (kind, pos, data)
+        vid = self.by_key.get(key)
+        if vid is None:
+            vid = "nv%d" % len(self.by_key)
+            self.by_key[key] = vid
+            self.meta[vid] = (kind, pos, data)
+        return vid
+
+
+def _aln_to_ref_cmp(gene: GeneRef, aln, novel: NovelVars):
+    """ReadAln.cmp -> reference-style cmp_list with string var ids."""
+    out = []
+    for kind, pos, length, var_idx, data in aln.cmp:
         if kind == "match":
+            out.append(["match", pos, length])
             continue
-        if kind == "mismatch" and (var_idx is None or var_idx < 0):
-            continue  # unknown/novel substitution -> treated as match
-        ops.append(HtOp(kind, pos, length,
-                        -1 if var_idx is None else var_idx, data))
-    return left, right, ops
+        if var_idx is not None and var_idx >= 0:
+            vid = gene.var_ids[var_idx]
+        elif kind == "mismatch" and data == "N":
+            vid = "unknown"
+        else:
+            ntype = "single" if kind == "mismatch" else kind
+            vid = novel.get(ntype, pos, data)
+        out.append([kind, pos, length, vid])
+    return out
+
+
+def _merge_unknown(cmp_list):
+    """cmp_list2: unknown/novel mismatches become matches
+    (ref: typing_core.py:1352-1368)."""
+    out = []
+    for cmp in cmp_list:
+        typ, pos, length = cmp[:3]
+        if typ == "match":
+            if out and out[-1][0] == "match":
+                out[-1][2] += length
+            else:
+                out.append(list(cmp))
+        elif typ == "mismatch" and (cmp[3] == "unknown"
+                                    or cmp[3].startswith("nv")):
+            if out and out[-1][0] == "match":
+                out[-1][2] += 1
+            else:
+                out.append(["match", pos, 1])
+        else:
+            out.append(list(cmp))
+    return out
+
+
+def _ht_to_ops(gene: GeneRef, novel: NovelVars, tokens):
+    """Middle tokens of a ht string -> [HtOp]."""
+    ops = []
+    for t in tokens:
+        if t.startswith("hv"):
+            vi = gene.var_index(t)
+            kind = ("mismatch", "deletion", "insertion")[int(gene.var_type[vi])]
+            ops.append(HtOp(kind, int(gene.var_pos[vi]),
+                            int(gene.var_len[vi]), vi, gene.var_data[vi]))
+        elif t in novel.meta:
+            ntype, pos, data = novel.meta[t]
+            kind = "mismatch" if ntype == "single" else ntype
+            length = int(data) if ntype == "deletion" else len(data)
+            ops.append(HtOp(kind, pos, length, -1, data))
+        # "unknown" tokens constrain nothing
+    return ops
+
+
+class GeneTyper:
+    """Holds the per-gene precomputed state (counter, rep groups, alts)."""
+
+    def __init__(self, gene: GeneRef, opts: TypingOptions = None):
+        self.gene = gene
+        self.opts = opts or TypingOptions()
+        self.counter = GeneCounter(gene)
+        exon_vars = gene.exonic_var_mask(gene.exons)
+        primary_vars = gene.exonic_var_mask(gene.primary_exons)
+        self.allele_rep_mask, self.allele_rep_groups = \
+            get_rep_alleles(gene, exon_vars)
+        self.primary_rep_mask, self.primary_rep_groups = \
+            get_rep_alleles(gene, primary_vars, self.allele_rep_mask)
+        if self.opts.use_alts:
+            self.alts_left, self.alts_right = get_alternatives(gene)
+        else:
+            self.alts_left, self.alts_right = {}, {}
+        self.alts_left_list, self.alts_right_list = alts_sorted_lists(
+            self.alts_left, self.alts_right)
+
+    # ------------------------------------------------------------------ #
+    def read_hts(self, aln, novel: NovelVars):
+        """One mate alignment -> set of ht strings (with alt spellings)."""
+        gene = self.gene
+        cmp_list = _aln_to_ref_cmp(gene, aln, novel)
+        cmp_list2 = _merge_unknown(cmp_list)
+        vars_tbl = VarTable(gene, novel.meta)
+        cl, cr, left_alts, right_alts = identify_ambiguous_diffs(
+            gene.backbone, vars_tbl, self.alts_left, self.alts_right,
+            self.alts_left_list, self.alts_right_list, cmp_list2)
+        mid = []
+        for cmp in cmp_list2[cl:cr + 1]:
+            if cmp[0] in ("mismatch", "deletion", "insertion"):
+                mid.append(cmp[3])
+        hts = set()
+        for l in left_alts:
+            for r in right_alts:
+                hts.add("-".join(l.split("-") + mid + r.split("-")))
+        return hts
+
+    def count_ht(self, ht_str, novel: NovelVars):
+        """ht string -> (full mask, exon-projected masks...)"""
+        toks = ht_str.split("-")
+        left, right = int(toks[0]), int(toks[-1])
+        ops = _ht_to_ops(self.gene, novel, toks[1:-1])
+        return (left, right, ops)
 
 
 def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
-              true_alleles=()):
+              typer: GeneTyper = None):
     """read_alns: iterable of (read_id, [ReadAln for its mates]).
 
     Returns GeneTypingResult.
     """
     opts = opts or TypingOptions()
-    counter = GeneCounter(gene)
+    typer = typer or GeneTyper(gene, opts)
+    counter = typer.counter
     A = gene.n_alleles
-
-    exon_vars = gene.exonic_var_mask(gene.exons)
-    primary_exon_vars = gene.exonic_var_mask(gene.primary_exons)
-    allele_rep_mask, allele_rep_groups = get_rep_alleles(gene, exon_vars)
-    primary_rep_mask, primary_rep_groups = get_rep_alleles(
-        gene, primary_exon_vars, allele_rep_mask)
+    novel = NovelVars()
 
     full_stats = StatAccumulator(gene.allele_names)
-    exon_stats = StatAccumulator(gene.allele_names, allele_rep_mask)
-    primary_stats = StatAccumulator(gene.allele_names, primary_rep_mask)
+    exon_stats = StatAccumulator(gene.allele_names, typer.allele_rep_mask)
+    primary_stats = StatAccumulator(gene.allele_names, typer.primary_rep_mask)
 
     num_reads = 0
     num_pairs = 0
@@ -124,17 +228,14 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
             lm, rm = left_m[0], right_m[0]
             if lm.is_rc == rm.is_rc:
                 continue
-            outer = max(lm.right, rm.right) - min(lm.pos, rm.pos)
-            if outer > 1000:
+            if max(lm.right, rm.right) - min(lm.pos, rm.pos) > 1000:
                 continue
-        positive_hts = {}
+        positive_hts = set()
         for a in alns:
             if a.nm > opts.num_editdist:
                 continue
             num_reads += 1
-            left, right, ops = _cmp_to_ops(a.cmp)
-            key = (left, right, tuple(op.key() for op in ops))
-            positive_hts[key] = (left, right, ops)
+            positive_hts |= typer.read_hts(a, novel)
         if not positive_hts:
             continue
         num_pairs += 1
@@ -142,14 +243,13 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
         cnt_full = np.zeros(A, dtype=np.int32)
         cnt_exon = np.zeros(A, dtype=np.int32)
         cnt_primary = np.zeros(A, dtype=np.int32)
-        for (left, right, ops) in positive_hts.values():
-            for el, er, eops in get_exon_haplotypes(
-                    (left, right, ops), gene.primary_exons):
-                cnt_primary += counter.alleles_for_ht(el, er, eops)
-            for el, er, eops in get_exon_haplotypes(
-                    (left, right, ops), gene.exons):
-                cnt_exon += counter.alleles_for_ht(el, er, eops)
-            cnt_full += counter.alleles_for_ht(left, right, ops)
+        for ht_str in positive_hts:
+            ht = typer.count_ht(ht_str, novel)
+            for e in get_exon_haplotypes(ht, gene.primary_exons):
+                cnt_primary += counter.alleles_for_ht(*e)
+            for e in get_exon_haplotypes(ht, gene.exons):
+                cnt_exon += counter.alleles_for_ht(*e)
+            cnt_full += counter.alleles_for_ht(*ht)
 
         if opts.family == "hla":
             primary_stats.add_read(cnt_primary)
@@ -173,7 +273,7 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
         for prob_i, (allele, prob) in enumerate(exon_prob):
             if prob_i >= 10 and prob < 0.03:
                 break
-            group = allele_rep_groups.get(name2idx[allele], [])
+            group = typer.allele_rep_groups.get(name2idx[allele], [])
             if len(group) <= 1:
                 continue
             exon_prob_sum += prob
@@ -210,4 +310,5 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
         cmpt=full_cmpt,
         exon_cmpt=exon_cmpt,
         primary_exon_cmpt=primary_cmpt,
+        novel_vars=dict(novel.meta),
     )
