@@ -31,6 +31,7 @@ class TypingOptions:
     output_allele_counts: bool = False
     best_alleles: bool = False
     use_alts: bool = True
+    error_correction: bool = True
 
 
 @dataclasses.dataclass
@@ -88,8 +89,9 @@ class NovelVars:
         return vid
 
 
-def _aln_to_ref_cmp(gene: GeneRef, aln, novel: NovelVars):
-    """ReadAln.cmp -> reference-style cmp_list with string var ids."""
+def _aln_to_ref_cmp(gene: GeneRef, aln):
+    """ReadAln.cmp -> reference-style cmp_list with string var ids
+    (novel/unresolved differences stay "unknown" until registration)."""
     out = []
     for kind, pos, length, var_idx, data in aln.cmp:
         if kind == "match":
@@ -97,13 +99,31 @@ def _aln_to_ref_cmp(gene: GeneRef, aln, novel: NovelVars):
             continue
         if var_idx is not None and var_idx >= 0:
             vid = gene.var_ids[var_idx]
-        elif kind == "mismatch" and data == "N":
-            vid = "unknown"
         else:
-            ntype = "single" if kind == "mismatch" else kind
-            vid = novel.get(ntype, pos, data)
+            vid = "unknown"
         out.append([kind, pos, length, vid])
     return out
+
+
+def _register_novels(cmp_list, read_seq, novel: NovelVars):
+    """Assign nv ids to unknown differences (ref: typing_core.py:1126-1164;
+    N-base mismatches stay "unknown")."""
+    read_pos = 0
+    for e in cmp_list:
+        kind, pos, length = e[:3]
+        if kind != "match" and e[3] == "unknown":
+            if kind == "mismatch":
+                data = read_seq[read_pos]
+                if data != "N":
+                    e[3] = novel.get("single", pos, data)
+            elif kind == "deletion":
+                e[3] = novel.get("deletion", pos, str(length))
+            else:
+                data = read_seq[read_pos:read_pos + length]
+                e[3] = novel.get("insertion", pos, data)
+        if kind != "deletion":
+            read_pos += length
+    return cmp_list
 
 
 def _merge_unknown(cmp_list):
@@ -126,6 +146,16 @@ def _merge_unknown(cmp_list):
         else:
             out.append(list(cmp))
     return out
+
+
+def _read_pos_of(cmp_list, target):
+    rp = 0
+    for e in cmp_list:
+        if e is target:
+            return rp
+        if e[0] != "deletion":
+            rp += e[2]
+    return rp
 
 
 def _ht_to_ops(gene: GeneRef, novel: NovelVars, tokens):
@@ -167,10 +197,31 @@ class GeneTyper:
             self.alts_left, self.alts_right)
 
     # ------------------------------------------------------------------ #
-    def read_hts(self, aln, novel: NovelVars):
-        """One mate alignment -> set of ht strings (with alt spellings)."""
+    def read_hts(self, aln, novel: NovelVars, mpileup=None):
+        """One mate alignment -> set of ht strings (with alt spellings),
+        or None when the read is rejected (error-correction budget or
+        misalignment heuristics, ref: typing_core.py:1117-1124)."""
         gene = self.gene
-        cmp_list = _aln_to_ref_cmp(gene, aln, novel)
+        opts = self.opts
+        cmp_list = _aln_to_ref_cmp(gene, aln)
+        read_seq = aln.seq
+        if opts.error_correction and mpileup is not None:
+            from .mpileup import error_correct
+            cmp_list, read_seq, n_corr = error_correct(
+                gene, mpileup, cmp_list, read_seq)
+            if n_corr > max(1, opts.num_editdist):
+                return None
+        # misalignment heuristics
+        for e in cmp_list:
+            if e[0] == "insertion":
+                rp = _read_pos_of(cmp_list, e)
+                if "N" in read_seq[rp:rp + e[2]]:
+                    return None
+            elif e[0] == "deletion" and opts.family == "hla" \
+                    and mpileup is not None:
+                if not mpileup.deletion_plausible(e[1]):
+                    return None
+        cmp_list = _register_novels(cmp_list, read_seq, novel)
         cmp_list2 = _merge_unknown(cmp_list)
         vars_tbl = VarTable(gene, novel.meta)
         cl, cr, left_alts, right_alts = identify_ambiguous_diffs(
@@ -194,6 +245,27 @@ class GeneTyper:
         return (left, right, ops)
 
 
+def _concordant(alns, opts: TypingOptions):
+    """Pair concordance filter: both mates mapped, opposite orientation,
+    within the fragment bound (ref: hisat2 -X 1000 + flag 0x2 check at
+    typing_core.py:826-852).  Returns the usable alignments or None."""
+    alns = [a for a in alns if a is not None]
+    if not alns:
+        return None
+    if opts.allow_discordant:
+        return alns
+    left_m = [a for a in alns if a.mate == "L"]
+    right_m = [a for a in alns if a.mate == "R"]
+    if not left_m or not right_m:
+        return None
+    lm, rm = left_m[0], right_m[0]
+    if lm.is_rc == rm.is_rc:
+        return None
+    if max(lm.right, rm.right) - min(lm.pos, rm.pos) > 1000:
+        return None
+    return alns
+
+
 def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
               typer: GeneTyper = None):
     """read_alns: iterable of (read_id, [ReadAln for its mates]).
@@ -213,29 +285,34 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     num_reads = 0
     num_pairs = 0
 
+    read_alns = list(read_alns)
+
+    # pass 1: pileup over all concordant alignments (no NM filter, as in
+    # get_mpileup — typing_common.py:1059-1184)
+    mpileup = None
+    if opts.error_correction or opts.family == "hla":
+        from .mpileup import Mpileup
+        mpileup = Mpileup(gene)
+        for _read_id, alns in read_alns:
+            alns = _concordant(alns, opts)
+            if alns is None:
+                continue
+            for a in alns:
+                mpileup.add_alignment(a)
+        mpileup.finalize()
+
     for read_id, alns in read_alns:
-        alns = [a for a in alns if a is not None]
-        if not alns:
+        alns = _concordant(alns, opts)
+        if alns is None:
             continue
-        if not opts.allow_discordant:
-            # concordance: both mates mapped, opposite orientation, within
-            # the fragment bound (ref: hisat2 -X 1000 + flag 0x2 check at
-            # typing_core.py:826-852)
-            left_m = [a for a in alns if a.mate == "L"]
-            right_m = [a for a in alns if a.mate == "R"]
-            if not left_m or not right_m:
-                continue
-            lm, rm = left_m[0], right_m[0]
-            if lm.is_rc == rm.is_rc:
-                continue
-            if max(lm.right, rm.right) - min(lm.pos, rm.pos) > 1000:
-                continue
         positive_hts = set()
         for a in alns:
             if a.nm > opts.num_editdist:
                 continue
             num_reads += 1
-            positive_hts |= typer.read_hts(a, novel)
+            hts = typer.read_hts(a, novel, mpileup)
+            if hts is not None:
+                positive_hts |= hts
         if not positive_hts:
             continue
         num_pairs += 1

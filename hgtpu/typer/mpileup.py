@@ -1,0 +1,172 @@
+"""Pileup statistics, sequencing-error correction, pair inter-distance.
+
+Ports of get_mpileup (typing_common.py:1059-1184), error_correct
+(typing_core.py:119-243) and get_pair_interdist
+(typing_common.py:1187-1265), built from ReadAln records instead of a
+samtools view pipe.  Column counts are accumulated vectorized.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..db.catalog import GeneRef, VT_SINGLE, VT_DELETION
+
+_NT = "ACGTND"
+_NT_IDX = {c: i for i, c in enumerate(_NT)}
+
+
+class Mpileup:
+    """counts: [P, 6] over A C G T N D; rep[P]: representative base strings.
+
+    Representative rule (ref: typing_common.py:1124-1134): positions with
+    >= 20 total coverage keep bases with count >= 20% or >= 7.
+    """
+
+    def __init__(self, gene: GeneRef):
+        self.gene = gene
+        self.counts = np.zeros((len(gene.backbone), 6), dtype=np.int32)
+        self.rep = None
+
+    def add_alignment(self, aln):
+        """Accumulate one ReadAln's bases (M -> read nt, D -> 'D')."""
+        from ..utils.dna import encode_seq
+
+        counts = self.counts
+        P = counts.shape[0]
+        codes = encode_seq(aln.seq)  # A C G T -> 0..3, N -> 4
+        read_pos = 0
+        for entry in aln.cmp:
+            kind, pos, length = entry[0], entry[1], entry[2]
+            if kind in ("match", "mismatch"):
+                n = min(length, P - pos)
+                if n > 0:
+                    seg = codes[read_pos:read_pos + n]
+                    np.add.at(counts, (pos + np.arange(n), seg), 1)
+                read_pos += length
+            elif kind == "deletion":
+                hi = min(pos + length, P)
+                counts[pos:hi, 5] += 1
+            else:  # insertion consumes read only
+                read_pos += length
+
+    def finalize(self):
+        total = self.counts.sum(axis=1)
+        acgt = self.counts[:, :4]
+        keep = (total >= 20)[:, None] & \
+               ((acgt >= total[:, None] * 0.2) | (acgt >= 7))
+        self.rep = keep  # bool [P, 4]
+        return self
+
+    def rep_set(self, pos):
+        return [("ACGT"[k]) for k in np.flatnonzero(self.rep[pos])]
+
+    def deletion_plausible(self, pos):
+        """Ref misalignment heuristic (typing_core.py:1064-1077): a
+        deletion op is implausible when del_count * 6 < nt_count."""
+        if pos >= len(self.counts):
+            return True
+        del_count = int(self.counts[pos, 5])
+        nt_count = int(self.counts[pos, :5].sum())
+        return del_count * 6 >= nt_count
+
+
+def error_correct(gene: GeneRef, mpileup: Mpileup, cmp_list, read_seq):
+    """Correct read bases unsupported by the pileup representative sets.
+
+    Port of error_correct (typing_core.py:119-243), applied to the whole
+    reference-style cmp list (runs of match/mismatch are walked; del/ins
+    entries pass through untouched).  Returns
+    (new cmp_list, new read_seq, num_corrections).
+    """
+    if mpileup is None or mpileup.rep is None:
+        return cmp_list, read_seq, 0
+    ref_seq = gene.backbone
+    single_lookup = {}
+    for vi in np.flatnonzero(gene.var_type == VT_SINGLE):
+        single_lookup[(int(gene.var_pos[vi]), gene.var_data[vi])] = \
+            gene.var_ids[vi]
+
+    out = []
+    num_correction = 0
+    read_pos = 0
+    seq = read_seq
+    for entry in cmp_list:
+        kind, left, length = entry[0], entry[1], entry[2]
+        if kind == "match":
+            middle = []
+            last_j = 0
+            for j in range(length):
+                if read_pos + j >= len(seq) or left + j >= len(ref_seq):
+                    continue
+                read_bp = seq[read_pos + j]
+                nt_set = mpileup.rep_set(left + j)
+                if nt_set and read_bp not in nt_set:
+                    read_bp = "N" if len(nt_set) > 1 else nt_set[0]
+                    seq = seq[:read_pos + j] + read_bp + seq[read_pos + j + 1:]
+                    new_cmp = ["mismatch", left + j, 1, "unknown"]
+                    num_correction += 1
+                    if read_bp != "N":
+                        vid = single_lookup.get((left + j, read_bp))
+                        if vid:
+                            new_cmp[3] = vid
+                    if j > last_j:
+                        middle.append(["match", left + last_j, j - last_j])
+                    middle.append(new_cmp)
+                    last_j = j + 1
+            if last_j < length:
+                middle.append(["match", left + last_j, length - last_j])
+            out.extend(middle)
+            read_pos += length
+        elif kind == "mismatch":
+            read_bp = seq[read_pos] if read_pos < len(seq) else "N"
+            ref_bp = ref_seq[left] if left < len(ref_seq) else "N"
+            nt_set = mpileup.rep_set(left) if left < len(ref_seq) else []
+            e = list(entry)
+            if nt_set and read_bp not in nt_set:
+                read_bp = "N" if len(nt_set) > 1 else nt_set[0]
+                seq = seq[:read_pos] + read_bp + seq[read_pos + 1:]
+                if read_bp == "N":
+                    e[3] = "unknown"
+                elif read_bp == ref_bp:
+                    e = ["match", left, 1]
+                    num_correction += 1
+                else:
+                    e[3] = single_lookup.get((left, read_bp), "unknown")
+            out.append(e)
+            read_pos += length
+        else:
+            out.append(list(entry))
+            if kind == "insertion":
+                read_pos += length
+    # merge adjacent matches (ref: typing_core.py:226-235)
+    merged = []
+    for e in out:
+        if e[0] == "match" and merged and merged[-1][0] == "match" \
+                and merged[-1][1] + merged[-1][2] == e[1]:
+            merged[-1][2] += e[2]
+        else:
+            merged.append(e)
+    return merged, seq, num_correction
+
+
+def pair_interdist(read_alns):
+    """Median inner distance between concordant mate pairs.
+
+    Port of get_pair_interdist (typing_common.py:1187-1265) over
+    (read_id, [ReadAln]) groups.
+    """
+    dist_list = []
+    for _read_id, alns in read_alns:
+        alns = [a for a in alns if a is not None]
+        if len(alns) != 2:
+            continue
+        (l1, r1), (l2, r2) = [(a.pos, a.right - 1) for a in alns]
+        if l1 <= l2:
+            dist = l2 - r1 - 1
+        else:
+            dist = l1 - r2 - 1
+        dist_list.append(dist)
+    dist_list.sort()
+    if not dist_list:
+        return -1
+    return dist_list[len(dist_list) // 2]
