@@ -32,6 +32,7 @@ class TypingOptions:
     best_alleles: bool = False
     use_alts: bool = True
     error_correction: bool = True
+    assembly: bool = False
 
 
 @dataclasses.dataclass
@@ -45,6 +46,8 @@ class GeneTypingResult:
     exon_cmpt: dict
     primary_exon_cmpt: dict
     novel_vars: dict = dataclasses.field(default_factory=dict)
+    assembly_call: list = None   # [[allele1, allele2], log10 group score]
+    contigs: dict = None         # fasta_key -> contig sequence
 
 
 def get_rep_alleles(gene: GeneRef, exon_var_mask, in_alleles=None):
@@ -284,6 +287,7 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
 
     num_reads = 0
     num_pairs = 0
+    asm_reads = []
 
     read_alns = list(read_alns)
 
@@ -306,6 +310,7 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
         if alns is None:
             continue
         positive_hts = set()
+        per_mate_hts = []
         for a in alns:
             if a.nm > opts.num_editdist:
                 continue
@@ -313,9 +318,13 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
             hts = typer.read_hts(a, novel, mpileup)
             if hts is not None:
                 positive_hts |= hts
+                if opts.assembly:
+                    per_mate_hts.append((a, hts))
         if not positive_hts:
             continue
         num_pairs += 1
+        if opts.assembly:
+            asm_reads.append((read_id, per_mate_hts))
 
         cnt_full = np.zeros(A, dtype=np.int32)
         cnt_exon = np.zeros(A, dtype=np.int32)
@@ -378,6 +387,12 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
         else:
             prob = single_abundance(full_cmpt)
 
+    assembly_call = None
+    contigs = None
+    if opts.assembly and asm_reads:
+        assembly_call, contigs = _run_assembly(gene, typer, novel, asm_reads,
+                                               prob)
+
     return GeneTypingResult(
         gene=gene.gene,
         num_reads=num_reads,
@@ -388,4 +403,67 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
         exon_cmpt=exon_cmpt,
         primary_exon_cmpt=primary_cmpt,
         novel_vars=dict(novel.meta),
+        assembly_call=assembly_call,
+        contigs=contigs,
     )
+
+
+def _run_assembly(gene: GeneRef, typer: GeneTyper, novel: NovelVars,
+                  asm_reads, prob):
+    """Guided de Bruijn assembly + Viterbi phasing over the collected read
+    haplotypes (ref: typing_core.py:1791-1838, 2014-2070)."""
+    from ..assemble.graph import AssemblyGraph
+    from ..assemble.nodes import allele_node, read_nodes_from_hts
+
+    var_table = VarTable(gene, novel.meta)
+    predicted = {}
+    for allele_name, p in prob:
+        if p < 0.1:
+            break
+        predicted[allele_name] = allele_node(gene, allele_name, var_table)
+        if len(predicted) >= 2:
+            break
+    graph = AssemblyGraph(gene.backbone, var_table, gene.exons,
+                          gene.primary_exons,
+                          predicted_allele_nodes=predicted)
+    for read_id, per_mate in asm_reads:
+        for aln, hts in per_mate:
+            base_id = aln.read_id.split("|")[0]
+            node_read_id = "%s|%s" % (base_id, aln.mate)
+            for nid, cmp_i, node in read_nodes_from_hts(
+                    gene, var_table, node_read_id, hts, aln.seq):
+                graph.add_node(nid, cmp_i, node)
+    if not graph.nodes:
+        return None, None
+    try:
+        call = graph.guided_debruijn()
+    except Exception:
+        return None, None
+
+    # contig calls: closest catalog allele, Known if variant-identical
+    # (ref: typing_core.py:2014-2070)
+    contigs = {}
+    allele_var_sets = {
+        name: {gene.var_ids[i] for i in gene.allele_var_indices(name)}
+        for name in gene.allele_names
+    }
+    cnt = 0
+    for node_name, node in graph.nodes.items():
+        nvars = set(node.get_var_ids())
+        max_common = None
+        best = []
+        for name, avars in allele_var_sets.items():
+            tmp = len(nvars & avars) - len(nvars | avars)
+            if max_common is None or tmp > max_common:
+                max_common = tmp
+                best = [name]
+            elif tmp == max_common:
+                best.append(name)
+        is_known = any(nvars == allele_var_sets[b] & nvars
+                       and len(allele_var_sets[b] - nvars) == 0
+                       for b in best)
+        key = "%s contig %d %s" % (node_name, cnt,
+                                   best[0] if is_known else "Novel")
+        contigs[key] = node.get_seq()
+        cnt += 1
+    return call, contigs

@@ -70,6 +70,17 @@ class ReportWriter:
                 break
         return ranks_of_true
 
+    def assembly_calls(self, calls_by_gene):
+        """Ref: typing_core.py:2147-2159."""
+        self._out("\t\tAssembly Coloring Allele Collapse:")
+        for genename, call in calls_by_gene.items():
+            if call:
+                alleles, score = call
+                self._out("\t\t\t%s: %s (Group score: %.5f)"
+                          % (genename, " : ".join(alleles), 10 ** score))
+            else:
+                self._out("\t\t\t%s: NONE (Group score: NA)" % genename)
+
     def close(self):
         if self.file:
             self.file.close()
