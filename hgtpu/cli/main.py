@@ -1,0 +1,159 @@
+"""Main CLI — the `hisatgenotype` equivalent.
+
+Usage mirrors the reference driver (./hisatgenotype:692-771):
+
+  python -m hgtpu --base hla --ix-dir DB --locus-list A \
+      --debug basic,test_size:5,set_seed:101 --out-dir out     # simulation
+  python -m hgtpu --base hla --ix-dir DB -1 r1.fq -2 r2.fq     # real reads
+
+The database directory holds the reference-format text files
+(<base>_backbone.fa, <base>.snp, .link, .haplotype, .locus, .allele, ...)
+produced by `python -m hgtpu.cli.toolkit extract-vars` or by the
+reference's own extract_vars.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+from ..db.catalog import import_text
+from ..typer.engine import TypingOptions
+from ..typer.report import ReportWriter
+from ..utils.io import read_fastx
+from . import args as A
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="hgtpu", description="TPU-native HLA/CYP/CODIS genotyping")
+    A.args_common(p)
+    A.args_databases(p)
+    A.args_input(p)
+    A.args_aligner(p)
+    A.args_assembly(p)
+    A.args_simulation(p)
+    A.args_output(p)
+    return p
+
+
+def _apply_platform_env():
+    """Honor JAX_PLATFORMS even though the environment pre-seeds the
+    config to 'axon,cpu' (the TPU tunnel plugin ignores the env var)."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+        jax.config.update("jax_platforms", want)
+
+
+def main(argv=None):
+    _apply_platform_env()
+    args = build_parser().parse_args(argv)
+    debug = A.parse_debug(args.debug)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    prefix = os.path.join(args.ix_dir, args.base_fname)
+    catalog = import_text(args.base_fname, prefix)
+    locus_list = [g for g in args.locus_list.split(",") if g] \
+        or list(catalog.genes)
+
+    single_end = bool(args.read_fname_U) or "single-end" in debug
+    opts = TypingOptions(
+        family=args.base_fname,
+        num_editdist=args.num_editdist,
+        allow_discordant=args.discordant or single_end,
+        simulation=not (args.read_fname_1 or args.read_fname_U),
+        error_correction=args.error_correction,
+        assembly=args.assembly,
+        best_alleles=args.best_alleles,
+        output_allele_counts=args.output_allele_counts,
+    )
+
+    if opts.simulation:
+        return run_simulation(args, debug, catalog, locus_list, opts)
+    return run_reads(args, catalog, locus_list, opts)
+
+
+def run_simulation(args, debug, catalog, locus_list, opts):
+    """Ref: the --debug simulation sweep (typing_core.py:2488-2648)."""
+    from ..pipeline.genotype import simulation_sweep
+
+    test_size = int(debug.get("test_size", 5 if "basic" in debug else 200))
+    seed = debug.get("set_seed")
+    seed = int(seed) if seed is not None else None
+    allele_count = 2 if "pair" in debug else 1
+    paired = "single-end" not in debug
+
+    total_passed = 0
+    total = 0
+    for gene in locus_list:
+        ref = catalog.gene(gene)
+        n, results = simulation_sweep(
+            ref, test_size=test_size, seed=seed, paired=paired,
+            allele_count=allele_count,
+            simulate_interval=args.simulate_interval,
+            read_len=args.read_len, fragment_len=args.fragment_len,
+            perbase_errorrate=args.perbase_errorrate, opts=opts)
+        for t, (true_alleles, res) in enumerate(results):
+            report_base = os.path.join(
+                args.out_dir,
+                "%s-%s.test-%d" % (args.output_base, args.base_fname, t + 1))
+            w = ReportWriter(report_base + ".report", echo=args.verbose)
+            w.header(dbversion=catalog.version,
+                     command=" ".join(sys.argv))
+            w.begin_aligner()
+            w.gene_result(res, simulation=True, true_alleles=true_alleles,
+                          best_alleles=args.best_alleles)
+            if opts.assembly:
+                w.assembly_calls({gene: res.assembly_call})
+                if res.contigs:
+                    from ..db.catalog import _read_fasta  # noqa
+                    with open(report_base + ".fasta", "w") as f:
+                        for key, seq in res.contigs.items():
+                            print(">%s" % key, file=f)
+                            for s in range(0, len(seq), 60):
+                                print(seq[s:s + 60], file=f)
+            w.close()
+        total_passed += n
+        total += len(results) * allele_count
+        print("\t\tPassed so far: %d/%d (%.2f%%)"
+              % (total_passed, total, total_passed * 100.0 / max(1, total)),
+              file=sys.stderr)
+    return 0 if total_passed == total else 1
+
+
+def run_reads(args, catalog, locus_list, opts):
+    from ..pipeline.genotype import type_family
+
+    if args.read_fname_U:
+        reads_1 = read_fastx(args.read_fname_U)
+        reads_2 = None
+        core_id = os.path.basename(args.read_fname_U).split(".")[0]
+    else:
+        reads_1 = read_fastx(args.read_fname_1)
+        reads_2 = read_fastx(args.read_fname_2) if args.read_fname_2 else None
+        core_id = os.path.basename(args.read_fname_1).split(".")[0]
+
+    results = type_family(catalog, reads_1, reads_2,
+                          locus_list=locus_list, opts=opts)
+    report_base = os.path.join(
+        args.out_dir, "%s-%s.%s" % (args.output_base, args.base_fname,
+                                    core_id))
+    w = ReportWriter(report_base + ".report", echo=args.verbose)
+    w.header(dbversion=catalog.version, command=" ".join(sys.argv))
+    w.begin_aligner()
+    for gene in locus_list:
+        res = results[gene]
+        w.gene_result(res, simulation=False,
+                      output_allele_counts=args.output_allele_counts,
+                      best_alleles=args.best_alleles)
+    if opts.assembly:
+        w.assembly_calls({g: results[g].assembly_call for g in locus_list})
+    w.close()
+    print("Report written to %s.report" % report_base, file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,1 +1,2 @@
-from .genotype import type_reads, simulation_sweep
+from .genotype import type_reads, type_family, simulation_sweep
+from .extract import ReadExtractor

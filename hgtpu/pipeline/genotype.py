@@ -39,6 +39,44 @@ def type_reads(gene: GeneRef, reads_1, reads_2=None, opts=None,
                      opts)
 
 
+def type_family(catalog, reads_1, reads_2=None, locus_list=None, opts=None,
+                family_aligner=None):
+    """Type every gene of a family from one read set.
+
+    Reads are assigned cross-gene by the NH==1 uniqueness rule
+    (FamilyAligner); each gene in locus_list is then typed independently.
+    Ref: typing() per-gene loop (typing_core.py:370-1789).
+    Returns {gene: GeneTypingResult}.
+    """
+    from ..align.family import FamilyAligner
+
+    opts = opts or TypingOptions()
+    fa = family_aligner or FamilyAligner(catalog,
+                                         num_editdist=opts.num_editdist)
+    genes = locus_list or list(catalog.genes)
+    per_gene_1 = fa.align_batch([n for n, _ in reads_1],
+                                [s for _, s in reads_1], "L")
+    per_gene_2 = None
+    if reads_2:
+        per_gene_2 = fa.align_batch([n for n, _ in reads_2],
+                                    [s for _, s in reads_2], "R")
+    results = {}
+    for g in genes:
+        by_read = defaultdict(list)
+        batches = [per_gene_1[g]]
+        if per_gene_2:
+            batches.append(per_gene_2[g])
+        for alns in batches:
+            for a in alns:
+                if a is None:
+                    continue
+                by_read[a.read_id.split("|")[0]].append(a)
+        results[g] = type_gene(catalog.genes[g],
+                               sorted(by_read.items(), key=lambda kv: kv[0]),
+                               opts)
+    return results
+
+
 def simulation_sweep(gene: GeneRef, test_size=5, seed=None, paired=True,
                      allele_count=1, simulate_interval=1, read_len=100,
                      fragment_len=250, perbase_errorrate=0.0, opts=None,

@@ -114,3 +114,30 @@ def make_gene_msa(
         exons=exons,
         primary_exon_idx=(0, 1),
     )
+
+
+def make_family(genes=("A", "B", "C"), n_alleles=24, length=2000, seed=17):
+    """Multi-gene family: independent MSAs per gene plus a synthetic host
+    genome that embeds each gene's reference allele between random flanks
+    (the stand-in for GRCh38 placement used by read extraction)."""
+    # distinct stream from the per-gene MSA rngs (same seed would replay
+    # identical base draws and make flanks collide with gene backbones)
+    rng = random.Random(seed * 7919 + 13)
+    specs = {}
+    genome_parts = []
+    flank = 3000
+    pos = 0
+    loci = {}
+    for gi, g in enumerate(genes):
+        spec = make_gene_msa(gene=g, n_alleles=n_alleles, length=length,
+                             seed=seed + 101 * gi)
+        specs[g] = spec
+        fl = "".join(rng.choice(BASES) for _ in range(flank))
+        genome_parts.append(fl)
+        pos += flank
+        ref_seq = spec["rows"][0].replace(".", "")
+        loci[g] = (pos, pos + len(ref_seq))
+        genome_parts.append(ref_seq)
+        pos += len(ref_seq)
+    genome_parts.append("".join(rng.choice(BASES) for _ in range(flank)))
+    return dict(specs=specs, genome="".join(genome_parts), loci=loci)

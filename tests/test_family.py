@@ -1,0 +1,72 @@
+"""Multi-gene family typing and WGS-style read extraction
+(hg_test4/5-equivalent flows: extract-reads -> per-locus typing)."""
+import random
+
+import pytest
+
+from hgtpu.db import build_catalog_from_msa
+from hgtpu.pipeline import ReadExtractor, type_family
+from hgtpu.sim import simulate_reads
+from tests.synth import make_family
+
+
+@pytest.fixture(scope="module")
+def family():
+    fam = make_family(genes=("A", "B"), n_alleles=16, length=1600, seed=21)
+    cat = build_catalog_from_msa(
+        "hla",
+        {g: dict(names=s["names"], rows=s["rows"], ref_allele=s["ref_allele"],
+                 exons=s["exons"], primary_exon_idx=s["primary_exon_idx"])
+         for g, s in fam["specs"].items()},
+        min_var_freq=0.0,
+    )
+    return fam, cat
+
+
+def test_type_family_routes_reads(family):
+    fam, cat = family
+    a_allele = cat.gene("A").allele_names[5]
+    b_allele = cat.gene("B").allele_names[9]
+    rA1, rA2, _ = simulate_reads(cat.gene("A"), [a_allele],
+                                 simulate_interval=4)
+    rB1, rB2, _ = simulate_reads(cat.gene("B"), [b_allele],
+                                 simulate_interval=4)
+    reads_1 = [("a%d|L" % i, r.seq) for i, r in enumerate(rA1)] \
+        + [("b%d|L" % i, r.seq) for i, r in enumerate(rB1)]
+    reads_2 = [("a%d|R" % i, r.seq) for i, r in enumerate(rA2)] \
+        + [("b%d|R" % i, r.seq) for i, r in enumerate(rB2)]
+    results = type_family(cat, reads_1, reads_2)
+    assert results["A"].prob[0][0] == a_allele
+    assert results["B"].prob[0][0] == b_allele
+    # reads must not leak across genes
+    assert results["A"].num_pairs >= len(rA1) * 0.9
+    assert results["B"].num_pairs >= len(rB1) * 0.9
+
+
+def test_read_extraction(family):
+    fam, cat = family
+    genome = fam["genome"]
+    rng = random.Random(3)
+    # WGS-style reads: gene reads + background genome reads
+    a_allele = cat.gene("A").allele_names[2]
+    rA1, rA2, _ = simulate_reads(cat.gene("A"), [a_allele],
+                                 simulate_interval=6)
+    bg_1, bg_2 = [], []
+    for i in range(60):
+        # background fragments from the flank regions only
+        p = rng.choice([rng.randrange(0, 2800),
+                        rng.randrange(len(genome) - 2900, len(genome) - 350)])
+        frag = genome[p:p + 250]
+        bg_1.append(("bg%d" % i, frag[:100]))
+        from hgtpu.utils.dna import revcomp
+        bg_2.append(("bg%d" % i, revcomp(frag[-100:])))
+    reads_1 = [("a%d" % i, r.seq) for i, r in enumerate(rA1)] + bg_1
+    reads_2 = [("a%d" % i, r.seq) for i, r in enumerate(rA2)] + bg_2
+    ex = ReadExtractor({"hla": cat})
+    routed = ex.extract(reads_1, reads_2)
+    assert "hla" in routed
+    r1, r2 = routed["hla"]
+    names = {n for n, _ in r1}
+    # all gene reads extracted, essentially no background
+    assert sum(1 for n in names if n.startswith("a")) >= len(rA1) * 0.95
+    assert sum(1 for n in names if n.startswith("bg")) <= 2
