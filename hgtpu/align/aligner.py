@@ -12,7 +12,7 @@ import numpy as np
 
 from ..db.catalog import GeneRef
 from ..ops.placement import backbone_pwm, encode_reads, place_with_orientation
-from ..utils.dna import encode_seq, revcomp_encoded
+from ..utils.dna import decode_seq, encode_seq, revcomp_encoded
 from .types import ReadAln
 from .verify import GeneVerifier
 
@@ -75,22 +75,29 @@ class GeneAligner:
                 out.append(None)
                 continue
             m = len(fwd_codes[i])
-            # try the better orientation first, fall back to the other
-            order = [(True, rc_codes[i], pr[i], sr[i]),
-                     (False, fwd_codes[i], pf[i], sf[i])]
-            if not use_rc[i]:
-                order.reverse()
+            # exact-diagonal fast path: a full placement score means every
+            # base matches the backbone or a known SNP -> the plain
+            # spelling the DFS would prefer, resolved vectorized
             aln = None
-            is_rc = False
-            for o_rc, codes, cand_p, cand_s in order:
-                aln = self._verify_candidates(codes, cand_p, cand_s, m)
-                if aln is not None:
-                    is_rc = o_rc
-                    break
+            is_rc = bool(use_rc[i])
+            cand_s, cand_p = (sr[i], pr[i]) if is_rc else (sf[i], pf[i])
+            if cand_s[0] >= m:
+                codes = rc_codes[i] if is_rc else fwd_codes[i]
+                aln = self._fast_exact(codes, int(cand_p[0]), m)
+            if aln is None:
+                # try the better orientation first, fall back to the other
+                order = [(True, rc_codes[i], pr[i], sr[i]),
+                         (False, fwd_codes[i], pf[i], sf[i])]
+                if not use_rc[i]:
+                    order.reverse()
+                for o_rc, codes, cand_p, cand_s in order:
+                    aln = self._verify_candidates(codes, cand_p, cand_s, m)
+                    if aln is not None:
+                        is_rc = o_rc
+                        break
             if aln is None:
                 out.append(None)
                 continue
-            use_rc[i] = is_rc
             cost, ops, start = aln
             cmp_list, right = self.verifier.ops_to_cmp_list(ops, start, m)
             if right > len(self.gene.backbone):
@@ -103,11 +110,27 @@ class GeneAligner:
                 right=right,
                 cmp=cmp_list,
                 nm=cost,
-                is_rc=bool(use_rc[i]),
-                seq="".join("ACGTN."[c] for c in
-                            (rc_codes[i] if use_rc[i] else fwd_codes[i])),
+                is_rc=is_rc,
+                seq=decode_seq(rc_codes[i] if is_rc else fwd_codes[i]),
             ))
         return out
+
+    def _fast_exact(self, codes, start, m):
+        """Cost-0 plain alignment when the full placement score is
+        attained: resolve SNP-matched positions via the variant lookup;
+        result is identical to the DFS's preferred plain spelling."""
+        v = self.verifier
+        if start < 0 or start + m > len(v.bb):
+            return None
+        diffs = np.flatnonzero(codes.astype(np.int16) != v.bb[start:start + m])
+        ops = []
+        for j in diffs.tolist():
+            base = int(codes[j])
+            vi = v.single_at.get((start + j, base))
+            if vi is None:
+                return None  # PWM/score mismatch edge; fall back to DFS
+            ops.append(("mismatch", start + j, 1, vi, "ACGT"[base]))
+        return 0, ops, start
 
     def _verify_candidates(self, codes, cand_pos, cand_scores, m):
         best = None

@@ -71,17 +71,25 @@ def place_batch(pwm_ext: jax.Array, reads: jax.Array, top_k: int = 4):
     return top_scores, top_pos
 
 
-def place_with_orientation(pwm: np.ndarray, fwd: np.ndarray, rc: np.ndarray,
-                           top_k: int = 4):
+def place_with_orientation(pwm, fwd: np.ndarray, rc: np.ndarray,
+                           top_k: int = 4, _ext_cache={}):
     """Place both orientations.
 
     Returns (scores_f, pos_f, scores_r, pos_r) each [N, top_k], plus
-    use_rc [N] marking which orientation scored best.
+    use_rc [N] marking which orientation scored best.  The zero-padded
+    device copy of the PWM is cached per (id(pwm), m).
     """
     m = fwd.shape[1]
-    pwm_ext = np.concatenate([pwm, np.zeros((m, 5), np.float32)], axis=0)
+    key = (id(pwm), m)
+    pwm_ext = _ext_cache.get(key)
+    if pwm_ext is None:
+        pwm_ext = jnp.asarray(
+            np.concatenate([pwm, np.zeros((m, 5), np.float32)], axis=0))
+        if len(_ext_cache) > 64:
+            _ext_cache.clear()
+        _ext_cache[key] = pwm_ext
     both = np.concatenate([fwd, rc], axis=0)
-    s, p = place_batch(jnp.asarray(pwm_ext), jnp.asarray(both), top_k=top_k)
+    s, p = place_batch(pwm_ext, jnp.asarray(both), top_k=top_k)
     s = np.asarray(s)
     p = np.asarray(p)
     n = fwd.shape[0]

@@ -55,6 +55,7 @@ class Mpileup:
         keep = (total >= 20)[:, None] & \
                ((acgt >= total[:, None] * 0.2) | (acgt >= 7))
         self.rep = keep  # bool [P, 4]
+        self.rep_any = keep.any(axis=1)
         return self
 
     def rep_set(self, pos):
@@ -90,17 +91,31 @@ def error_correct(gene: GeneRef, mpileup: Mpileup, cmp_list, read_seq):
     num_correction = 0
     read_pos = 0
     seq = read_seq
+    from ..utils.dna import encode_seq
+
+    rep = mpileup.rep
+    rep_any = mpileup.rep_any
     for entry in cmp_list:
         kind, left, length = entry[0], entry[1], entry[2]
         if kind == "match":
+            # vectorized scan: flag positions whose base is outside the
+            # representative set (the rare case); the common all-supported
+            # segment costs one numpy expression
+            n = min(length, len(seq) - read_pos, len(ref_seq) - left)
+            if n > 0:
+                codes = encode_seq(seq[read_pos:read_pos + n])
+                in_rep = (codes < 4) & rep[np.arange(left, left + n),
+                                           np.clip(codes, 0, 3)]
+                bad = rep_any[left:left + n] & ~in_rep
+                bad_js = np.flatnonzero(bad)
+            else:
+                bad_js = ()
             middle = []
             last_j = 0
-            for j in range(length):
-                if read_pos + j >= len(seq) or left + j >= len(ref_seq):
-                    continue
+            for j in bad_js.tolist() if len(bad_js) else []:
                 read_bp = seq[read_pos + j]
                 nt_set = mpileup.rep_set(left + j)
-                if nt_set and read_bp not in nt_set:
+                if True:
                     read_bp = "N" if len(nt_set) > 1 else nt_set[0]
                     seq = seq[:read_pos + j] + read_bp + seq[read_pos + j + 1:]
                     new_cmp = ["mismatch", left + j, 1, "unknown"]
