@@ -87,6 +87,10 @@ def run_simulation(args, debug, catalog, locus_list, opts):
 
     total_passed = 0
     total = 0
+    def report_base_for(t):
+        return os.path.join(args.out_dir, "%s-%s.test-%d"
+                            % (args.output_base, args.base_fname, t + 1))
+
     for gene in locus_list:
         ref = catalog.gene(gene)
         n, results = simulation_sweep(
@@ -94,7 +98,8 @@ def run_simulation(args, debug, catalog, locus_list, opts):
             allele_count=allele_count,
             simulate_interval=args.simulate_interval,
             read_len=args.read_len, fragment_len=args.fragment_len,
-            perbase_errorrate=args.perbase_errorrate, opts=opts)
+            perbase_errorrate=args.perbase_errorrate, opts=opts,
+            report_base_fn=report_base_for if opts.assembly else None)
         for t, (true_alleles, res) in enumerate(results):
             report_base = os.path.join(
                 args.out_dir,
@@ -135,11 +140,12 @@ def run_reads(args, catalog, locus_list, opts):
         reads_2 = read_fastx(args.read_fname_2) if args.read_fname_2 else None
         core_id = os.path.basename(args.read_fname_1).split(".")[0]
 
-    results = type_family(catalog, reads_1, reads_2,
-                          locus_list=locus_list, opts=opts)
     report_base = os.path.join(
         args.out_dir, "%s-%s.%s" % (args.output_base, args.base_fname,
                                     core_id))
+    opts.report_base = report_base
+    results = type_family(catalog, reads_1, reads_2,
+                          locus_list=locus_list, opts=opts)
     w = ReportWriter(report_base + ".report", echo=args.verbose)
     w.header(dbversion=catalog.version, command=" ".join(sys.argv))
     w.begin_aligner()

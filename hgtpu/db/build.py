@@ -395,7 +395,7 @@ def build_gene_ref(
     primary = [exons[i] for i in primary_exon_idx] if primary_exon_idx else list(exons)
 
     backbone_str = decode_msa_row(backbone[backbone != _DOT])
-    ref = GeneRef(
+    ref_out = GeneRef(
         gene=gene,
         backbone_name="%s*BACKBONE" % gene,
         backbone=backbone_str,
@@ -417,7 +417,12 @@ def build_gene_ref(
         strand=strand,
         min_var_freq=min_var_freq,
     )
-    return ref, base_var_id + V
+    from ..validate import SANITY_CHECK, validate_gene
+    if SANITY_CHECK:
+        validate_gene(ref_out,
+                      [decode_msa_row(mat[i]) for i in range(len(names))],
+                      names)
+    return ref_out, base_var_id + V
 
 
 def _key_right(k):

@@ -80,7 +80,7 @@ def type_family(catalog, reads_1, reads_2=None, locus_list=None, opts=None,
 def simulation_sweep(gene: GeneRef, test_size=5, seed=None, paired=True,
                      allele_count=1, simulate_interval=1, read_len=100,
                      fragment_len=250, perbase_errorrate=0.0, opts=None,
-                     aligner=None, verbose=False):
+                     aligner=None, verbose=False, report_base_fn=None):
     """Reference self-test: draw random alleles, simulate, type, and check
     the truth ranks #1 (typing_core.py:2488-2648).
 
@@ -101,6 +101,8 @@ def simulation_sweep(gene: GeneRef, test_size=5, seed=None, paired=True,
             gene, alleles, simulate_interval=simulate_interval,
             read_len=read_len, frag_len=fragment_len,
             perbase_errorrate=perbase_errorrate, seed=rng.random())
+        if report_base_fn is not None:
+            opts.report_base = report_base_fn(t)
         res = type_reads(
             gene,
             [(r.name, r.seq) for r in r1],

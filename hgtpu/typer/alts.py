@@ -384,4 +384,9 @@ def identify_ambiguous_diffs(ref_seq, Vars, alts_left, alts_right,
         cmp_left = 0
         left_alt_set = {str(left)}
 
+    from ..validate import SANITY_CHECK, check_amb_uniqueness
+    if SANITY_CHECK:
+        check_amb_uniqueness(cmp_list, cmp_left, cmp_right,
+                             list(left_alt_set), list(right_alt_set))
+
     return cmp_left, cmp_right, list(left_alt_set), list(right_alt_set)

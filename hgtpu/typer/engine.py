@@ -33,6 +33,7 @@ class TypingOptions:
     use_alts: bool = True
     error_correction: bool = True
     assembly: bool = False
+    report_base: str = ""     # when set, assembly also renders <base>.<gene>.pdf
 
 
 @dataclasses.dataclass
@@ -435,10 +436,29 @@ def _run_assembly(gene: GeneRef, typer: GeneTyper, novel: NovelVars,
                 graph.add_node(nid, cmp_i, node)
     if not graph.nodes:
         return None, None
+    panels = []
+    if typer.opts.report_base:
+        from ..assemble.pdf import panel_from_nodes
+        panels.append(("a. Read alignment",
+                       panel_from_nodes(graph, gene, graph.nodes)))
     try:
         call = graph.guided_debruijn()
     except Exception:
         return None, None
+    if typer.opts.report_base:
+        from ..assemble.pdf import draw_assembly, panel_from_nodes
+        panels.append(("b. Assembly",
+                       panel_from_nodes(graph, gene, graph.nodes)))
+        if graph.nodes2:
+            panels.append(("c. Assembly with known alleles",
+                           panel_from_nodes(graph, gene, graph.nodes2)))
+        try:
+            graph.calculate_coverage()
+            draw_assembly("%s.%s.pdf" % (typer.opts.report_base, gene.gene),
+                          len(gene.backbone), panels,
+                          coverage=graph.coverage, exons=gene.exons)
+        except Exception:
+            pass
 
     # contig calls: closest catalog allele, Known if variant-identical
     # (ref: typing_core.py:2014-2070)

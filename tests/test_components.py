@@ -1,0 +1,122 @@
+"""Component tests: SAM export, validation suite, db management,
+genotype-genome builder, PDF renderer."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+from hgtpu.db import build_gene_ref, Catalog
+from hgtpu.db.catalog import export_text
+from tests.synth import make_gene_msa, make_family
+
+
+@pytest.fixture(scope="module")
+def generef():
+    spec = make_gene_msa(seed=11, n_alleles=20, length=1500)
+    ref, _ = build_gene_ref(
+        "A", spec["names"], spec["rows"], spec["ref_allele"],
+        exons_ref_coords=spec["exons"],
+        primary_exon_idx=spec["primary_exon_idx"], min_var_freq=0.0)
+    return spec, ref
+
+
+def test_sam_roundtrip(generef, tmp_path):
+    from hgtpu.align import GeneAligner
+    from hgtpu.align.sam import write_sam, parse_sam_line
+    from hgtpu.sim import simulate_reads
+
+    spec, ref = generef
+    allele = ref.allele_names[4]
+    r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=20)
+    al = GeneAligner(ref)
+    alns1 = al.align_batch([r.name for r in r1], [r.seq for r in r1], "L")
+    path = str(tmp_path / "out.sam")
+    pairs = [(a.read_id, [a]) for a in alns1 if a]
+    write_sam(path, ref, pairs)
+    lines = [l for l in open(path) if not l.startswith("@")]
+    assert len(lines) == len(pairs)
+    rec = parse_sam_line(ref, lines[0])
+    assert rec["pos"] == pairs[0][1][0].pos
+    assert "NM" in rec["tags"] and "MD" in rec["tags"]
+    # MD match-sum must equal read length minus insertions
+    import re
+    md = rec["tags"]["MD"].split(":")[-1] if ":" in rec["tags"]["MD"] \
+        else rec["tags"]["MD"]
+    nums = sum(int(x) for x in re.findall(r"(\d+)", md.split("^")[0]))
+    assert nums >= 0
+
+
+def test_validation_suite(generef):
+    from hgtpu.validate import validate_gene
+
+    spec, ref = generef
+    validate_gene(ref, spec["rows"], spec["names"])
+
+
+def test_db_manage(generef, tmp_path):
+    from hgtpu.db import manage
+
+    spec, ref = generef
+    d = str(tmp_path / "db")
+    os.makedirs(d)
+    assert not manage.database_exists(d, "hla")
+    export_text(Catalog(family="hla", genes={"A": ref}), d + "/hla")
+    assert manage.database_exists(d, "hla")
+    # build-if-missing is a no-op when present
+    assert manage.extract_database_if_not_exists(d, "hla") is False
+    with pytest.raises(RuntimeError):
+        manage.clone_hisatgenotype_database(d)
+    # inspector reconstructs sequences
+    out = str(tmp_path / "insp.fa")
+    manage.inspect(d + "/hla", out)
+    text = open(out).read()
+    assert ">A*BACKBONE" in text
+    assert ">%s" % ref.allele_names[0] in text
+
+
+def test_genotype_genome_build(tmp_path):
+    from hgtpu.db import build_catalog_from_msa
+    from hgtpu.db.genome import build_genotype_genome, liftover
+
+    fam = make_family(genes=("A", "B"), n_alleles=10, length=1200, seed=33)
+    cat = build_catalog_from_msa(
+        "hla",
+        {g: dict(names=s["names"], rows=s["rows"],
+                 ref_allele=s["ref_allele"], exons=s["exons"])
+         for g, s in fam["specs"].items()},
+        min_var_freq=0.0)
+    # place genes on the synthetic chromosome
+    for g, (left, right) in fam["loci"].items():
+        cat.genes[g].chrom = "chrS"
+        cat.genes[g].chrom_left = left
+        cat.genes[g].chrom_right = right
+    out = str(tmp_path / "gg" / "genotype_genome")
+    spliced, offsets = build_genotype_genome({"chrS": fam["genome"]},
+                                             {"hla": cat}, out)
+    for suffix in (".fa", ".locus", ".snp", ".haplotype", ".link",
+                   ".coord", ".allele"):
+        assert os.path.exists(out + suffix)
+    # backbone sequences embedded at the recorded offsets
+    for g in cat.genes.values():
+        base = offsets[("hla", g.gene)]
+        assert spliced["chrS"][base:base + len(g.backbone)] == g.backbone
+    # liftover maps flanking coordinates back
+    lift = liftover(out + ".coord")
+    assert lift("chrS", 100) == 100
+    assert lift("chrS", offsets[("hla", "A")] + 5) is None
+
+
+def test_pdf_renderer(tmp_path):
+    from hgtpu.assemble.pdf import draw_assembly
+
+    path = str(tmp_path / "x.pdf")
+    draw_assembly(path, 2000,
+                  [("a. Read alignment",
+                    [("r1", 0, 99, [10, 50]), ("r2", 50, 149, [60])]),
+                   ("b. Assembly", [("c1", 0, 1999, [10, 50, 60])])],
+                  coverage={"X*01:01": [0.5] * 2000},
+                  exons=[(100, 400)])
+    data = open(path, "rb").read()
+    assert data.startswith(b"%PDF-1.7")
+    assert data.rstrip().endswith(b"%%EOF")
