@@ -1,0 +1,55 @@
+"""FM-index + linear-path aligner tests (components #1/#3)."""
+import random
+
+import numpy as np
+import pytest
+
+from hgtpu.db import build_gene_ref
+from hgtpu.ops.fm import FMIndex, pack_queries
+from hgtpu.sim import simulate_reads
+from hgtpu.utils.dna import encode_seq
+from tests.synth import make_gene_msa
+
+
+def test_fm_exact_counts():
+    rng = random.Random(11)
+    text = "".join(rng.choice("ACGT") for _ in range(20000))
+    fm = FMIndex(encode_seq(text))
+    queries = []
+    expected = []
+    for _ in range(40):
+        p = rng.randrange(0, len(text) - 30)
+        q = text[p:p + 25]
+        queries.append(q)
+        expected.append(text.count(q))
+    # plus queries that don't occur
+    for _ in range(10):
+        q = "".join(rng.choice("ACGT") for _ in range(25))
+        queries.append(q)
+        expected.append(text.count(q))
+    lo, hi = fm.search_batch(pack_queries(queries, 25))
+    got = (np.asarray(hi) - np.asarray(lo)).tolist()
+    assert got == expected
+
+
+def test_fm_locate():
+    text = "ACGTACGTTTACGT"
+    fm = FMIndex(encode_seq(text))
+    lo, hi = fm.search_batch(pack_queries(["ACGT"], 4))
+    hits = sorted(int(p) for p in fm.locate(int(lo[0]), int(hi[0])))
+    assert hits == [0, 4, 10]
+
+
+def test_linear_aligner_types_allele():
+    from hgtpu.align.linear import LinearAligner
+
+    spec = make_gene_msa(seed=11, n_alleles=20, length=1500)
+    ref, _ = build_gene_ref("A", spec["names"], spec["rows"],
+                            spec["ref_allele"], min_var_freq=0.0)
+    la = LinearAligner(ref)
+    allele = ref.allele_names[8]
+    r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=10)
+    ranked, cmpt = la.type_linear([r.seq for r in r1] + [r.seq for r in r2])
+    assert ranked[0][0] == allele
+    # the true allele contains every one of its reads
+    assert ranked[0][1] == len(r1) + len(r2)
