@@ -280,6 +280,72 @@ def collapse_alleles(names, rows, verbose=False):
 # --------------------------------------------------------------------------- #
 # Main build
 # --------------------------------------------------------------------------- #
+def graft_partial_alleles(names, rows, nuc_names, nuc_rows, ref_allele,
+                          exons_ref_coords, min_var_freq):
+    """Splice exon-only (nuc MSA) alleles into genomic context.
+
+    Ref: typing_process.py:646-730 — for every allele present only in the
+    nuc alignment, build a full-length row from the genomic consensus with
+    the allele's exon sequence grafted into each exon span.  Returns
+    (names, rows) extended with the partial alleles, and the set of
+    grafted (partial) allele names.
+    """
+    seq_len = find_seq_len(rows)
+    mat = encode_msa([r for r in rows if len(r) == seq_len])
+    backbone, _f, _m = consensus_matrix(mat, min_var_freq,
+                                        remove_empty=False)
+    backbone_str = decode_msa_row(backbone)
+
+    def seq_to_cols(row):
+        return [i for i, ch in enumerate(row) if ch in "ACGT"]
+
+    ref_row = rows[names.index(ref_allele)]
+    ref_cols = seq_to_cols(ref_row)
+    ref_nuc_row = nuc_rows[nuc_names.index(ref_allele)]
+    ref_nuc_cols = seq_to_cols(ref_nuc_row)
+
+    ref_exons = []
+    ref_partial_exons = []
+    exon_len = 0
+    for left, right in exons_ref_coords:
+        ref_exons.append((ref_cols[left], ref_cols[right]))
+        next_len = right - left + exon_len
+        if next_len >= len(ref_nuc_cols):
+            return names, rows, set()  # incomplete nuc data
+        ref_partial_exons.append((ref_nuc_cols[exon_len],
+                                  ref_nuc_cols[next_len]))
+        exon_len += right - left + 1
+        span_gen = ref_exons[-1][1] - ref_exons[-1][0] + 1
+        span_nuc = ref_partial_exons[-1][1] - ref_partial_exons[-1][0] + 1
+        assert span_gen == span_nuc, "gen/nuc exon alignment widths differ"
+
+    nuc_seq_len = find_seq_len(nuc_rows)
+    partial = set()
+    out_names = list(names)
+    out_rows = list(rows)
+    present = set(names)
+    for name in nuc_names:
+        if name in present:
+            continue
+        row = nuc_rows[nuc_names.index(name)]
+        if len(row) != nuc_seq_len:
+            continue
+        new_seq = []
+        right = 0
+        for (gl, gr), (nl, nr) in zip(ref_exons, ref_partial_exons):
+            new_seq.append(backbone_str[right:gl])
+            exon_seq = row[nl:nr + 1]
+            if not exon_seq.replace(".", "").replace("~", ""):
+                exon_seq = backbone_str[gl:gr + 1]
+            new_seq.append(exon_seq)
+            right = gr + 1
+        new_seq.append(backbone_str[right:])
+        out_names.append(name)
+        out_rows.append("".join(new_seq))
+        partial.add(name)
+    return out_names, out_rows, partial
+
+
 def build_gene_ref(
     gene: str,
     names,                      # list of allele names (row order)
@@ -294,16 +360,27 @@ def build_gene_ref(
     collapse: bool = True,
     whole_haplotype: bool = False,
     partial_names=(),           # allele names that are partial (exon-grafted)
+    partial_msa=None,           # (nuc_names, nuc_rows) to graft exon-only alleles
     base_var_id: int = 0,
     chrom: str = "chrU",
     chrom_left: int = 0,
     strand: str = "+",
 ):
     """Compile one gene's MSA into a GeneRef.  Returns (GeneRef, next_var_id)."""
+    partial_names = set(partial_names)
+    if partial_msa is not None and exons_ref_coords:
+        nuc_names, nuc_rows = partial_msa
+        names, rows, grafted = graft_partial_alleles(
+            names, rows, list(nuc_names), list(nuc_rows), ref_allele,
+            exons_ref_coords, min_var_freq)
+        partial_names |= grafted
+
     seq_len = find_seq_len(rows)
     use = [i for i in range(len(rows)) if len(rows[i]) == seq_len]
     names = [names[i] for i in use]
     rows = [rows[i] for i in use]
+    # any leftover empty markers behave as unsequenced regions
+    rows = [r.replace("E", "~") for r in rows]
     mat = encode_msa(rows)
 
     backbone, freq5, mat = consensus_matrix(mat, min_var_freq, remove_empty=True)

@@ -112,8 +112,11 @@ def simulation_sweep(gene: GeneRef, test_size=5, seed=None, paired=True,
         for i, (allele, prob) in enumerate(res.prob):
             if allele in alleles:
                 ranks[allele] = i
-        passed = all(ranks.get(a, 99) < allele_count for a in alleles)
-        n_passed += bool(passed)
+        # per-allele pass tally, as in the reference (typing_core.py:2133-2142
+        # counts each correctly-ranked allele separately)
+        n_correct = sum(ranks.get(a, 99) < allele_count for a in alleles)
+        passed = n_correct == allele_count
+        n_passed += n_correct
         if verbose:
             top = res.prob[0] if res.prob else ("-", 0)
             print("test %d: true=%s top=%s %.2f%% %s"

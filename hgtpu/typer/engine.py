@@ -34,6 +34,9 @@ class TypingOptions:
     error_correction: bool = True
     assembly: bool = False
     report_base: str = ""     # when set, assembly also renders <base>.<gene>.pdf
+    # genes whose mate pairs are disambiguated by fragment inter-distance
+    # (ref: applied to CODIS D18S51, typing_core.py:1547-1552)
+    choose_pairs_genes: tuple = ("D18S51",)
 
 
 @dataclasses.dataclass
@@ -249,6 +252,34 @@ class GeneTyper:
         return (left, right, ops)
 
 
+def choose_pairs(left_hts, right_hts, expected_interdist):
+    """Keep the (left, right) haplotype pairs whose inner distance is
+    closest to the expected fragment inter-distance.
+    Ref: choose_pairs (typing_core.py:680-716)."""
+    if not (left_hts and right_hts
+            and max(len(left_hts), len(right_hts)) >= 2):
+        return left_hts, right_hts
+    best_diff = None
+    picked = []
+    for lht in left_hts:
+        lt = lht.split("-")
+        l_left, l_right = int(lt[0]), int(lt[-1])
+        for rht in right_hts:
+            rt = rht.split("-")
+            r_left, r_right = int(rt[0]), int(rt[-1])
+            if l_right < r_right:
+                inter = r_left - l_right - 1
+            else:
+                inter = l_left - r_right - 1
+            diff = abs(expected_interdist - inter)
+            if best_diff is None or diff < best_diff:
+                best_diff = diff
+                picked = [(lht, rht)]
+            elif diff == best_diff:
+                picked.append((lht, rht))
+    return {l for l, _ in picked}, {r for _, r in picked}
+
+
 def _concordant(alns, opts: TypingOptions):
     """Pair concordance filter: both mates mapped, opposite orientation,
     within the fragment bound (ref: hisat2 -X 1000 + flag 0x2 check at
@@ -306,11 +337,19 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
                 mpileup.add_alignment(a)
         mpileup.finalize()
 
+    # expected mate inter-distance for CODIS pair disambiguation
+    # (ref: get_pair_interdist called for codis, typing_core.py:451-456)
+    interdist = None
+    if opts.family == "codis" and gene.gene in opts.choose_pairs_genes:
+        from .mpileup import pair_interdist
+        interdist = pair_interdist(read_alns)
+
     for read_id, alns in read_alns:
         alns = _concordant(alns, opts)
         if alns is None:
             continue
-        positive_hts = set()
+        left_hts = set()
+        right_hts = set()
         per_mate_hts = []
         for a in alns:
             if a.nm > opts.num_editdist:
@@ -318,9 +357,13 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
             num_reads += 1
             hts = typer.read_hts(a, novel, mpileup)
             if hts is not None:
-                positive_hts |= hts
+                (left_hts if a.mate == "L" else right_hts).update(hts)
                 if opts.assembly:
                     per_mate_hts.append((a, hts))
+        if interdist is not None and interdist >= 0:
+            left_hts, right_hts = choose_pairs(left_hts, right_hts,
+                                               interdist)
+        positive_hts = left_hts | right_hts
         if not positive_hts:
             continue
         num_pairs += 1

@@ -116,6 +116,35 @@ def make_gene_msa(
     )
 
 
+def make_nuc_msa(spec, n_partial=4, seed=99):
+    """Exon-only (nuc) alignment derived from a gen MSA spec, plus extra
+    partial alleles that exist only in the nuc alignment."""
+    rng = random.Random(seed)
+    ref_row = spec["rows"][0]  # event-free reference allele
+    base_cols = [i for i, ch in enumerate(ref_row) if ch in "ACGT"]
+    exon_col_ranges = [(base_cols[l], base_cols[r])
+                       for l, r in spec["exons"]]
+
+    def to_nuc(row):
+        return "".join(row[l:r + 1] for l, r in exon_col_ranges)
+
+    nuc_names = list(spec["names"])
+    nuc_rows = [to_nuc(r) for r in spec["rows"]]
+    gene = spec["names"][0].split("*")[0]
+    # partial alleles: copy an existing row, flip some exon bases
+    for k in range(n_partial):
+        donor = rng.randrange(len(spec["rows"]))
+        row = list(spec["rows"][donor])
+        for _ in range(3):
+            l, r = exon_col_ranges[rng.randrange(len(exon_col_ranges))]
+            p = rng.randrange(l, r + 1)
+            if row[p] in "ACGT":
+                row[p] = rng.choice([b for b in "ACGT" if b != row[p]])
+        nuc_names.append("%s*90:%02d" % (gene, k + 1))
+        nuc_rows.append(to_nuc("".join(row)))
+    return nuc_names, nuc_rows
+
+
 def make_family(genes=("A", "B", "C"), n_alleles=24, length=2000, seed=17):
     """Multi-gene family: independent MSAs per gene plus a synthetic host
     genome that embeds each gene's reference allele between random flanks

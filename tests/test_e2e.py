@@ -41,7 +41,7 @@ def test_pair_simulation(generef):
     # must rank in the top 2
     n, results = simulation_sweep(generef, test_size=3, seed=7,
                                   allele_count=2, simulate_interval=3)
-    assert n == 3
+    assert n == 6  # per-allele tally: 2 alleles x 3 tests
     for alleles, res in results:
         top2 = {res.prob[0][0], res.prob[1][0]}
         assert top2 == set(alleles)

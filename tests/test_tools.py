@@ -1,0 +1,114 @@
+"""Tool converters: CODIS STR tables, CYP/RBG star-allele tables -> MSA
+-> typed databases (components #22-#24)."""
+import random
+
+import pytest
+
+from hgtpu.db import build_gene_ref
+from hgtpu.pipeline import type_reads
+from hgtpu.sim import simulate_reads
+from hgtpu.tools.codis import codis_msa, parse_structure
+from hgtpu.tools.starallele import msa_from_variant_table, parse_events
+from hgtpu.typer.engine import TypingOptions
+
+
+def test_parse_structure():
+    assert parse_structure("[TCTA]3 TCA [TCTG]2") == \
+        [("TCTA", 3), ("TCA", 1), ("TCTG", 2)]
+
+
+def _flanks(seed, n=400):
+    rng = random.Random(seed)
+    return ("".join(rng.choice("ACGT") for _ in range(n)),
+            "".join(rng.choice("ACGT") for _ in range(n)))
+
+
+def test_codis_end_to_end():
+    f5, f3 = _flanks(5)
+    table = [
+        ("D18S51*10", "[AGAA]10"),
+        ("D18S51*12", "[AGAA]12"),
+        ("D18S51*13", "[AGAA]13"),
+        ("D18S51*14.2", "[AGAA]13 GA [AGAA]1"),
+        ("D18S51*16", "[AGAA]16"),
+    ]
+    names, rows = codis_msa(table, f5, f3)
+    assert len({len(r) for r in rows}) == 1  # aligned
+    ref, _ = build_gene_ref("D18S51", names, rows, names[0],
+                            min_var_freq=0.0, collapse=False,
+                            leftshift=False)
+    # reconstruction: each allele equals flanks + its expanded repeats
+    for (name, struct), row in zip(table, rows):
+        expect = f5 + "".join(u * c for u, c in parse_structure(struct)) + f3
+        assert ref.allele_seq(name) == expect, name
+    # typing a simulated STR sample picks the right repeat count
+    allele = "D18S51*13"
+    r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=2,
+                               frag_len=300)
+    res = type_reads(ref, [(r.name, r.seq) for r in r1],
+                     [(r.name, r.seq) for r in r2],
+                     TypingOptions(family="codis", simulation=True))
+    assert res.prob[0][0] == allele, res.prob[:4]
+
+
+def test_star_allele_conversion():
+    rng = random.Random(8)
+    refseq = "".join(rng.choice("ACGT") for _ in range(1200))
+    events = {
+        "CYP2D6*1": [],
+        "CYP2D6*2": parse_events("%d%s>%s" % (
+            100, refseq[100], "A" if refseq[100] != "A" else "C")),
+        "CYP2D6*3": parse_events("500del2"),
+        "CYP2D6*4": parse_events("700ins" + "GT"),
+    }
+    names, rows = msa_from_variant_table(refseq, events)
+    assert len({len(r) for r in rows}) == 1
+    ref, _ = build_gene_ref("CYP2D6", names, rows, "CYP2D6*1",
+                            min_var_freq=0.0, collapse=False)
+    assert ref.allele_seq("CYP2D6*1") == refseq
+    assert len(ref.allele_seq("CYP2D6*3")) == len(refseq) - 2
+    assert len(ref.allele_seq("CYP2D6*4")) == len(refseq) + 2
+    # NT validation catches wrong reference base
+    with pytest.raises(AssertionError):
+        msa_from_variant_table(refseq, {"X*1": [("S", 10, "A" if
+                                                 refseq[10] != "A" else "C",
+                                                 "G")]})
+
+
+def test_batch_runner_and_trio(tmp_path):
+    from hgtpu.db import Catalog
+    from hgtpu.db.catalog import export_text
+    from hgtpu.tools.batch import (find_samples, run_batch, trio_concordant,
+                                   top_two)
+    from hgtpu.utils.io import write_fastq
+    from tests.synth import make_gene_msa
+
+    spec = make_gene_msa(seed=11, n_alleles=16, length=1200)
+    ref, _ = build_gene_ref("A", spec["names"], spec["rows"],
+                            spec["ref_allele"], min_var_freq=0.0)
+    cat = Catalog(family="hla", genes={"A": ref})
+    # two samples
+    d = tmp_path / "reads"
+    d.mkdir()
+    truth = {}
+    for i, allele_i in enumerate((3, 9)):
+        allele = ref.allele_names[allele_i]
+        truth["NA%05d" % i] = allele
+        r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=6)
+        write_fastq([(r.name, r.seq) for r in r1],
+                    str(d / ("NA%05d.extracted.1.fq.gz" % i)))
+        write_fastq([(r.name, r.seq) for r in r2],
+                    str(d / ("NA%05d.extracted.2.fq.gz" % i)))
+    samples = find_samples(str(d), suffix="extracted.1.fq.gz")
+    assert set(samples) == set(truth)
+    calls = run_batch(cat, samples, threads=2)
+    for sample, genes in calls.items():
+        assert genes["A"][0][0] == truth[sample]
+    # trio logic
+    m = [["A*01", 0.5], ["A*02", 0.5]]
+    f = [["A*03", 0.5], ["A*04", 0.5]]
+    child_ok = [["A*01", 0.5], ["A*03", 0.5]]
+    child_bad = [["A*05", 0.5], ["A*06", 0.5]]
+    assert trio_concordant(child_ok, m, f)
+    assert not trio_concordant(child_bad, m, f)
+    assert top_two([["A*01", 0.99]]) == ["A*01", "A*01"]
