@@ -2,15 +2,17 @@
 
 The reference parallelizes with multiprocessing.Pool over samples and
 `hisat2 -p N` threads (SURVEY.md §2 parallelism inventory); the TPU-native
-equivalent is data parallelism over the read batch on a device mesh:
+equivalent is data parallelism over reads/haplotypes on a device mesh:
 
-- reads are sharded over the "dp" mesh axis (each chip places/scores its
-  shard against the replicated backbone PWM),
-- per-allele compatibility counts are merged with `psum` over ICI,
+- reads are sharded over the "dp" mesh axis (each chip places its shard
+  against the replicated backbone PWM),
+- haplotype batches are sharded likewise; each chip computes its
+  compatibility masks against the replicated link tables and the
+  per-allele evidence is merged with `psum` over ICI,
 - the EM abundance solver runs replicated on the reduced counts.
 
-Everything compiles under `jit` + `shard_map`, so the same program runs on
-1 chip, an 8-device host, or a multi-host slice (DCN handled by jax).
+Everything compiles under `jit` + `shard_map`, so the same program runs
+on 1 chip, an 8-device host, or a multi-host slice (DCN handled by jax).
 """
 from __future__ import annotations
 
@@ -40,11 +42,10 @@ def _place_scores(pwm_ext, reads):
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
     )
-    return out[0]  # [n_shard, P+1]
+    return out[0]
 
 
-def _em_iterations(M, counts, iters=50):
-    """Replicated dense EM refinement (see typer.em for the full solver)."""
+def _em_iterations(M, counts, iters=100):
     Mf = M.astype(jnp.float32)
     p = Mf.T @ (counts / jnp.maximum(Mf.sum(axis=1), 1.0))
     p = p / jnp.maximum(p.sum(), 1e-30)
@@ -58,33 +59,68 @@ def _em_iterations(M, counts, iters=50):
     return jax.lax.fori_loop(0, iters, body, p)
 
 
-def sharded_typing_step(mesh: Mesh, axis: str = "dp"):
-    """Build the jitted multi-chip typing step.
+def sharded_place(mesh: Mesh, axis: str = "dp", top_k: int = 4):
+    """Data-parallel placement: reads sharded, PWM replicated."""
 
-    step(pwm_ext [P+m,5], reads [N,m] int8 sharded over dp,
-         links [V, A] bool replicated, class_mask [C, A], class_counts [C])
-    -> (top positions [N,k], allele abundance [A])
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(), P(axis)), out_specs=(P(axis), P(axis)),
+                       check_rep=False)
+    def step(pwm_ext, reads):
+        scores = _place_scores(pwm_ext, reads)
+        s, p = jax.lax.top_k(scores, top_k)
+        return s, p
 
-    Placement runs data-parallel; per-allele hit counts are psum-merged
-    over ICI; EM runs replicated.
+    return jax.jit(step)
+
+
+def sharded_count(mesh: Mesh, axis: str = "dp"):
+    """Data-parallel compatibility counting + ICI-reduced allele totals.
+
+    step(links_packed [V+1,W] u32 repl, nd_pos [Vnd] repl,
+         nd_prefix [Vnd+1,A] repl, del_pos/del_right [D] repl,
+         del_links [D,A] repl, var_pos/var_right [V+1] repl,
+         lefts/rights [H] sharded, vars [H,K] sharded,
+         class_mask [C,A] repl, class_counts [C] repl)
+    -> (masks [H,A] sharded, allele_totals [A] psum-reduced, prob [A])
     """
+    from ..typer.device_count import _compat
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(axis), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(),
+                  P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(axis), P(), P()),
-        check_rep=False,
-    )
-    def step(pwm_ext, reads, links, class_mask, class_counts):
-        scores = _place_scores(pwm_ext, reads)            # [n_shard, P+1]
-        top_scores, top_pos = jax.lax.top_k(scores, 4)
-        # per-device allele evidence: best-hit weight spread over the link
-        # matrix column sums (stand-in for the device compatibility kernel;
-        # exercises the ICI psum reduction path end to end)
-        weight = jnp.sum(top_scores[:, 0])
-        hits = weight * links.astype(jnp.float32).sum(axis=0)  # [A]
-        hits = jax.lax.psum(hits, axis)                        # merged
+        check_rep=False)
+    def step(links_packed, nd_pos, nd_prefix, del_pos, del_right, del_links,
+             var_pos, var_right, lefts, rights, vars_, class_mask,
+             class_counts):
+        masks = _compat(links_packed, nd_pos, nd_prefix, del_pos, del_right,
+                        del_links, var_pos, var_right, lefts, rights, vars_)
+        totals = jax.lax.psum(
+            jnp.sum(masks.astype(jnp.int32), axis=0), axis)   # ICI reduce
         prob = _em_iterations(class_mask, class_counts)        # replicated
-        return top_pos, hits, prob
+        return masks, totals, prob
 
     return jax.jit(step)
+
+
+def sharded_typing_step(mesh: Mesh, axis: str = "dp"):
+    """Combined demo step for the multi-chip dry run: placement + counting
+    + EM in one jitted program."""
+    place = sharded_place(mesh, axis)
+    count = sharded_count(mesh, axis)
+
+    def step(pwm_ext, reads, dc_tables, lefts, rights, vars_, class_mask,
+             class_counts):
+        top_scores, top_pos = place(pwm_ext, reads)
+        masks, totals, prob = count(*dc_tables, lefts, rights, vars_,
+                                    class_mask, class_counts)
+        return top_pos, totals, prob
+
+    return step
+
+
+def device_tables(dc):
+    """Pack a DeviceCounter's tables for sharded_count."""
+    return (dc.links_packed, dc.nd_pos, dc.nd_prefix, dc.del_pos,
+            dc.del_right, dc.del_links, dc.var_pos_d, dc.var_right_d)

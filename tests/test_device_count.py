@@ -1,0 +1,62 @@
+"""Device compatibility counting must equal the host reference path, and
+the Pallas bitset kernel must equal the jnp gather path."""
+import numpy as np
+import pytest
+
+from hgtpu.db import build_gene_ref
+from hgtpu.typer.counting import GeneCounter, HtOp
+from hgtpu.typer.device_count import DeviceCounter
+from tests.synth import make_gene_msa
+
+
+@pytest.fixture(scope="module")
+def generef():
+    spec = make_gene_msa(seed=11, n_alleles=32, length=2000)
+    ref, _ = build_gene_ref("A", spec["names"], spec["rows"],
+                            spec["ref_allele"], min_var_freq=0.0)
+    return ref
+
+
+def _sample_hts(gene, n=200, seed=3):
+    rng = np.random.default_rng(seed)
+    hts = []
+    for _ in range(n):
+        a = rng.integers(0, gene.n_alleles)
+        avars = np.flatnonzero(gene.links[:, a])
+        left = int(rng.integers(0, len(gene.backbone) - 120))
+        right = left + 99
+        vs = [int(v) for v in avars
+              if left <= gene.var_pos[v] and gene.var_right[v] <= right]
+        hts.append((left, right, vs))
+    return hts
+
+
+def _host_mask(gene, counter, ht):
+    left, right, vs = ht
+    ops = []
+    for v in vs:
+        kind = ("mismatch", "deletion", "insertion")[int(gene.var_type[v])]
+        ops.append(HtOp(kind, int(gene.var_pos[v]), int(gene.var_len[v]),
+                        v, gene.var_data[v]))
+    return counter.alleles_for_ht(left, right, ops)
+
+
+def test_device_matches_host(generef):
+    counter = GeneCounter(generef)
+    dc = DeviceCounter(generef)
+    hts = _sample_hts(generef)
+    lefts, rights, vars_ = dc.pack_hts(hts)
+    dev = dc.compat_masks(lefts, rights, vars_)
+    for i, ht in enumerate(hts):
+        host = _host_mask(generef, counter, ht)
+        assert np.array_equal(dev[i], host), (i, ht)
+
+
+def test_pallas_kernel_matches_gather(generef):
+    dc_j = DeviceCounter(generef, use_pallas=False)
+    dc_p = DeviceCounter(generef, use_pallas=True)
+    hts = _sample_hts(generef, n=64, seed=9)
+    lefts, rights, vars_ = dc_j.pack_hts(hts)
+    a = dc_j.compat_masks(lefts, rights, vars_)
+    b = dc_p.compat_masks(lefts, rights, vars_)
+    assert np.array_equal(a, b)

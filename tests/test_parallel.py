@@ -1,0 +1,67 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh: sharded
+results must equal the single-device path bit-for-bit."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hgtpu.db import build_gene_ref
+from hgtpu.parallel.sharded import (device_tables, make_mesh, sharded_count,
+                                    sharded_place)
+from hgtpu.typer.device_count import DeviceCounter
+from tests.synth import make_gene_msa
+
+
+@pytest.fixture(scope="module")
+def generef():
+    spec = make_gene_msa(seed=11, n_alleles=32, length=1600)
+    ref, _ = build_gene_ref("A", spec["names"], spec["rows"],
+                            spec["ref_allele"], min_var_freq=0.0)
+    return ref
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_place_matches_single(generef):
+    from hgtpu.ops.placement import backbone_pwm, place_batch
+
+    rng = np.random.default_rng(0)
+    reads = rng.integers(0, 4, (64, 96)).astype(np.int8)
+    pwm = backbone_pwm(generef)
+    pwm_ext = np.concatenate([pwm, np.zeros((96, 5), np.float32)])
+    s1, p1 = place_batch(jnp.asarray(pwm_ext), jnp.asarray(reads), top_k=4)
+    mesh = make_mesh(8)
+    step = sharded_place(mesh)
+    s8, p8 = step(jnp.asarray(pwm_ext), jnp.asarray(reads))
+    assert np.allclose(np.asarray(s1), np.asarray(s8))
+    assert np.array_equal(np.asarray(p1), np.asarray(p8))
+
+
+def test_sharded_count_matches_and_psums(generef):
+    dc = DeviceCounter(generef)
+    rng = np.random.default_rng(1)
+    hts = []
+    for _ in range(64):
+        left = int(rng.integers(0, len(generef.backbone) - 120))
+        right = left + 99
+        vs = [int(v) for v in range(generef.n_vars)
+              if left <= generef.var_pos[v] <= right][:3]
+        hts.append((left, right, vs))
+    lefts, rights, vars_ = dc.pack_hts(hts)
+    single = dc.compat_masks(lefts, rights, vars_)
+
+    mesh = make_mesh(8)
+    step = sharded_count(mesh)
+    C, A = 8, generef.n_alleles
+    class_mask = rng.random((C, A)) < 0.2
+    class_counts = rng.integers(1, 20, C).astype(np.float32)
+    masks, totals, prob = step(*device_tables(dc),
+                               jnp.asarray(lefts), jnp.asarray(rights),
+                               jnp.asarray(vars_), jnp.asarray(class_mask),
+                               jnp.asarray(class_counts))
+    assert np.array_equal(np.asarray(masks)[:, :A], single)
+    # psum-reduced totals equal the global per-allele sums
+    assert np.array_equal(np.asarray(totals)[:A], single.sum(axis=0))
+    assert abs(float(np.asarray(prob).sum()) - 1.0) < 1e-4
