@@ -120,11 +120,45 @@ def cmd_parse_results(argv):
     return 0
 
 
+def cmd_inspect(argv):
+    p = argparse.ArgumentParser(prog="hgtpu inspect")
+    p.add_argument("prefix", help="database prefix (e.g. DB/hla)")
+    p.add_argument("-o", "--out", type=str, default="")
+    args = p.parse_args(argv)
+    from ..db.manage import inspect
+    inspect(args.prefix, args.out or None)
+    return 0
+
+
+def cmd_build_genome(argv):
+    p = argparse.ArgumentParser(prog="hgtpu build-genome")
+    A.args_common(p)
+    p.add_argument("--genome", required=True, help="host genome FASTA")
+    p.add_argument("--database-list", dest="database_list", type=str,
+                   default="hla")
+    p.add_argument("--ix-dir", dest="ix_dir", type=str, default=".")
+    p.add_argument("--out-prefix", dest="out_prefix", type=str,
+                   default="genotype_genome")
+    args = p.parse_args(argv)
+    from ..db.catalog import import_text, _read_fasta
+    from ..db.genome import build_genotype_genome
+    genome = _read_fasta(args.genome)
+    catalogs = {fam: import_text(fam, os.path.join(args.ix_dir, fam))
+                for fam in args.database_list.split(",")}
+    build_genotype_genome(genome, catalogs,
+                          os.path.join(args.out_dir, args.out_prefix))
+    print("genotype genome written to %s/%s.*"
+          % (args.out_dir, args.out_prefix), file=sys.stderr)
+    return 0
+
+
 COMMANDS = {
     "extract-vars": cmd_extract_vars,
     "extract-reads": cmd_extract_reads,
     "locus": cmd_locus,
     "parse-results": cmd_parse_results,
+    "inspect": cmd_inspect,
+    "build-genome": cmd_build_genome,
 }
 
 

@@ -112,3 +112,43 @@ def test_batch_runner_and_trio(tmp_path):
     assert trio_concordant(child_ok, m, f)
     assert not trio_concordant(child_bad, m, f)
     assert top_two([["A*01", 0.99]]) == ["A*01", "A*01"]
+
+
+def test_variant_caller(tmp_path):
+    from hgtpu.tools.call_variants import call_variants, write_vcf
+    from tests.synth import make_gene_msa
+
+    spec = make_gene_msa(seed=11, n_alleles=16, length=1200)
+    ref, _ = build_gene_ref("A", spec["names"], spec["rows"],
+                            spec["ref_allele"], min_var_freq=0.0)
+    allele = ref.allele_names[5]
+    r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=4)
+    res = type_reads(ref, [(r.name, r.seq) for r in r1],
+                     [(r.name, r.seq) for r in r2])
+    recs = call_variants(ref, res)
+    # every variant of the called allele appears, homozygous
+    n_vars = len(ref.allele_var_indices(allele))
+    assert len(recs) == n_vars
+    assert all(gt == "1/1" for *_x, gt in recs)
+    path = str(tmp_path / "out.vcf")
+    write_vcf(path, ref, recs)
+    text = open(path).read()
+    assert text.startswith("##fileformat=VCFv4.2")
+    assert text.count("\nA*BACKBONE\t") == n_vars
+
+
+def test_legacy_pipeline():
+    from hgtpu.db import Catalog
+    from hgtpu.tools.legacy import perform_genotyping
+    from tests.synth import make_gene_msa
+
+    spec = make_gene_msa(seed=11, n_alleles=12, length=1100)
+    ref, _ = build_gene_ref("A", spec["names"], spec["rows"],
+                            spec["ref_allele"], min_var_freq=0.0)
+    cat = Catalog(family="hla", genes={"A": ref})
+    allele = ref.allele_names[3]
+    r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=5)
+    out = perform_genotyping({"hla": cat},
+                             [(r.name, r.seq) for r in r1],
+                             [(r.name, r.seq) for r in r2])
+    assert out["hla"]["A"].prob[0][0] == allele
