@@ -103,6 +103,7 @@ class GeneAligner:
             if right > len(self.gene.backbone):
                 out.append(None)
                 continue
+            codes = rc_codes[i] if is_rc else fwd_codes[i]
             out.append(ReadAln(
                 read_id=read_ids[i],
                 mate=mate,
@@ -111,7 +112,8 @@ class GeneAligner:
                 cmp=cmp_list,
                 nm=cost,
                 is_rc=is_rc,
-                seq=decode_seq(rc_codes[i] if is_rc else fwd_codes[i]),
+                seq=decode_seq(codes),
+                codes=codes,
             ))
         return out
 

@@ -23,6 +23,7 @@ class ReadAln:
     is_rc: bool
     seq: str                # read sequence oriented to the backbone
     qual: str = ""
+    codes: object = None    # int8 np array of `seq` (cached encoding)
 
     @property
     def mapped(self) -> bool:

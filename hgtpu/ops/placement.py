@@ -54,19 +54,20 @@ def place_batch(pwm_ext: jax.Array, reads: jax.Array, top_k: int = 4):
     pwm_ext: [P + m, 5] backbone PWM padded with m zero rows.
     reads:   [N, m] int8 codes.
     Returns (scores [N, top_k], positions [N, top_k]).
+
+    Lowered as an im2col matmul — reads one-hot [N, m*5] against backbone
+    windows [P+1, m*5] — which maps straight onto the MXU (the equivalent
+    conv formulation lowers poorly for wide filters).
     """
     n, m = reads.shape
+    P1 = pwm_ext.shape[0] - m + 1
     onehot = jax.nn.one_hot(reads, 5, dtype=jnp.bfloat16)        # [N, m, 5]
-    # windows W[p, j, b] = pwm_ext[p + j, b]; scores = einsum npj
-    # expressed as a conv: input [1, 5, P+m], filters [N, 5, m]
-    inp = pwm_ext.astype(jnp.bfloat16).T[None]                    # [1, 5, P+m]
-    filt = jnp.transpose(onehot, (0, 2, 1))                       # [N, 5, m]
-    out = jax.lax.conv_general_dilated(
-        inp, filt, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-    )                                                             # [1, N, P+1]
-    scores = out[0]                                               # [N, P+1]
+    lhs = onehot.reshape(n, m * 5)
+    # windows[p, j, b] = pwm_ext[p + j, b]
+    idx = jnp.arange(P1)[:, None] + jnp.arange(m)[None, :]
+    windows = pwm_ext.astype(jnp.bfloat16)[idx].reshape(P1, m * 5)
+    scores = jnp.dot(lhs, windows.T,
+                     preferred_element_type=jnp.float32)          # [N, P1]
     top_scores, top_pos = jax.lax.top_k(scores, top_k)
     return top_scores, top_pos
 

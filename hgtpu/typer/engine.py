@@ -202,6 +202,10 @@ class GeneTyper:
             self.alts_left, self.alts_right = {}, {}
         self.alts_left_list, self.alts_right_list = alts_sorted_lists(
             self.alts_left, self.alts_right)
+        # key positions for the fast no-ambiguity precheck
+        self._alt_key_pos = np.sort(np.array(
+            [p for p, _ in self.alts_left_list]
+            + [p for p, _ in self.alts_right_list], dtype=np.int64))
 
     # ------------------------------------------------------------------ #
     def read_hts(self, aln, novel: NovelVars, mpileup=None):
@@ -215,7 +219,7 @@ class GeneTyper:
         if opts.error_correction and mpileup is not None:
             from .mpileup import error_correct
             cmp_list, read_seq, n_corr = error_correct(
-                gene, mpileup, cmp_list, read_seq)
+                gene, mpileup, cmp_list, read_seq, aln.codes)
             if n_corr > max(1, opts.num_editdist):
                 return None
         # misalignment heuristics
@@ -231,9 +235,18 @@ class GeneTyper:
         cmp_list = _register_novels(cmp_list, read_seq, novel)
         cmp_list2 = _merge_unknown(cmp_list)
         vars_tbl = VarTable(gene, novel.meta)
-        cl, cr, left_alts, right_alts = identify_ambiguous_diffs(
-            gene.backbone, vars_tbl, self.alts_left, self.alts_right,
-            self.alts_left_list, self.alts_right_list, cmp_list2)
+        span_l = cmp_list2[0][1]
+        span_r = cmp_list2[-1][1] + cmp_list2[-1][2] - 1
+        # fast path: no alternative-haplotype key position inside the read
+        # span means the trimming scan cannot fire (exact equivalence)
+        i = np.searchsorted(self._alt_key_pos, span_l)
+        if i >= len(self._alt_key_pos) or self._alt_key_pos[i] > span_r:
+            cl, cr = 0, len(cmp_list2) - 1
+            left_alts, right_alts = [str(span_l)], [str(span_r)]
+        else:
+            cl, cr, left_alts, right_alts = identify_ambiguous_diffs(
+                gene.backbone, vars_tbl, self.alts_left, self.alts_right,
+                self.alts_left_list, self.alts_right_list, cmp_list2)
         mid = []
         for cmp in cmp_list2[cl:cr + 1]:
             if cmp[0] in ("mismatch", "deletion", "insertion"):
@@ -245,11 +258,31 @@ class GeneTyper:
         return hts
 
     def count_ht(self, ht_str, novel: NovelVars):
-        """ht string -> (full mask, exon-projected masks...)"""
+        """ht string -> (left, right, [HtOp])"""
         toks = ht_str.split("-")
         left, right = int(toks[0]), int(toks[-1])
         ops = _ht_to_ops(self.gene, novel, toks[1:-1])
         return (left, right, ops)
+
+    def ht_masks(self, ht_str, novel: NovelVars, cache):
+        """Per-ht compatibility masks at all three levels, memoized —
+        tiled reads share haplotypes, so each distinct ht is computed
+        once (cache: {ht_str: (full, exon, primary) int32 vectors})."""
+        hit = cache.get(ht_str)
+        if hit is not None:
+            return hit
+        ht = self.count_ht(ht_str, novel)
+        A = self.gene.n_alleles
+        full = self.counter.alleles_for_ht(*ht).astype(np.int32)
+        exon = np.zeros(A, np.int32)
+        for e in get_exon_haplotypes(ht, self.gene.exons):
+            exon += self.counter.alleles_for_ht(*e)
+        primary = np.zeros(A, np.int32)
+        for e in get_exon_haplotypes(ht, self.gene.primary_exons):
+            primary += self.counter.alleles_for_ht(*e)
+        out = (full, exon, primary)
+        cache[ht_str] = out
+        return out
 
 
 def choose_pairs(left_hts, right_hts, expected_interdist):
@@ -320,6 +353,7 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     num_reads = 0
     num_pairs = 0
     asm_reads = []
+    ht_cache = {}
 
     read_alns = list(read_alns)
 
@@ -374,12 +408,10 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
         cnt_exon = np.zeros(A, dtype=np.int32)
         cnt_primary = np.zeros(A, dtype=np.int32)
         for ht_str in positive_hts:
-            ht = typer.count_ht(ht_str, novel)
-            for e in get_exon_haplotypes(ht, gene.primary_exons):
-                cnt_primary += counter.alleles_for_ht(*e)
-            for e in get_exon_haplotypes(ht, gene.exons):
-                cnt_exon += counter.alleles_for_ht(*e)
-            cnt_full += counter.alleles_for_ht(*ht)
+            full, exon, primary = typer.ht_masks(ht_str, novel, ht_cache)
+            cnt_full += full
+            cnt_exon += exon
+            cnt_primary += primary
 
         if opts.family == "hla":
             primary_stats.add_read(cnt_primary)

@@ -33,7 +33,7 @@ class Mpileup:
 
         counts = self.counts
         P = counts.shape[0]
-        codes = encode_seq(aln.seq)  # A C G T -> 0..3, N -> 4
+        codes = aln.codes if aln.codes is not None else encode_seq(aln.seq)
         read_pos = 0
         for entry in aln.cmp:
             kind, pos, length = entry[0], entry[1], entry[2]
@@ -71,7 +71,8 @@ class Mpileup:
         return del_count * 6 >= nt_count
 
 
-def error_correct(gene: GeneRef, mpileup: Mpileup, cmp_list, read_seq):
+def error_correct(gene: GeneRef, mpileup: Mpileup, cmp_list, read_seq,
+                  read_codes=None):
     """Correct read bases unsupported by the pileup representative sets.
 
     Port of error_correct (typing_core.py:119-243), applied to the whole
@@ -93,6 +94,8 @@ def error_correct(gene: GeneRef, mpileup: Mpileup, cmp_list, read_seq):
     seq = read_seq
     from ..utils.dna import encode_seq
 
+    if read_codes is None:
+        read_codes = encode_seq(read_seq)
     rep = mpileup.rep
     rep_any = mpileup.rep_any
     for entry in cmp_list:
@@ -103,7 +106,7 @@ def error_correct(gene: GeneRef, mpileup: Mpileup, cmp_list, read_seq):
             # segment costs one numpy expression
             n = min(length, len(seq) - read_pos, len(ref_seq) - left)
             if n > 0:
-                codes = encode_seq(seq[read_pos:read_pos + n])
+                codes = read_codes[read_pos:read_pos + n]
                 in_rep = (codes < 4) & rep[np.arange(left, left + n),
                                            np.clip(codes, 0, 3)]
                 bad = rep_any[left:left + n] & ~in_rep
