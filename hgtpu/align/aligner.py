@@ -11,7 +11,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..db.catalog import GeneRef
-from ..ops.placement import backbone_pwm, encode_reads, place_with_orientation
+from ..ops.placement import (backbone_pwm, encode_reads,
+                             place_with_orientation, resolve_placement)
 from ..utils.dna import decode_seq, encode_seq, revcomp_encoded
 from .types import ReadAln
 from .verify import GeneVerifier
@@ -41,8 +42,11 @@ class GeneAligner:
         expected reverse-complemented (both orientations are always
         scored; the better one wins, ref SAM flag 0x10 equivalent).
         """
-        out = []
+        # phase 1: dispatch every chunk's placement to the device without
+        # blocking (jax async dispatch overlaps device compute + transfer
+        # latency with the host-side verification of earlier chunks)
         B = self.device_batch
+        chunks = []
         for i in range(0, len(seqs), B):
             chunk_ids = list(read_ids[i:i + B])
             chunk = list(seqs[i:i + B])
@@ -50,24 +54,37 @@ class GeneAligner:
             if pad:
                 chunk += ["A" * 32] * pad
                 chunk_ids += ["__pad__"] * pad
-            res = self._align_chunk(chunk_ids, chunk, mate)
+            chunks.append((chunk_ids, chunk, pad,
+                           self._place_chunk(chunk)))
+        # phase 2: verify
+        out = []
+        for chunk_ids, chunk, pad, placed in chunks:
+            res = self._align_chunk(chunk_ids, chunk, mate, placed)
             out.extend(res[: B - pad] if pad else res)
         return out
 
-    def _align_chunk(self, read_ids, seqs, mate: str):
-        n = len(seqs)
-        if n == 0:
-            return []
+    def _place_chunk(self, seqs):
         max_len = max(len(s) for s in seqs)
         max_len = ((max_len + self.pad_len - 1) // self.pad_len) * self.pad_len
+        n = len(seqs)
         fwd = encode_reads(seqs, max_len)
         fwd_codes = [encode_seq(s) for s in seqs]
         rc_codes = [revcomp_encoded(c) for c in fwd_codes]
         rc = np.full((n, max_len), 4, dtype=np.int8)
         for i, c in enumerate(rc_codes):
             rc[i, : len(c)] = c
-        sf, pf, sr, pr, use_rc = place_with_orientation(
-            self.pwm, fwd, rc, top_k=self.top_k)
+        device_out = place_with_orientation(
+            self.pwm, fwd, rc, top_k=self.top_k, block=False)
+        return fwd_codes, rc_codes, device_out
+
+    def _align_chunk(self, read_ids, seqs, mate: str, placed=None):
+        n = len(seqs)
+        if n == 0:
+            return []
+        if placed is None:
+            placed = self._place_chunk(seqs)
+        fwd_codes, rc_codes, device_out = placed
+        sf, pf, sr, pr, use_rc = resolve_placement(device_out, n)
 
         out = []
         for i in range(n):

@@ -73,12 +73,15 @@ def place_batch(pwm_ext: jax.Array, reads: jax.Array, top_k: int = 4):
 
 
 def place_with_orientation(pwm, fwd: np.ndarray, rc: np.ndarray,
-                           top_k: int = 4, _ext_cache={}):
+                           top_k: int = 4, block: bool = True,
+                           _ext_cache={}):
     """Place both orientations.
 
-    Returns (scores_f, pos_f, scores_r, pos_r) each [N, top_k], plus
-    use_rc [N] marking which orientation scored best.  The zero-padded
-    device copy of the PWM is cached per (id(pwm), m).
+    With block=True returns (scores_f, pos_f, scores_r, pos_r) each
+    [N, top_k] plus use_rc [N].  With block=False returns the device
+    (scores, positions) handles without synchronizing — resolve later
+    with `resolve_placement` so host work overlaps the device queue.
+    The zero-padded device copy of the PWM is cached per (id(pwm), m).
     """
     m = fwd.shape[1]
     key = (id(pwm), m)
@@ -90,9 +93,15 @@ def place_with_orientation(pwm, fwd: np.ndarray, rc: np.ndarray,
             _ext_cache.clear()
         _ext_cache[key] = pwm_ext
     both = np.concatenate([fwd, rc], axis=0)
-    s, p = place_batch(pwm_ext, jnp.asarray(both), top_k=top_k)
+    handles = place_batch(pwm_ext, jnp.asarray(both), top_k=top_k)
+    if not block:
+        return handles
+    return resolve_placement(handles, fwd.shape[0])
+
+
+def resolve_placement(handles, n):
+    s, p = handles
     s = np.asarray(s)
     p = np.asarray(p)
-    n = fwd.shape[0]
     use_rc = s[n:, 0] > s[:n, 0]
     return s[:n], p[:n], s[n:], p[n:], use_rc

@@ -98,6 +98,18 @@ def error_correct(gene: GeneRef, mpileup: Mpileup, cmp_list, read_seq,
         read_codes = encode_seq(read_seq)
     rep = mpileup.rep
     rep_any = mpileup.rep_any
+
+    # identity fast path: for indel-free alignments every read base maps
+    # 1:1 onto [start, start+n); one vectorized support test over the span
+    # proves correction is a no-op for the vast majority of reads
+    if all(e[0] in ("match", "mismatch") for e in cmp_list):
+        start = cmp_list[0][1]
+        n = min(len(read_codes), len(ref_seq) - start)
+        codes = read_codes[:n]
+        ok = (codes < 4) & rep[np.arange(start, start + n),
+                               np.clip(codes, 0, 3)]
+        if not (rep_any[start:start + n] & ~ok).any():
+            return cmp_list, read_seq, 0
     for entry in cmp_list:
         kind, left, length = entry[0], entry[1], entry[2]
         if kind == "match":
