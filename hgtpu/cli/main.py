@@ -25,9 +25,12 @@ from ..utils.io import read_fastx
 from . import args as A
 
 
-def build_parser():
+def build_parser(advanced=False):
+    """Two-tier parser: common flags always, advanced flags surfaced by
+    --advanced-help (ref: the dual-parser trick, hisatgenotype:732-765)."""
     p = argparse.ArgumentParser(
-        prog="hgtpu", description="TPU-native HLA/CYP/CODIS genotyping")
+        prog="hgtpu", description="TPU-native HLA/CYP/CODIS genotyping",
+        epilog="use --advanced-help for simulation/assembly tuning flags")
     A.args_common(p)
     A.args_databases(p)
     A.args_input(p)
@@ -35,7 +38,20 @@ def build_parser():
     A.args_assembly(p)
     A.args_simulation(p)
     A.args_output(p)
+    p.add_argument("--advanced-help", action="store_true",
+                   help=argparse.SUPPRESS)
     return p
+
+
+def _resolve_ix_dir(ix_dir):
+    """Follow a hg_ix.link indirection file if present
+    (ref: hisatgenotype_args.py:78-87)."""
+    link = os.path.join(ix_dir, "hg_ix.link")
+    if os.path.exists(link):
+        target = open(link).read().strip()
+        if target:
+            return target
+    return ix_dir
 
 
 def _apply_platform_env():
@@ -49,10 +65,15 @@ def _apply_platform_env():
 
 def main(argv=None):
     _apply_platform_env()
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.advanced_help:
+        parser.print_help()
+        return 0
     debug = A.parse_debug(args.debug)
     os.makedirs(args.out_dir, exist_ok=True)
 
+    args.ix_dir = _resolve_ix_dir(args.ix_dir)
     prefix = os.path.join(args.ix_dir, args.base_fname)
     catalog = import_text(args.base_fname, prefix)
     locus_list = [g for g in args.locus_list.split(",") if g] \

@@ -32,6 +32,7 @@ class TypingOptions:
     best_alleles: bool = False
     use_alts: bool = True
     error_correction: bool = True
+    device_counting: str = "auto"  # "auto" | "on" | "off"
     assembly: bool = False
     report_base: str = ""     # when set, assembly also renders <base>.<gene>.pdf
     # genes whose mate pairs are disambiguated by fragment inter-distance
@@ -202,6 +203,7 @@ class GeneTyper:
             self.alts_left, self.alts_right = {}, {}
         self.alts_left_list, self.alts_right_list = alts_sorted_lists(
             self.alts_left, self.alts_right)
+        self._device_counter = None
         # key positions for the fast no-ambiguity precheck
         self._alt_key_pos = np.sort(np.array(
             [p for p, _ in self.alts_left_list]
@@ -284,6 +286,59 @@ class GeneTyper:
         cache[ht_str] = out
         return out
 
+    def ht_masks_batch(self, ht_strs, novel: NovelVars, cache):
+        """Fill `cache` for every ht in `ht_strs` with one device batch.
+
+        Each unique ht expands into its full-span plus exon/primary
+        projections; all sub-haplotypes go through the device counter in
+        a single dispatch (hgtpu.typer.device_count), then the per-level
+        masks are reassembled per ht.
+        """
+        from .device_count import DeviceCounter, MAX_HT_VARS
+
+        if self._device_counter is None:
+            self._device_counter = DeviceCounter(self.gene)
+        dc = self._device_counter
+        todo = [h for h in ht_strs if h not in cache]
+        if not todo:
+            return
+        sub_hts = []      # packed (left, right, var idx list)
+        groups = []       # per ht: (n_full=1, n_exon, n_primary)
+        usable = []
+        for ht_str in todo:
+            left, right, ops = self.count_ht(ht_str, novel)
+            if len([o for o in ops if o.var_idx >= 0]) > MAX_HT_VARS:
+                usable.append(False)
+                continue
+            usable.append(True)
+            exon_p = get_exon_haplotypes((left, right, ops), self.gene.exons)
+            prim_p = get_exon_haplotypes((left, right, ops),
+                                         self.gene.primary_exons)
+            groups.append((len(exon_p), len(prim_p)))
+            for l, r, o in [(left, right, ops)] + exon_p + prim_p:
+                sub_hts.append((l, r, [op.var_idx for op in o]))
+        if sub_hts:
+            lefts, rights, vars_ = dc.pack_hts(sub_hts)
+            masks = dc.compat_masks(lefts, rights, vars_).astype(np.int32)
+        at = 0
+        gi = 0
+        A = self.gene.n_alleles
+        for ht_str, ok in zip(todo, usable):
+            if not ok:
+                self.ht_masks(ht_str, novel, cache)  # host fallback
+                continue
+            n_exon, n_prim = groups[gi]
+            gi += 1
+            full = masks[at]
+            at += 1
+            exon = masks[at:at + n_exon].sum(axis=0) if n_exon \
+                else np.zeros(A, np.int32)
+            at += n_exon
+            primary = masks[at:at + n_prim].sum(axis=0) if n_prim \
+                else np.zeros(A, np.int32)
+            at += n_prim
+            cache[ht_str] = (full, exon, primary)
+
 
 def choose_pairs(left_hts, right_hts, expected_interdist):
     """Keep the (left, right) haplotype pairs whose inner distance is
@@ -354,6 +409,7 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     num_pairs = 0
     asm_reads = []
     ht_cache = {}
+    counted_reads = []
 
     read_alns = list(read_alns)
 
@@ -403,7 +459,22 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
         num_pairs += 1
         if opts.assembly:
             asm_reads.append((read_id, per_mate_hts))
+        counted_reads.append(positive_hts)
 
+    # batch the per-ht compatibility masks through the device counter
+    unique_hts = set()
+    for hts in counted_reads:
+        unique_hts |= hts
+    # Measured on the tunneled v5e chip, per-dispatch latency makes the
+    # host numpy path faster for single-chip typing even at 1200-allele
+    # panels, so "auto" resolves to host; "on" forces the device path
+    # (it is the building block the multi-chip sharded step uses, where
+    # the counting must live on device next to the psum reduction).
+    use_device = opts.device_counting == "on"
+    if use_device:
+        typer.ht_masks_batch(sorted(unique_hts), novel, ht_cache)
+
+    for positive_hts in counted_reads:
         cnt_full = np.zeros(A, dtype=np.int32)
         cnt_exon = np.zeros(A, dtype=np.int32)
         cnt_primary = np.zeros(A, dtype=np.int32)
