@@ -322,6 +322,76 @@ def import_text(family: str, prefix: str) -> Catalog:
     return Catalog(family=family, genes=genes)
 
 
+def save_npz(cat: Catalog, path: str) -> None:
+    """Single packed binary artifact (SURVEY.md §7 layer 1): all genes'
+    arrays in one npz, loadable straight into device memory."""
+    import io as _io
+    import json
+
+    blobs = {}
+    meta = {"family": cat.family, "version": cat.version, "genes": {}}
+    for g, ref in cat.genes.items():
+        meta["genes"][g] = {
+            "backbone_name": ref.backbone_name,
+            "backbone": ref.backbone,
+            "allele_names": ref.allele_names,
+            "var_ids": ref.var_ids,
+            "var_data": ref.var_data,
+            "exons": [list(e) for e in ref.exons],
+            "primary_exons": [list(e) for e in ref.primary_exons],
+            "haplotypes": [[l, r, list(v)] for l, r, v in ref.haplotypes],
+            "partial": sorted(ref.partial),
+            "chrom": ref.chrom,
+            "chrom_left": ref.chrom_left,
+            "chrom_right": ref.chrom_right,
+            "strand": ref.strand,
+            "min_var_freq": ref.min_var_freq,
+        }
+        blobs["%s/var_type" % g] = ref.var_type
+        blobs["%s/var_pos" % g] = ref.var_pos
+        blobs["%s/var_len" % g] = ref.var_len
+        blobs["%s/var_freq" % g] = ref.var_freq
+        blobs["%s/links" % g] = np.packbits(ref.links, axis=1)
+    blobs["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **blobs)
+
+
+def load_npz(path: str) -> Catalog:
+    import json
+
+    z = np.load(path)
+    meta = json.loads(bytes(z["__meta__"]).decode())
+    genes = {}
+    for g, m in meta["genes"].items():
+        A = len(m["allele_names"])
+        links = np.unpackbits(z["%s/links" % g], axis=1)[:, :A].astype(bool)
+        genes[g] = GeneRef(
+            gene=g,
+            backbone_name=m["backbone_name"],
+            backbone=m["backbone"],
+            allele_names=m["allele_names"],
+            var_ids=m["var_ids"],
+            var_type=z["%s/var_type" % g],
+            var_pos=z["%s/var_pos" % g],
+            var_len=z["%s/var_len" % g],
+            var_data=m["var_data"],
+            var_freq=z["%s/var_freq" % g],
+            links=links,
+            exons=[tuple(e) for e in m["exons"]],
+            primary_exons=[tuple(e) for e in m["primary_exons"]],
+            haplotypes=[(l, r, list(v)) for l, r, v in m["haplotypes"]],
+            partial=set(m["partial"]),
+            chrom=m["chrom"],
+            chrom_left=m["chrom_left"],
+            chrom_right=m["chrom_right"],
+            strand=m["strand"],
+            min_var_freq=m["min_var_freq"],
+        )
+    return Catalog(family=meta["family"], genes=genes,
+                   version=meta["version"])
+
+
 def _read_fasta(path: str) -> dict:
     seqs = {}
     name = None

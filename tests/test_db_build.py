@@ -109,3 +109,21 @@ def test_insertion_variants_exist_with_min_freq():
     for name in ref.allele_names:
         i = spec["names"].index(name)
         assert ref.allele_seq(name) == spec["rows"][i].replace(".", "")
+
+
+def test_npz_roundtrip(tmp_path, generef):
+    from hgtpu.db.catalog import save_npz, load_npz
+
+    cat = Catalog(family="hla", genes={"A": generef})
+    path = str(tmp_path / "hla.npz")
+    save_npz(cat, path)
+    cat2 = load_npz(path)
+    g2 = cat2.gene("A")
+    assert g2.backbone == generef.backbone
+    assert g2.allele_names == generef.allele_names
+    assert np.array_equal(g2.links, generef.links)
+    assert g2.var_data == generef.var_data
+    assert [tuple(h[:2]) for h in g2.haplotypes] \
+        == [tuple(h[:2]) for h in generef.haplotypes]
+    for name in g2.allele_names[:5]:
+        assert g2.allele_seq(name) == generef.allele_seq(name)
