@@ -127,11 +127,18 @@ class GeneRef:
         return "".join(out)
 
     def allele_lengths(self) -> dict:
-        d = {}
-        for name in self.allele_names:
-            d[name] = len(self.allele_seq(name))
-        d[self.backbone_name] = len(self.backbone)
-        return d
+        """Allele sequence lengths, vectorized from the link matrix:
+        len(backbone) + sum(insertion lens) - sum(deletion lens)."""
+        if getattr(self, "_lengths", None) is None:
+            delta = np.where(
+                self.var_type == VT_INSERTION, self.var_len,
+                np.where(self.var_type == VT_DELETION, -self.var_len, 0),
+            ).astype(np.int64)
+            lens = len(self.backbone) + delta @ self.links
+            self._lengths = {name: int(lens[i])
+                             for i, name in enumerate(self.allele_names)}
+            self._lengths[self.backbone_name] = len(self.backbone)
+        return self._lengths
 
     # ------------------------------------------------------------------ #
     def exonic_var_mask(self, exons) -> np.ndarray:

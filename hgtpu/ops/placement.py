@@ -47,13 +47,8 @@ def encode_reads(seqs, read_len: int) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("top_k",))
-def place_batch(pwm_ext: jax.Array, reads: jax.Array, top_k: int = 4):
-    """Score every start diagonal for every read.
-
-    pwm_ext: [P + m, 5] backbone PWM padded with m zero rows.
-    reads:   [N, m] int8 codes.
-    Returns (scores [N, top_k], positions [N, top_k]).
+def correlate_scores(pwm_ext, reads):
+    """All-diagonal placement scores [N, P+1].
 
     Lowered as an im2col matmul — reads one-hot [N, m*5] against backbone
     windows [P+1, m*5] — which maps straight onto the MXU (the equivalent
@@ -66,9 +61,20 @@ def place_batch(pwm_ext: jax.Array, reads: jax.Array, top_k: int = 4):
     # windows[p, j, b] = pwm_ext[p + j, b]
     idx = jnp.arange(P1)[:, None] + jnp.arange(m)[None, :]
     windows = pwm_ext.astype(jnp.bfloat16)[idx].reshape(P1, m * 5)
-    scores = jnp.dot(lhs, windows.T,
-                     preferred_element_type=jnp.float32)          # [N, P1]
-    top_scores, top_pos = jax.lax.top_k(scores, top_k)
+    return jnp.dot(lhs, windows.T,
+                   preferred_element_type=jnp.float32)            # [N, P1]
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def place_batch(pwm_ext: jax.Array, reads: jax.Array, top_k: int = 4):
+    """Score every start diagonal for every read.
+
+    pwm_ext: [P + m, 5] backbone PWM padded with m zero rows.
+    reads:   [N, m] int8 codes.
+    Returns (scores [N, top_k], positions [N, top_k]).
+    """
+    top_scores, top_pos = jax.lax.top_k(correlate_scores(pwm_ext, reads),
+                                        top_k)
     return top_scores, top_pos
 
 

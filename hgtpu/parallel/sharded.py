@@ -32,17 +32,7 @@ def make_mesh(n_devices=None, axis="dp"):
     return Mesh(np.array(devs), (axis,))
 
 
-def _place_scores(pwm_ext, reads):
-    """Core placement correlation (same math as ops.placement.place_batch)."""
-    onehot = jax.nn.one_hot(reads, 5, dtype=jnp.bfloat16)
-    inp = pwm_ext.astype(jnp.bfloat16).T[None]
-    filt = jnp.transpose(onehot, (0, 2, 1))
-    out = jax.lax.conv_general_dilated(
-        inp, filt, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-    )
-    return out[0]
+from ..ops.placement import correlate_scores as _place_scores
 
 
 def _em_iterations(M, counts, iters=100):

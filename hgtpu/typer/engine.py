@@ -397,7 +397,6 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     """
     opts = opts or TypingOptions()
     typer = typer or GeneTyper(gene, opts)
-    counter = typer.counter
     A = gene.n_alleles
     novel = NovelVars()
 
@@ -492,7 +491,7 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     # ------------------------------------------------------------------ #
     # Hierarchical abundance (ref: typing_core.py:1679-1789)
     # ------------------------------------------------------------------ #
-    lengths = {name: len(gene.allele_seq(name)) for name in gene.allele_names}
+    lengths = gene.allele_lengths()
     full_cmpt = full_stats.cmpt_names()
     exon_cmpt = exon_stats.cmpt_names()
     primary_cmpt = primary_stats.cmpt_names()
