@@ -28,6 +28,8 @@ def args_input(parser):
     parser.add_argument("-2", dest="read_fname_2", type=str, default="")
     parser.add_argument("-U", dest="read_fname_U", type=str, default="")
     parser.add_argument("-f", "--fasta", dest="fasta", action="store_true")
+    parser.add_argument("--alignment-file", dest="alignment_fname", type=str,
+                        default="", help="type from an existing SAM file")
 
 
 def args_aligner(parser):

@@ -79,6 +79,9 @@ def main(argv=None):
     locus_list = [g for g in args.locus_list.split(",") if g] \
         or list(catalog.genes)
 
+    if args.alignment_fname:
+        return run_alignment_file(args, catalog, locus_list)
+
     single_end = bool(args.read_fname_U) or "single-end" in debug
     opts = TypingOptions(
         family=args.base_fname,
@@ -149,6 +152,31 @@ def run_simulation(args, debug, catalog, locus_list, opts):
     return 0 if total_passed == total else 1
 
 
+def run_alignment_file(args, catalog, locus_list):
+    """Type from an existing SAM alignment (the reference's --alignment
+    path through typing(), alignment_fname != "")."""
+    from ..pipeline.genotype import type_from_sam
+
+    opts = TypingOptions(family=args.base_fname,
+                         num_editdist=args.num_editdist,
+                         allow_discordant=args.discordant,
+                         error_correction=args.error_correction)
+    core_id = os.path.basename(args.alignment_fname).split(".")[0]
+    report_base = os.path.join(
+        args.out_dir, "%s-%s.%s" % (args.output_base, args.base_fname,
+                                    core_id))
+    w = ReportWriter(report_base + ".report", echo=args.verbose)
+    w.header(dbversion=catalog.version, command=" ".join(sys.argv))
+    w.begin_aligner()
+    for gene in locus_list:
+        res = type_from_sam(catalog.gene(gene), args.alignment_fname, opts)
+        w.gene_result(res, simulation=False,
+                      output_allele_counts=args.output_allele_counts)
+    w.close()
+    print("Report written to %s.report" % report_base, file=sys.stderr)
+    return 0
+
+
 def run_reads(args, catalog, locus_list, opts):
     from ..pipeline.genotype import type_family
 
@@ -166,7 +194,9 @@ def run_reads(args, catalog, locus_list, opts):
                                     core_id))
     opts.report_base = report_base
     results = type_family(catalog, reads_1, reads_2,
-                          locus_list=locus_list, opts=opts)
+                          locus_list=locus_list, opts=opts,
+                          sam_out=report_base if args.keep_alignment
+                          else None)
     w = ReportWriter(report_base + ".report", echo=args.verbose)
     w.header(dbversion=catalog.version, command=" ".join(sys.argv))
     w.begin_aligner()

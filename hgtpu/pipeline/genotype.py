@@ -39,8 +39,18 @@ def type_reads(gene: GeneRef, reads_1, reads_2=None, opts=None,
                      opts)
 
 
+def type_from_sam(gene: GeneRef, sam_path, opts=None):
+    """Type a gene from an existing SAM alignment file (the reference's
+    --alignment path, typing() with alignment_fname)."""
+    from ..align.sam import read_sam
+
+    opts = opts or TypingOptions()
+    groups = read_sam(gene, sam_path, opts.num_editdist)
+    return type_gene(gene, groups, opts)
+
+
 def type_family(catalog, reads_1, reads_2=None, locus_list=None, opts=None,
-                family_aligner=None):
+                family_aligner=None, sam_out=None):
     """Type every gene of a family from one read set.
 
     Reads are assigned cross-gene by the NH==1 uniqueness rule
@@ -71,9 +81,11 @@ def type_family(catalog, reads_1, reads_2=None, locus_list=None, opts=None,
                 if a is None:
                     continue
                 by_read[a.read_id.split("|")[0]].append(a)
-        results[g] = type_gene(catalog.genes[g],
-                               sorted(by_read.items(), key=lambda kv: kv[0]),
-                               opts)
+        groups = sorted(by_read.items(), key=lambda kv: kv[0])
+        if sam_out:
+            from ..align.sam import write_sam
+            write_sam("%s.%s.sam" % (sam_out, g), catalog.genes[g], groups)
+        results[g] = type_gene(catalog.genes[g], groups, opts)
     return results
 
 

@@ -120,3 +120,47 @@ def test_pdf_renderer(tmp_path):
     data = open(path, "rb").read()
     assert data.startswith(b"%PDF-1.7")
     assert data.rstrip().endswith(b"%%EOF")
+
+
+def test_sam_ingestion_roundtrip(generef, tmp_path):
+    """write_sam -> read_sam must reproduce cmp lists, and typing from
+    the SAM file must call the same allele as direct typing (the
+    reference's --alignment path)."""
+    from collections import defaultdict
+
+    from hgtpu.align import GeneAligner
+    from hgtpu.align.sam import read_sam, write_sam
+    from hgtpu.pipeline.genotype import type_from_sam
+    from hgtpu.sim import simulate_reads
+
+    spec, ref = generef
+    allele = ref.allele_names[7]
+    r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=4)
+    al = GeneAligner(ref)
+    alns1 = al.align_batch([r.name for r in r1], [r.seq for r in r1], "L")
+    alns2 = al.align_batch([r.name for r in r2], [r.seq for r in r2], "R")
+    by = defaultdict(list)
+    for a in alns1 + alns2:
+        if a:
+            by[a.read_id.split("|")[0]].append(a)
+    groups = sorted(by.items())
+    path = str(tmp_path / "x.sam")
+    write_sam(path, ref, groups)
+    groups2 = read_sam(ref, path)
+    assert len(groups2) == len(groups)
+    # cmp round trip (known variants preserved through Zs)
+    orig = {a.read_id.split("|")[0] + a.mate: a
+            for _, alns in groups for a in alns}
+    for _, alns in groups2:
+        for a in alns:
+            o = orig[a.read_id + a.mate]
+            assert a.pos == o.pos and a.nm == o.nm
+            assert [(c[0], c[1], c[2], c[3]) for c in a.cmp] \
+                == [(c[0], c[1], c[2],
+                     None if (c[3] is None or c[3] < 0) else c[3])
+                    for c in o.cmp] \
+                or [(c[0], c[1], c[2]) for c in a.cmp] \
+                == [(c[0], c[1], c[2]) for c in o.cmp]
+    res = type_from_sam(ref, path)
+    assert res.prob[0][0] == allele
+    assert res.prob[0][1] >= 0.9999
