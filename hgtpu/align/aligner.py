@@ -75,7 +75,7 @@ class GeneAligner:
             rc[i, : len(c)] = c
         device_out = place_with_orientation(
             self.pwm, fwd, rc, top_k=self.top_k, block=False)
-        return fwd_codes, rc_codes, device_out
+        return fwd_codes, rc_codes, device_out, max_len
 
     def _align_chunk(self, read_ids, seqs, mate: str, placed=None):
         n = len(seqs)
@@ -83,8 +83,8 @@ class GeneAligner:
             return []
         if placed is None:
             placed = self._place_chunk(seqs)
-        fwd_codes, rc_codes, device_out = placed
-        sf, pf, sr, pr, use_rc = resolve_placement(device_out, n)
+        fwd_codes, rc_codes, device_out, max_len = placed
+        sf, pf, sr, pr, use_rc = resolve_placement(device_out, n, max_len)
 
         out = []
         for i in range(n):
@@ -115,12 +115,15 @@ class GeneAligner:
             if aln is None:
                 out.append(None)
                 continue
-            cost, ops, start = aln
-            cmp_list, right = self.verifier.ops_to_cmp_list(ops, start, m)
+            cost, ops, start, clip_front, sub_len = aln
+            cmp_list, right = self.verifier.ops_to_cmp_list(ops, start,
+                                                            sub_len)
             if right > len(self.gene.backbone):
                 out.append(None)
                 continue
             codes = rc_codes[i] if is_rc else fwd_codes[i]
+            if clip_front or sub_len < len(codes):
+                codes = codes[clip_front:clip_front + sub_len]
             out.append(ReadAln(
                 read_id=read_ids[i],
                 mate=mate,
@@ -149,26 +152,49 @@ class GeneAligner:
             if vi is None:
                 return None  # PWM/score mismatch edge; fall back to DFS
             ops.append(("mismatch", start + j, 1, vi, "ACGT"[base]))
-        return 0, ops, start
+        return 0, ops, start, 0, m
 
-    def _verify_candidates(self, codes, cand_pos, cand_scores, m):
+    def _verify_candidates(self, codes, cand_pos, cand_scores, m,
+                           max_clip_frac=0.35):
+        """Returns (cost, ops, start, clip_front, clip_len) or None.
+
+        Candidates that overhang a backbone end are soft-clipped to the
+        overlapping part, as the reference trims hisat2 soft clips
+        (typing_core.py:1097-1107).
+        """
         best = None
         min_score = m * self.min_seed_frac
+        P = len(self.gene.backbone)
+        max_clip = int(m * max_clip_frac)
         tried = set()
         for k in range(len(cand_pos)):
             if cand_scores[k] < min_score:
                 break
             for start in self._start_proposals(int(cand_pos[k]), m):
-                if start in tried:
+                clip_front = 0
+                sub = codes
+                s = start
+                if s < 0:
+                    clip_front = -s
+                    if clip_front > max_clip:
+                        continue
+                    sub = sub[clip_front:]
+                    s = 0
+                overhang = s + len(sub) - P
+                if overhang > 0:
+                    if overhang > max_clip:
+                        continue
+                    sub = sub[:-overhang]
+                if len(sub) < m - max_clip or (s, clip_front, len(sub)) in tried:
                     continue
-                tried.add(start)
-                res = self.verifier.verify(codes, start)
+                tried.add((s, clip_front, len(sub)))
+                res = self.verifier.verify(sub, s)
                 if res is None:
                     continue
                 cost, ops = res
                 if best is None or cost < best[0]:
-                    best = (cost, ops, start)
-                    if cost == 0:
+                    best = (cost, ops, s, clip_front, len(sub))
+                    if cost == 0 and len(sub) == m:
                         return best
         return best
 

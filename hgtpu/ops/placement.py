@@ -93,8 +93,12 @@ def place_with_orientation(pwm, fwd: np.ndarray, rc: np.ndarray,
     key = (id(pwm), m)
     pwm_ext = _ext_cache.get(key)
     if pwm_ext is None:
+        # zero padding on BOTH sides: window index p corresponds to read
+        # start p - m, so overhanging (soft-clippable) placements at both
+        # backbone ends score their overlapping parts
         pwm_ext = jnp.asarray(
-            np.concatenate([pwm, np.zeros((m, 5), np.float32)], axis=0))
+            np.concatenate([np.zeros((m, 5), np.float32), pwm,
+                            np.zeros((m, 5), np.float32)], axis=0))
         if len(_ext_cache) > 64:
             _ext_cache.clear()
         _ext_cache[key] = pwm_ext
@@ -102,12 +106,12 @@ def place_with_orientation(pwm, fwd: np.ndarray, rc: np.ndarray,
     handles = place_batch(pwm_ext, jnp.asarray(both), top_k=top_k)
     if not block:
         return handles
-    return resolve_placement(handles, fwd.shape[0])
+    return resolve_placement(handles, fwd.shape[0], m)
 
 
-def resolve_placement(handles, n):
+def resolve_placement(handles, n, m):
     s, p = handles
     s = np.asarray(s)
-    p = np.asarray(p)
+    p = np.asarray(p) - m   # window index -> read start (may be negative)
     use_rc = s[n:, 0] > s[:n, 0]
     return s[:n], p[:n], s[n:], p[n:], use_rc

@@ -81,3 +81,20 @@ def test_garbage_read_unmapped(aligner):
     junk = "".join(rng.choice("ACGT") for _ in range(100))
     alns = aligner.align_batch(["junk"], [junk], "L")
     assert alns[0] is None
+
+
+def test_softclip_boundary_reads(generef, aligner):
+    # reads overhanging backbone ends map with their overlap soft-clipped
+    # (the reference trims hisat2 soft clips, typing_core.py:1097-1107)
+    bb = generef.backbone
+    import random
+    rng = random.Random(2)
+    tail = "".join(rng.choice("ACGT") for _ in range(25))
+    lead_read = tail + bb[:75]            # 25bp overhang at the left end
+    tail_read = bb[-75:] + tail           # 25bp overhang at the right end
+    alns = aligner.align_batch(["lead", "tail"], [lead_read, tail_read], "L")
+    a0, a1 = alns
+    assert a0 is not None and a0.pos == 0 and a0.nm == 0
+    assert len(a0.seq) == 75              # clipped to the overlap
+    assert a1 is not None and a1.right == len(bb) and a1.nm == 0
+    assert len(a1.seq) == 75
