@@ -30,6 +30,7 @@ class GeneAligner:
         self.min_seed_frac = min_seed_frac
         self.device_batch = device_batch
         self.pad_len = pad_len
+        self._ext_cache = {}  # padded device PWM per read length
 
     def align_batch(self, read_ids, seqs, mate: str):
         """Align reads; returns list[ReadAln | None].
@@ -74,7 +75,8 @@ class GeneAligner:
         for i, c in enumerate(rc_codes):
             rc[i, : len(c)] = c
         device_out = place_with_orientation(
-            self.pwm, fwd, rc, top_k=self.top_k, block=False)
+            self.pwm, fwd, rc, top_k=self.top_k, block=False,
+            ext_cache=self._ext_cache)
         return fwd_codes, rc_codes, device_out, max_len
 
     def _align_chunk(self, read_ids, seqs, mate: str, placed=None):

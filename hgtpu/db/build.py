@@ -379,6 +379,15 @@ def build_gene_ref(
     use = [i for i in range(len(rows)) if len(rows[i]) == seq_len]
     names = [names[i] for i in use]
     rows = [rows[i] for i in use]
+    # reference-style allele ordering (ref: sort_genall over names before
+    # writing sequences, typing_process.py:1229-1244)
+    from ..utils.names import key_sort_allele
+    try:
+        order = sorted(range(len(names)), key=lambda i: key_sort_allele(names[i]))
+        names = [names[i] for i in order]
+        rows = [rows[i] for i in order]
+    except (ValueError, IndexError):
+        pass  # non-standard names keep their input order
     # any leftover empty markers behave as unsequenced regions
     rows = [r.replace("E", "~") for r in rows]
     mat = encode_msa(rows)

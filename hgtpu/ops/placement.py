@@ -80,17 +80,20 @@ def place_batch(pwm_ext: jax.Array, reads: jax.Array, top_k: int = 4):
 
 def place_with_orientation(pwm, fwd: np.ndarray, rc: np.ndarray,
                            top_k: int = 4, block: bool = True,
-                           _ext_cache={}):
+                           ext_cache=None):
     """Place both orientations.
 
     With block=True returns (scores_f, pos_f, scores_r, pos_r) each
     [N, top_k] plus use_rc [N].  With block=False returns the device
     (scores, positions) handles without synchronizing — resolve later
     with `resolve_placement` so host work overlaps the device queue.
-    The zero-padded device copy of the PWM is cached per (id(pwm), m).
+    `ext_cache` (owned by the caller, keyed by read length) holds the
+    zero-padded device PWM — the cache must be per-PWM, never global
+    (id()-keyed globals go stale when array ids are recycled).
     """
     m = fwd.shape[1]
-    key = (id(pwm), m)
+    _ext_cache = ext_cache if ext_cache is not None else {}
+    key = m
     pwm_ext = _ext_cache.get(key)
     if pwm_ext is None:
         # zero padding on BOTH sides: window index p corresponds to read
