@@ -21,7 +21,8 @@ from .verify import GeneVerifier
 class GeneAligner:
     def __init__(self, gene: GeneRef, num_editdist: int = 2,
                  top_k: int = 8, min_seed_frac: float = 0.3,
-                 device_batch: int = 512, pad_len: int = 128):
+                 device_batch: int = 512, pad_len: int = 128,
+                 use_native: str = "auto"):
         self.gene = gene
         self.pwm = backbone_pwm(gene)
         self.verifier = GeneVerifier(gene, max_novel=num_editdist)
@@ -31,6 +32,14 @@ class GeneAligner:
         self.device_batch = device_batch
         self.pad_len = pad_len
         self._ext_cache = {}  # padded device PWM per read length
+        self.native = None
+        if use_native in ("auto", "on"):
+            from .native_verify import NativeVerifier, native_available
+            if native_available():
+                self.native = NativeVerifier(gene, max_novel=num_editdist)
+            elif use_native == "on":
+                raise RuntimeError("native verifier requested but "
+                                   "native/libhgtpu_native.so is missing")
 
     def align_batch(self, read_ids, seqs, mate: str):
         """Align reads; returns list[ReadAln | None].
@@ -88,36 +97,77 @@ class GeneAligner:
         fwd_codes, rc_codes, device_out, max_len = placed
         sf, pf, sr, pr, use_rc = resolve_placement(device_out, n, max_len)
 
-        out = []
+        # pass 1: fast path; collect DFS work for the batch verifier
+        results = [None] * n   # (cost, ops, start, clip_front, sub_len, is_rc)
+        pending_orders = []    # (read i, orientation order, read len)
         for i in range(n):
             if read_ids[i] == "__pad__":
-                out.append(None)
                 continue
             m = len(fwd_codes[i])
             # exact-diagonal fast path: a full placement score means every
             # base matches the backbone or a known SNP -> the plain
             # spelling the DFS would prefer, resolved vectorized
-            aln = None
             is_rc = bool(use_rc[i])
             cand_s, cand_p = (sr[i], pr[i]) if is_rc else (sf[i], pf[i])
             if cand_s[0] >= m:
                 codes = rc_codes[i] if is_rc else fwd_codes[i]
-                aln = self._fast_exact(codes, int(cand_p[0]), m)
-            if aln is None:
-                # try the better orientation first, fall back to the other
-                order = [(True, rc_codes[i], pr[i], sr[i]),
-                         (False, fwd_codes[i], pf[i], sf[i])]
-                if not use_rc[i]:
-                    order.reverse()
+                fast = self._fast_exact(codes, int(cand_p[0]), m)
+                if fast is not None:
+                    results[i] = (*fast, is_rc)
+                    continue
+            order = [(True, rc_codes[i], pr[i], sr[i]),
+                     (False, fwd_codes[i], pf[i], sf[i])]
+            if not use_rc[i]:
+                order.reverse()
+            if self.native is not None:
+                pending_orders.append((i, order, m))
+            else:
                 for o_rc, codes, cand_p, cand_s in order:
                     aln = self._verify_candidates(codes, cand_p, cand_s, m)
                     if aln is not None:
-                        is_rc = o_rc
+                        results[i] = (*aln, o_rc)
                         break
-            if aln is None:
+
+        # pass 2: native batch verification (threads in C++), primary
+        # orientation first; unresolved reads retry the other orientation
+        if self.native is not None and pending_orders:
+            unresolved = pending_orders
+            for rank in (0, 1):
+                if not unresolved:
+                    break
+                flat_reads, flat_starts, flat_meta = [], [], []
+                for i, order, m in unresolved:
+                    o_rc, codes, cand_p, cand_s = order[rank]
+                    for sub, s, cf in self._proposal_entries(
+                            codes, cand_p, cand_s, m):
+                        flat_reads.append(sub)
+                        flat_starts.append(s)
+                        flat_meta.append((i, o_rc, cf, len(sub)))
+                if not flat_reads:
+                    continue
+                cost, nops, ops = self.native.verify_raw(flat_reads,
+                                                         flat_starts)
+                best = {}
+                for idx, (i, o_rc, cf, slen) in enumerate(flat_meta):
+                    c = int(cost[idx])
+                    if c < 0:
+                        continue
+                    if i not in best or c < best[i][0]:
+                        best[i] = (c, idx, o_rc, cf, slen)
+                for i, (c, idx, o_rc, cf, slen) in best.items():
+                    results[i] = (
+                        c,
+                        self.native.ops_entries(flat_reads[idx],
+                                                int(nops[idx]), ops[idx]),
+                        int(flat_starts[idx]), cf, slen, o_rc)
+                unresolved = [po for po in unresolved if po[0] not in best]
+
+        out = []
+        for i in range(n):
+            if results[i] is None:
                 out.append(None)
                 continue
-            cost, ops, start, clip_front, sub_len = aln
+            cost, ops, start, clip_front, sub_len, is_rc = results[i]
             cmp_list, right = self.verifier.ops_to_cmp_list(ops, start,
                                                             sub_len)
             if right > len(self.gene.backbone):
@@ -156,15 +206,15 @@ class GeneAligner:
             ops.append(("mismatch", start + j, 1, vi, "ACGT"[base]))
         return 0, ops, start, 0, m
 
-    def _verify_candidates(self, codes, cand_pos, cand_scores, m,
-                           max_clip_frac=0.35):
-        """Returns (cost, ops, start, clip_front, clip_len) or None.
+    def _proposal_entries(self, codes, cand_pos, cand_scores, m,
+                          max_clip_frac=0.35):
+        """Ordered verification entries [(sub_codes, start, clip_front)].
 
         Candidates that overhang a backbone end are soft-clipped to the
         overlapping part, as the reference trims hisat2 soft clips
         (typing_core.py:1097-1107).
         """
-        best = None
+        entries = []
         min_score = m * self.min_seed_frac
         P = len(self.gene.backbone)
         max_clip = int(m * max_clip_frac)
@@ -187,17 +237,26 @@ class GeneAligner:
                     if overhang > max_clip:
                         continue
                     sub = sub[:-overhang]
-                if len(sub) < m - max_clip or (s, clip_front, len(sub)) in tried:
+                if len(sub) < m - max_clip \
+                        or (s, clip_front, len(sub)) in tried:
                     continue
                 tried.add((s, clip_front, len(sub)))
-                res = self.verifier.verify(sub, s)
-                if res is None:
-                    continue
-                cost, ops = res
-                if best is None or cost < best[0]:
-                    best = (cost, ops, s, clip_front, len(sub))
-                    if cost == 0 and len(sub) == m:
-                        return best
+                entries.append((sub, s, clip_front))
+        return entries
+
+    def _verify_candidates(self, codes, cand_pos, cand_scores, m):
+        """Returns (cost, ops, start, clip_front, clip_len) or None."""
+        best = None
+        for sub, s, clip_front in self._proposal_entries(
+                codes, cand_pos, cand_scores, m):
+            res = self.verifier.verify(sub, s)
+            if res is None:
+                continue
+            cost, ops = res
+            if best is None or cost < best[0]:
+                best = (cost, ops, s, clip_front, len(sub))
+                if cost == 0 and len(sub) == m:
+                    return best
         return best
 
     def _start_proposals(self, p, m, max_depth=3, cap=48):

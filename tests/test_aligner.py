@@ -98,3 +98,43 @@ def test_softclip_boundary_reads(generef, aligner):
     assert len(a0.seq) == 75              # clipped to the overlap
     assert a1 is not None and a1.right == len(bb) and a1.nm == 0
     assert len(a1.seq) == 75
+
+
+def test_native_verifier_matches_python(generef):
+    # the C++ verifier must be bit-identical to the Python DFS
+    from hgtpu.align.native_verify import NativeVerifier, native_available
+    from hgtpu.align.verify import GeneVerifier
+    from hgtpu.utils.dna import encode_seq
+
+    if not native_available():
+        import pytest
+        pytest.skip("native library not built")
+    nv = NativeVerifier(generef)
+    pv = GeneVerifier(generef)
+    import random
+    rng = random.Random(7)
+    reads, starts, expects = [], [], []
+    for t in range(300):
+        allele = generef.allele_names[rng.randrange(generef.n_alleles)]
+        aseq = generef.allele_seq(allele)
+        p = rng.randrange(0, len(aseq) - 100)
+        seq = aseq[p:p + 100]
+        if t % 3 == 0:  # inject novel errors
+            j = rng.randrange(100)
+            seq = seq[:j] + rng.choice("ACGT") + seq[j + 1:]
+        codes = encode_seq(seq)
+        # probe several starts incl. wrong ones
+        for s in (p, max(0, p - 3), p + 2):
+            reads.append(codes)
+            starts.append(min(s, len(generef.backbone) - 1))
+            expects.append(pv.verify(codes, starts[-1]))
+    cost, ops = nv.verify_flat(reads, starts)
+    n_ok = 0
+    for i, exp in enumerate(expects):
+        if exp is None:
+            assert cost[i] == -1, i
+        else:
+            assert cost[i] == exp[0], (i, cost[i], exp[0])
+            assert ops[i] == exp[1], (i, ops[i][:4], exp[1][:4])
+            n_ok += 1
+    assert n_ok > 100  # most exact-start probes verify
