@@ -22,12 +22,23 @@ import numpy as np
 from ..native import build_suffix_array, bwt_from_sa
 
 
-class FMIndex:
-    """FM-index over int8 base codes (A..T=0..3, N=4; sentinel 5)."""
+CKPT_BLOCK = 64
 
-    def __init__(self, codes: np.ndarray):
+
+class FMIndex:
+    """FM-index over int8 base codes (A..T=0..3, N=4; sentinel 5).
+
+    checkpoint=False keeps the full occ table (24 B/base — fastest rank,
+    fine for locus panels); checkpoint=True stores occ every CKPT_BLOCK
+    positions plus the BWT (≈1.5 B/base) and counts within blocks at
+    query time — the genome-scale layout (SURVEY.md §7 "FM-index rank on
+    TPU": checkpointed occ sized for memory, batched queries).
+    """
+
+    def __init__(self, codes: np.ndarray, checkpoint: bool = False):
         codes = np.ascontiguousarray(codes, dtype=np.int8)
         self.n = len(codes)
+        self.checkpoint = checkpoint
         self.sa = build_suffix_array(codes)          # [n+1]
         bwt = bwt_from_sa(codes, self.sa)            # [n+1], codes 0..5
         counts = np.bincount(bwt, minlength=6)
@@ -39,12 +50,26 @@ class FMIndex:
             c_arr[sym] = total
             total += counts[sym]
         self.C = c_arr.astype(np.int32)
-        # full occurrence table occ[i, c] = # of c in bwt[:i]
-        onehot = np.eye(6, dtype=np.int32)[bwt]
-        self.occ = np.concatenate(
-            [np.zeros((1, 6), np.int32), np.cumsum(onehot, axis=0)], axis=0)
-        self._occ_dev = jnp.asarray(self.occ)
         self._C_dev = jnp.asarray(self.C)
+        if checkpoint:
+            B = CKPT_BLOCK
+            n1 = len(bwt)
+            nblk = (n1 + B - 1) // B
+            pad = nblk * B - n1
+            bwt_p = np.concatenate([bwt, np.full(pad, 5, np.int8)]) \
+                if pad else bwt
+            onehot = np.eye(6, dtype=np.int32)[bwt_p].reshape(nblk, B, 6)
+            ckpt = np.zeros((nblk + 1, 6), np.int32)
+            np.cumsum(onehot.sum(axis=1), axis=0, out=ckpt[1:])
+            self._ckpt_dev = jnp.asarray(ckpt)
+            self._bwt_dev = jnp.asarray(bwt_p.reshape(nblk, B))
+            self._occ_dev = None
+        else:
+            onehot = np.eye(6, dtype=np.int32)[bwt]
+            occ = np.concatenate(
+                [np.zeros((1, 6), np.int32), np.cumsum(onehot, axis=0)],
+                axis=0)
+            self._occ_dev = jnp.asarray(occ)
 
     # ------------------------------------------------------------------ #
     def search_batch(self, queries: np.ndarray):
@@ -55,6 +80,9 @@ class FMIndex:
         at the right end; use `pack_queries`).
         Returns (lo, hi) int32 [N]: SA interval of each full query.
         """
+        if self.checkpoint:
+            return _search_ckpt(self._ckpt_dev, self._bwt_dev, self._C_dev,
+                                jnp.asarray(queries), self.n + 1)
         return _search(self._occ_dev, self._C_dev, jnp.asarray(queries))
 
     def locate(self, lo: int, hi: int, max_hits: int = 64):
@@ -86,6 +114,38 @@ def _search(occ, C, queries):
         lo = jnp.where(alive, lo, 0)
         hi = jnp.where(alive, hi, 0)
         return lo, hi
+
+    return jax.vmap(one)(queries)
+
+
+@functools.partial(jax.jit, static_argnames=("n1",))
+def _search_ckpt(ckpt, bwt_blocks, C, queries, n1):
+    B = bwt_blocks.shape[1]
+    lane = jnp.arange(B, dtype=jnp.int32)
+
+    def rank(c, i):
+        blk = i // B
+        within = jnp.sum(
+            (jax.lax.dynamic_index_in_dim(bwt_blocks, blk, 0,
+                                          keepdims=False) == c)
+            & (lane < i - blk * B))
+        return ckpt[blk, c] + within.astype(jnp.int32)
+
+    def step(state, c):
+        lo, hi, alive = state
+        is_pad = c >= 4
+        c32 = jnp.minimum(c, 5).astype(jnp.int8)
+        new_lo = C[c32] + rank(c32, lo)
+        new_hi = C[c32] + rank(c32, hi)
+        lo = jnp.where(is_pad | ~alive, lo, new_lo)
+        hi = jnp.where(is_pad | ~alive, hi, new_hi)
+        alive = alive & (lo < hi)
+        return (lo, hi, alive), None
+
+    def one(q):
+        init = (jnp.int32(0), jnp.int32(n1), True)
+        (lo, hi, alive), _ = jax.lax.scan(step, init, q[::-1])
+        return jnp.where(alive, lo, 0), jnp.where(alive, hi, 0)
 
     return jax.vmap(one)(queries)
 

@@ -53,3 +53,27 @@ def test_linear_aligner_types_allele():
     assert ranked[0][0] == allele
     # the true allele contains every one of its reads
     assert ranked[0][1] == len(r1) + len(r2)
+
+
+def test_checkpointed_occ_matches_full():
+    import random
+    rng = random.Random(17)
+    text = "".join(rng.choice("ACGT") for _ in range(30000))
+    fm_full = FMIndex(encode_seq(text))
+    fm_ckpt = FMIndex(encode_seq(text), checkpoint=True)
+    queries = []
+    for _ in range(60):
+        p = rng.randrange(0, len(text) - 40)
+        queries.append(text[p:p + 30])
+    for _ in range(10):
+        queries.append("".join(rng.choice("ACGT") for _ in range(30)))
+    q = pack_queries(queries, 30)
+    lo1, hi1 = fm_full.search_batch(q)
+    lo2, hi2 = fm_ckpt.search_batch(q)
+    assert np.array_equal(np.asarray(lo1), np.asarray(lo2))
+    assert np.array_equal(np.asarray(hi1), np.asarray(hi2))
+    # checkpointed layout is ~16x smaller
+    full_bytes = fm_full.occ.nbytes if hasattr(fm_full, "occ") else 0
+    ckpt_bytes = (np.asarray(fm_ckpt._ckpt_dev).nbytes
+                  + np.asarray(fm_ckpt._bwt_dev).nbytes)
+    assert ckpt_bytes * 8 < 24 * (len(text) + 1)
