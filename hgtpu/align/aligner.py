@@ -22,7 +22,12 @@ class GeneAligner:
     def __init__(self, gene: GeneRef, num_editdist: int = 2,
                  top_k: int = 8, min_seed_frac: float = 0.3,
                  device_batch: int = 512, pad_len: int = 128,
-                 use_native: str = "auto"):
+                 use_native: str = "auto", leftmost: bool = False):
+        # leftmost=True prefers the smallest-start spelling among
+        # equal-cost alignments — required for STR (CODIS) loci where
+        # repeat periodicity makes right-shifted plain spellings cost-0
+        # (the reference runs a dedicated aligner mode there:
+        # --enable-codis, typing_common.py:1012-1016)
         self.gene = gene
         self.pwm = backbone_pwm(gene)
         self.verifier = GeneVerifier(gene, max_novel=num_editdist)
@@ -32,6 +37,7 @@ class GeneAligner:
         self.device_batch = device_batch
         self.pad_len = pad_len
         self._ext_cache = {}  # padded device PWM per read length
+        self.leftmost = leftmost
         self.native = None
         if use_native in ("auto", "on"):
             from .native_verify import NativeVerifier, native_available
@@ -109,11 +115,11 @@ class GeneAligner:
             # spelling the DFS would prefer, resolved vectorized
             is_rc = bool(use_rc[i])
             cand_s, cand_p = (sr[i], pr[i]) if is_rc else (sf[i], pf[i])
-            if cand_s[0] >= m:
+            if cand_s[0] >= m and not self.leftmost:
                 codes = rc_codes[i] if is_rc else fwd_codes[i]
                 fast = self._fast_exact(codes, int(cand_p[0]), m)
                 if fast is not None:
-                    results[i] = (*fast, is_rc)
+                    results[i] = (fast, [], is_rc)
                     continue
             order = [(True, rc_codes[i], pr[i], sr[i]),
                      (False, fwd_codes[i], pf[i], sf[i])]
@@ -125,7 +131,10 @@ class GeneAligner:
                 for o_rc, codes, cand_p, cand_s in order:
                     aln = self._verify_candidates(codes, cand_p, cand_s, m)
                     if aln is not None:
-                        results[i] = (*aln, o_rc)
+                        if len(aln) == 6:
+                            results[i] = (aln[:5], aln[5], o_rc)
+                        else:
+                            results[i] = (aln, [], o_rc)
                         break
 
         # pass 2: native batch verification (threads in C++), primary
@@ -152,14 +161,31 @@ class GeneAligner:
                     c = int(cost[idx])
                     if c < 0:
                         continue
-                    if i not in best or c < best[i][0]:
+                    better = i not in best or c < best[i][0] or (
+                        self.leftmost and c == best[i][0]
+                        and int(flat_starts[idx]) < int(
+                            flat_starts[best[i][1]]))
+                    if better:
                         best[i] = (c, idx, o_rc, cf, slen)
+                equal_alts = {}
+                if self.leftmost:
+                    for idx, (i, o_rc, cf, slen) in enumerate(flat_meta):
+                        c = int(cost[idx])
+                        if i in best and c == best[i][0] \
+                                and idx != best[i][1]:
+                            equal_alts.setdefault(i, []).append(
+                                (c, idx, o_rc, cf, slen))
                 for i, (c, idx, o_rc, cf, slen) in best.items():
-                    results[i] = (
-                        c,
-                        self.native.ops_entries(flat_reads[idx],
-                                                int(nops[idx]), ops[idx]),
-                        int(flat_starts[idx]), cf, slen, o_rc)
+                    def tup(c_, idx_, cf_, slen_):
+                        return (c_,
+                                self.native.ops_entries(
+                                    flat_reads[idx_], int(nops[idx_]),
+                                    ops[idx_]),
+                                int(flat_starts[idx_]), cf_, slen_)
+                    others = [tup(c_, idx_, cf_, slen_)
+                              for c_, idx_, _rc, cf_, slen_ in
+                              equal_alts.get(i, ())]
+                    results[i] = (tup(c, idx, cf, slen), others, o_rc)
                 unresolved = [po for po in unresolved if po[0] not in best]
 
         out = []
@@ -167,26 +193,30 @@ class GeneAligner:
             if results[i] is None:
                 out.append(None)
                 continue
-            cost, ops, start, clip_front, sub_len, is_rc = results[i]
-            cmp_list, right = self.verifier.ops_to_cmp_list(ops, start,
-                                                            sub_len)
-            if right > len(self.gene.backbone):
+            primary, others, is_rc = results[i]
+
+            def build(tup):
+                cost, ops, start, clip_front, sub_len = tup
+                cmp_list, right = self.verifier.ops_to_cmp_list(
+                    ops, start, sub_len)
+                if right > len(self.gene.backbone):
+                    return None
+                codes = rc_codes[i] if is_rc else fwd_codes[i]
+                if clip_front or sub_len < len(codes):
+                    codes = codes[clip_front:clip_front + sub_len]
+                return ReadAln(
+                    read_id=read_ids[i], mate=mate, pos=start, right=right,
+                    cmp=cmp_list, nm=cost, is_rc=is_rc,
+                    seq=decode_seq(codes), codes=codes)
+
+            aln = build(primary)
+            if aln is None:
                 out.append(None)
                 continue
-            codes = rc_codes[i] if is_rc else fwd_codes[i]
-            if clip_front or sub_len < len(codes):
-                codes = codes[clip_front:clip_front + sub_len]
-            out.append(ReadAln(
-                read_id=read_ids[i],
-                mate=mate,
-                pos=start,
-                right=right,
-                cmp=cmp_list,
-                nm=cost,
-                is_rc=is_rc,
-                seq=decode_seq(codes),
-                codes=codes,
-            ))
+            if others:
+                aln.alts = [a for a in (build(t) for t in others)
+                            if a is not None][:8]
+            out.append(aln)
         return out
 
     def _fast_exact(self, codes, start, m):
@@ -245,18 +275,34 @@ class GeneAligner:
         return entries
 
     def _verify_candidates(self, codes, cand_pos, cand_scores, m):
-        """Returns (cost, ops, start, clip_front, clip_len) or None."""
+        """Returns (cost, ops, start, clip_front, clip_len) or None.
+
+        In leftmost (STR) mode the result carries every equal-cost
+        spelling, leftmost first, as a 6th element."""
         best = None
+        equal = []
         for sub, s, clip_front in self._proposal_entries(
                 codes, cand_pos, cand_scores, m):
             res = self.verifier.verify(sub, s)
             if res is None:
                 continue
             cost, ops = res
+            if self.leftmost:
+                if best is None or cost < best[0]:
+                    best = (cost, ops, s, clip_front, len(sub))
+                    equal = [best]
+                elif cost == best[0]:
+                    equal.append((cost, ops, s, clip_front, len(sub)))
+                    if s < best[2]:
+                        best = equal[-1]
+                continue
             if best is None or cost < best[0]:
                 best = (cost, ops, s, clip_front, len(sub))
                 if cost == 0 and len(sub) == m:
                     return best
+        if self.leftmost and best is not None:
+            others = [e for e in equal if e is not best]
+            return (*best, others)
         return best
 
     def _start_proposals(self, p, m, max_depth=3, cap=48):

@@ -24,6 +24,9 @@ class ReadAln:
     seq: str                # read sequence oriented to the backbone
     qual: str = ""
     codes: object = None    # int8 np array of `seq` (cached encoding)
+    alts: list = None       # equal-cost alternative spellings [ReadAln]
+                            # (STR loci: periodic repeats make several
+                            # starts exactly equivalent; all must count)
 
     @property
     def mapped(self) -> bool:

@@ -21,7 +21,8 @@ def type_reads(gene: GeneRef, reads_1, reads_2=None, opts=None,
                aligner: GeneAligner = None):
     """reads_*: [(name, seq)].  Returns GeneTypingResult."""
     opts = opts or TypingOptions()
-    aligner = aligner or GeneAligner(gene, num_editdist=opts.num_editdist)
+    aligner = aligner or GeneAligner(gene, num_editdist=opts.num_editdist,
+                                     leftmost=opts.family == "codis")
     by_read = defaultdict(list)
     alns1 = aligner.align_batch([n for n, _ in reads_1],
                                 [s for _, s in reads_1], "L")
@@ -62,7 +63,8 @@ def type_family(catalog, reads_1, reads_2=None, locus_list=None, opts=None,
 
     opts = opts or TypingOptions()
     fa = family_aligner or FamilyAligner(catalog,
-                                         num_editdist=opts.num_editdist)
+                                         num_editdist=opts.num_editdist,
+                                         leftmost=opts.family == "codis")
     genes = locus_list or list(catalog.genes)
     per_gene_1 = fa.align_batch([n for n, _ in reads_1],
                                 [s for _, s in reads_1], "L")
@@ -100,7 +102,8 @@ def simulation_sweep(gene: GeneRef, test_size=5, seed=None, paired=True,
     """
     opts = opts or TypingOptions(simulation=True,
                                  allow_discordant=not paired)
-    aligner = aligner or GeneAligner(gene, num_editdist=opts.num_editdist)
+    aligner = aligner or GeneAligner(gene, num_editdist=opts.num_editdist,
+                                     leftmost=opts.family == "codis")
     rng = random.Random(seed)
     draws = rng.sample(range(len(gene.allele_names)),
                        test_size * allele_count)

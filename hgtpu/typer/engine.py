@@ -449,6 +449,13 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
                 (left_hts if a.mate == "L" else right_hts).update(hts)
                 if opts.assembly:
                     per_mate_hts.append((a, hts))
+            # equal-cost alternative spellings (STR periodicity) also
+            # contribute positive haplotypes
+            for alt in (a.alts or ()):
+                alt_hts = typer.read_hts(alt, novel, mpileup)
+                if alt_hts is not None:
+                    (left_hts if a.mate == "L"
+                     else right_hts).update(alt_hts)
         if interdist is not None and interdist >= 0:
             left_hts, right_hts = choose_pairs(left_hts, right_hts,
                                                interdist)

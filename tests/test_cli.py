@@ -82,3 +82,48 @@ def test_toolkit_parse_results(dbdir, tmp_path):
     assert "A*" in r.stdout
     assert open(tmp_path / "calls.csv").read().startswith(
         "sample,gene,allele1,allele2")
+
+
+def test_cli_multigene_and_codis(tmp_path):
+    """Multi-gene family DB through the CLI plus a codis-family run."""
+    import random
+
+    from hgtpu.db import build_catalog_from_msa, build_gene_ref
+    from hgtpu.db.catalog import export_text, Catalog
+    from hgtpu.tools.codis import codis_msa
+    from tests.synth import make_family
+
+    d = tmp_path / "db"
+    d.mkdir()
+    fam = make_family(genes=("A", "B"), n_alleles=10, length=1000, seed=41)
+    cat = build_catalog_from_msa(
+        "hla",
+        {g: dict(names=s["names"], rows=s["rows"],
+                 ref_allele=s["ref_allele"], exons=s["exons"])
+         for g, s in fam["specs"].items()}, min_var_freq=0.0)
+    export_text(cat, str(d / "hla"))
+    r = _run(["--base", "hla", "--ix-dir", str(d), "--locus-list", "A,B",
+              "--debug", "basic,test_size:1,set_seed:5",
+              "--simulate-interval", "6", "--out-dir", str(tmp_path / "o")],
+             cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "Passed so far: 2/2" in r.stderr
+
+    # codis family
+    rng = random.Random(5)
+    f5 = "".join(rng.choice("ACGT") for _ in range(350))
+    f3 = "".join(rng.choice("ACGT") for _ in range(350))
+    names, rows = codis_msa(
+        [("D3S1358*14", "[TCTA]14"), ("D3S1358*15", "[TCTA]15"),
+         ("D3S1358*16", "[TCTA]16"), ("D3S1358*17", "[TCTA]17")], f5, f3)
+    ref, _ = build_gene_ref("D3S1358", names, rows, names[0],
+                            min_var_freq=0.0, collapse=False,
+                            leftshift=False)
+    export_text(Catalog(family="codis", genes={"D3S1358": ref}),
+                str(d / "codis"))
+    r = _run(["--base", "codis", "--ix-dir", str(d),
+              "--debug", "basic,test_size:1,set_seed:3",
+              "--simulate-interval", "6",
+              "--out-dir", str(tmp_path / "o2")], cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "Passed so far: 1/1" in r.stderr
