@@ -62,7 +62,7 @@ class GeneAligner:
         # blocking (jax async dispatch overlaps device compute + transfer
         # latency with the host-side verification of earlier chunks)
         B = self.device_batch
-        chunks = []
+        chunks_placed = []
         for i in range(0, len(seqs), B):
             chunk_ids = list(read_ids[i:i + B])
             chunk = list(seqs[i:i + B])
@@ -70,11 +70,18 @@ class GeneAligner:
             if pad:
                 chunk += ["A" * 32] * pad
                 chunk_ids += ["__pad__"] * pad
-            chunks.append((chunk_ids, chunk, pad,
+            chunks_placed.append((chunk_ids, chunk, pad,
                            self._place_chunk(chunk)))
-        # phase 2: verify
+        # phase 2: one bulk device->host fetch for every chunk (each
+        # per-buffer fetch pays a full tunnel round trip), then verify
+        import jax
+
+        fetched = jax.device_get(
+            [entry[3][2] for entry in chunks_placed])  # the device handles
         out = []
-        for chunk_ids, chunk, pad, placed in chunks:
+        for (chunk_ids, chunk, pad, placed), host_out in zip(chunks_placed,
+                                                             fetched):
+            placed = (placed[0], placed[1], host_out, placed[3])
             res = self._align_chunk(chunk_ids, chunk, mate, placed)
             out.extend(res[: B - pad] if pad else res)
         return out
