@@ -70,3 +70,48 @@ def test_read_extraction(family):
     # all gene reads extracted, essentially no background
     assert sum(1 for n in names if n.startswith("a")) >= len(rA1) * 0.95
     assert sum(1 for n in names if n.startswith("bg")) <= 2
+
+
+def test_genome_scale_extraction(family, tmp_path):
+    """WGS routing against the spliced genotype genome via the FM index
+    (the reference's extract_reads design, typing_process.py:1330-1784)."""
+    import random
+
+    from hgtpu.db.genome import build_genotype_genome
+    from hgtpu.pipeline.extract_genome import GenomeExtractor
+    from hgtpu.utils.dna import revcomp
+
+    fam, cat = family
+    for g, (left, right) in fam["loci"].items():
+        cat.genes[g].chrom = "chrS"
+        cat.genes[g].chrom_left = left
+        cat.genes[g].chrom_right = right
+    out = str(tmp_path / "gg" / "genotype_genome")
+    spliced, offsets = build_genotype_genome({"chrS": fam["genome"]},
+                                             {"hla": cat}, out)
+    ex = GenomeExtractor(spliced, offsets, {"hla": cat})
+
+    a_allele = cat.gene("A").allele_names[3]
+    rA1, rA2, _ = simulate_reads(cat.gene("A"), [a_allele],
+                                 simulate_interval=8)
+    genome = fam["genome"]
+    rng = random.Random(9)
+    bg_1, bg_2 = [], []
+    for i in range(50):
+        p = rng.randrange(0, 2700)
+        frag = genome[p:p + 250]
+        bg_1.append(("bg%d" % i, frag[:100]))
+        bg_2.append(("bg%d" % i, revcomp(frag[-100:])))
+    reads_1 = [("a%d" % i, r.seq) for i, r in enumerate(rA1)] + bg_1
+    reads_2 = [("a%d" % i, r.seq) for i, r in enumerate(rA2)] + bg_2
+    routed = ex.extract(reads_1, reads_2)
+    assert "hla" in routed
+    names = {n for n, _ in routed["hla"][0]}
+    got_gene = sum(1 for n in names if n.startswith("a"))
+    got_bg = sum(1 for n in names if n.startswith("bg"))
+    assert got_gene >= len(rA1) * 0.9, (got_gene, len(rA1))
+    assert got_bg <= 2
+    # extracted reads type correctly
+    from hgtpu.pipeline import type_family as tf
+    res = tf(cat, *routed["hla"])
+    assert res["A"].prob[0][0] == a_allele
