@@ -37,6 +37,7 @@ class GeneAligner:
         self.device_batch = device_batch
         self.pad_len = pad_len
         self._ext_cache = {}  # padded device PWM per read length
+        self._prop_cache = {}  # start proposals per (anchor, read len)
         self.leftmost = leftmost
         self.native = None
         if use_native in ("auto", "on"):
@@ -321,6 +322,9 @@ class GeneAligner:
         over up to `max_depth` stacked indel shifts.  Ref equivalent:
         HISAT2's internal seed-chain resolution across graph edges.
         """
+        cached = self._prop_cache.get((p, m))
+        if cached is not None:
+            return cached
         v = self.verifier
         seen = {p}
         frontier = [p]
@@ -349,4 +353,8 @@ class GeneAligner:
             frontier = nxt
             if not frontier or len(order) >= cap:
                 break
-        return order[:cap]
+        out = order[:cap]
+        if len(self._prop_cache) > 100000:
+            self._prop_cache.clear()
+        self._prop_cache[(p, m)] = out
+        return out

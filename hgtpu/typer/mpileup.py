@@ -56,6 +56,11 @@ class Mpileup:
                ((acgt >= total[:, None] * 0.2) | (acgt >= 7))
         self.rep = keep  # bool [P, 4]
         self.rep_any = keep.any(axis=1)
+        # [P, 6] with N/'.'/sentinel columns False: lets the support test
+        # index directly with base codes (no clip / <4 masking)
+        self.rep6 = np.zeros((keep.shape[0], 6), dtype=bool)
+        self.rep6[:, :4] = keep
+        self._ramp = np.arange(keep.shape[0], dtype=np.int64)
         return self
 
     def rep_set(self, pos):
@@ -102,12 +107,15 @@ def error_correct(gene: GeneRef, mpileup: Mpileup, cmp_list, read_seq,
     # identity fast path: for indel-free alignments every read base maps
     # 1:1 onto [start, start+n); one vectorized support test over the span
     # proves correction is a no-op for the vast majority of reads
-    if all(e[0] in ("match", "mismatch") for e in cmp_list):
+    indel_free = True
+    for e in cmp_list:
+        if e[0] not in ("match", "mismatch"):
+            indel_free = False
+            break
+    if indel_free:
         start = cmp_list[0][1]
         n = min(len(read_codes), len(ref_seq) - start)
-        codes = read_codes[:n]
-        ok = (codes < 4) & rep[np.arange(start, start + n),
-                               np.clip(codes, 0, 3)]
+        ok = mpileup.rep6[mpileup._ramp[start:start + n], read_codes[:n]]
         if not (rep_any[start:start + n] & ~ok).any():
             return cmp_list, read_seq, 0
     for entry in cmp_list:
