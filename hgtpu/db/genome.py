@@ -17,6 +17,8 @@ from __future__ import annotations
 import os
 from collections import defaultdict
 
+import numpy as np
+
 from .catalog import Catalog, GeneRef, VT_SINGLE, VT_DELETION, VT_INSERTION
 
 _VT_NAME = {VT_SINGLE: "single", VT_DELETION: "deletion",
@@ -94,7 +96,6 @@ def build_genotype_genome(genome: dict, catalogs: dict, out_prefix: str):
                 print(line, file=snp_f)
                 if gene.var_freq[i] >= gene.min_var_freq:
                     print(line, file=isnp_f)
-                import numpy as np
                 members = [gene.allele_names[a]
                            for a in np.flatnonzero(gene.links[i])]
                 print("%s\t%s" % (vid, " ".join(sorted(members))),
@@ -112,6 +113,82 @@ def build_genotype_genome(genome: dict, catalogs: dict, out_prefix: str):
     for f in (locus_f, snp_f, isnp_f, hap_f, link_f, allele_f, partial_f):
         f.close()
     return spliced, offsets
+
+
+def region_gene(prefix: str, chrom: str, left: int, right: int,
+                name: str = None):
+    """Build a typable GeneRef for an arbitrary region of the genotype
+    genome — the reference's `--base genome` region mode
+    (typing_core.py:372-377, region locus lists).
+
+    The region's backbone is the spliced genome slice; variants are the
+    genotype-genome rows falling inside it (positions shifted to region
+    coordinates) with their allele links restricted accordingly.
+    """
+    from collections import defaultdict
+
+    from .catalog import GeneRef, _read_fasta
+
+    genome = _read_fasta(prefix + ".fa")
+    assert chrom in genome, chrom
+    backbone = genome[chrom][left:right]
+    vids, vtypes, vpos, vdata = [], [], [], []
+    code = {"single": VT_SINGLE, "deletion": VT_DELETION,
+            "insertion": VT_INSERTION}
+    for line in open(prefix + ".snp"):
+        vid, vt, vchrom, pos, data = line.rstrip("\n").split("\t")
+        pos = int(pos)
+        if vchrom != chrom or not (left <= pos < right):
+            continue
+        vids.append(vid)
+        vtypes.append(code[vt])
+        vpos.append(pos - left)
+        vdata.append(data)
+    # region may span several genes whose table blocks are not globally
+    # position-sorted; sort now (GeneRef requires non-decreasing pos)
+    order = sorted(range(len(vids)), key=lambda i: vpos[i])
+    vids = [vids[i] for i in order]
+    vtypes = [vtypes[i] for i in order]
+    vpos = [vpos[i] for i in order]
+    vdata = [vdata[i] for i in order]
+    vid_set = set(vids)
+    links_raw = {}
+    for line in open(prefix + ".link"):
+        parts = line.split()
+        if parts[0] in vid_set:
+            links_raw[parts[0]] = parts[1:]
+    allele_names = sorted({a for vs in links_raw.values() for a in vs})
+    aidx = {a: i for i, a in enumerate(allele_names)}
+    links = np.zeros((len(vids), max(1, len(allele_names))), dtype=bool)
+    for i, vid in enumerate(vids):
+        for a in links_raw.get(vid, []):
+            links[i, aidx[a]] = True
+    if not allele_names:
+        allele_names = ["GRCh38.ref"]
+        links = np.zeros((len(vids), 1), dtype=bool)
+    vlen = np.array(
+        [int(d) if t == VT_DELETION else len(d)
+         for d, t in zip(vdata, vtypes)], dtype=np.int32)
+    region_name = name or "%s:%d-%d" % (chrom, left, right)
+    return GeneRef(
+        gene=region_name,
+        backbone_name=region_name,
+        backbone=backbone,
+        allele_names=allele_names,
+        var_ids=vids,
+        var_type=np.array(vtypes, np.int8),
+        var_pos=np.array(vpos, np.int32),
+        var_len=vlen,
+        var_data=vdata,
+        var_freq=np.full(len(vids), 100.0, np.float32),
+        links=links,
+        exons=[(0, max(0, len(backbone) - 1))],
+        primary_exons=[(0, max(0, len(backbone) - 1))],
+        haplotypes=[],
+        chrom=chrom,
+        chrom_left=left,
+        chrom_right=right,
+    )
 
 
 def liftover(coord_path):

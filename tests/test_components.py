@@ -164,3 +164,39 @@ def test_sam_ingestion_roundtrip(generef, tmp_path):
     res = type_from_sam(ref, path)
     assert res.prob[0][0] == allele
     assert res.prob[0][1] >= 0.9999
+
+
+def test_region_typing(tmp_path):
+    """`--base genome` region mode: a genotype-genome slice types reads
+    like the family database does (ref: typing_core.py:372-377)."""
+    from hgtpu.db import build_catalog_from_msa
+    from hgtpu.db.genome import build_genotype_genome, region_gene
+    from hgtpu.pipeline import type_reads
+    from hgtpu.sim import simulate_reads
+    from hgtpu.typer.engine import TypingOptions
+
+    fam = make_family(genes=("A",), n_alleles=12, length=1200, seed=55)
+    cat = build_catalog_from_msa(
+        "hla",
+        {g: dict(names=s["names"], rows=s["rows"],
+                 ref_allele=s["ref_allele"], exons=s["exons"])
+         for g, s in fam["specs"].items()}, min_var_freq=0.0)
+    g = cat.genes["A"]
+    left, right = fam["loci"]["A"]
+    g.chrom, g.chrom_left, g.chrom_right = "chrS", left, right
+    out = str(tmp_path / "gg" / "genotype_genome")
+    spliced, offsets = build_genotype_genome({"chrS": fam["genome"]},
+                                             {"hla": cat}, out)
+    base = offsets[("hla", "A")]
+    region = region_gene(out, "chrS", base, base + len(g.backbone))
+    assert region.backbone == g.backbone
+    assert region.n_vars == g.n_vars
+    allele = g.allele_names[4]
+    r1, r2, _ = simulate_reads(g, [allele], simulate_interval=5)
+    res = type_reads(region, [(r.name, r.seq) for r in r1],
+                     [(r.name, r.seq) for r in r2],
+                     TypingOptions(family="genome", simulation=False))
+    assert res.prob[0][0] == allele
+    # flank-only region carries no variants
+    flank = region_gene(out, "chrS", 0, 2000)
+    assert flank.n_vars == 0
