@@ -108,6 +108,15 @@ def run_simulation(args, debug, catalog, locus_list, opts):
     seed = int(seed) if seed is not None else None
     allele_count = 2 if "pair" in debug else 1
     paired = "single-end" not in debug
+    # ref: --debug test_list:<allele[-allele]> and test_id:<i[-j]>
+    # (hisatgenotype:381-393)
+    test_list = None
+    if "test_list" in debug:
+        test_list = [debug["test_list"].split("-")]
+        allele_count = len(test_list[0])
+    test_ids = None
+    if "test_id" in debug:
+        test_ids = {int(x) for x in str(debug["test_id"]).split("-")}
 
     total_passed = 0
     total = 0
@@ -123,7 +132,8 @@ def run_simulation(args, debug, catalog, locus_list, opts):
             simulate_interval=args.simulate_interval,
             read_len=args.read_len, fragment_len=args.fragment_len,
             perbase_errorrate=args.perbase_errorrate, opts=opts,
-            report_base_fn=report_base_for if opts.assembly else None)
+            report_base_fn=report_base_for if opts.assembly else None,
+            test_list=test_list, test_ids=test_ids)
         for t, (true_alleles, res) in enumerate(results):
             report_base = os.path.join(
                 args.out_dir,
@@ -196,7 +206,7 @@ def run_reads(args, catalog, locus_list, opts):
     results = type_family(catalog, reads_1, reads_2,
                           locus_list=locus_list, opts=opts,
                           sam_out=report_base if args.keep_alignment
-                          else None)
+                          else None, threads=args.threads)
     w = ReportWriter(report_base + ".report", echo=args.verbose)
     w.header(dbversion=catalog.version, command=" ".join(sys.argv))
     w.begin_aligner()

@@ -51,7 +51,7 @@ def type_from_sam(gene: GeneRef, sam_path, opts=None):
 
 
 def type_family(catalog, reads_1, reads_2=None, locus_list=None, opts=None,
-                family_aligner=None, sam_out=None):
+                family_aligner=None, sam_out=None, threads=1):
     """Type every gene of a family from one read set.
 
     Reads are assigned cross-gene by the NH==1 uniqueness rule
@@ -72,8 +72,7 @@ def type_family(catalog, reads_1, reads_2=None, locus_list=None, opts=None,
     if reads_2:
         per_gene_2 = fa.align_batch([n for n, _ in reads_2],
                                     [s for _, s in reads_2], "R")
-    results = {}
-    for g in genes:
+    def run_gene(g):
         by_read = defaultdict(list)
         batches = [per_gene_1[g]]
         if per_gene_2:
@@ -87,14 +86,24 @@ def type_family(catalog, reads_1, reads_2=None, locus_list=None, opts=None,
         if sam_out:
             from ..align.sam import write_sam
             write_sam("%s.%s.sam" % (sam_out, g), catalog.genes[g], groups)
-        results[g] = type_gene(catalog.genes[g], groups, opts)
+        return g, type_gene(catalog.genes[g], groups, opts)
+
+    if threads > 1 and len(genes) > 1:
+        # per-gene threading mirrors the reference's per-locus Pool fan-out
+        # (hisatgenotype:613-665); numpy/native stages release the GIL
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            results = dict(ex.map(run_gene, genes))
+    else:
+        results = dict(run_gene(g) for g in genes)
     return results
 
 
 def simulation_sweep(gene: GeneRef, test_size=5, seed=None, paired=True,
                      allele_count=1, simulate_interval=1, read_len=100,
                      fragment_len=250, perbase_errorrate=0.0, opts=None,
-                     aligner=None, verbose=False, report_base_fn=None):
+                     aligner=None, verbose=False, report_base_fn=None,
+                     test_list=None, test_ids=None):
     """Reference self-test: draw random alleles, simulate, type, and check
     the truth ranks #1 (typing_core.py:2488-2648).
 
@@ -105,13 +114,21 @@ def simulation_sweep(gene: GeneRef, test_size=5, seed=None, paired=True,
     aligner = aligner or GeneAligner(gene, num_editdist=opts.num_editdist,
                                      leftmost=opts.family == "codis")
     rng = random.Random(seed)
-    draws = rng.sample(range(len(gene.allele_names)),
-                       test_size * allele_count)
+    if test_list:
+        # explicit allele draws (ref: --debug test_list, hisatgenotype:381)
+        tests = [sorted(t) for t in test_list]
+    else:
+        draws = rng.sample(range(len(gene.allele_names)),
+                           test_size * allele_count)
+        tests = [sorted(gene.allele_names[draws[t * allele_count + j]]
+                        for j in range(allele_count))
+                 for t in range(test_size)]
     results = []
     n_passed = 0
-    for t in range(test_size):
-        alleles = sorted(gene.allele_names[draws[t * allele_count + j]]
-                         for j in range(allele_count))
+    for t in range(len(tests)):
+        if test_ids and (t + 1) not in test_ids:
+            continue  # ref: --debug test_id filter (hisatgenotype:383)
+        alleles = tests[t]
         r1, r2, _ = simulate_reads(
             gene, alleles, simulate_interval=simulate_interval,
             read_len=read_len, frag_len=fragment_len,

@@ -73,3 +73,27 @@ def test_report_writer(tmp_path, generef):
     assert "reads and" in text and "pairs are aligned" in text
     assert ("*** 1 ranked %s" % allele) in text
     assert "(abundance:" in text
+
+
+def test_zero_mapped_reads(generef):
+    # garbage input must produce an empty, crash-free result
+    import random
+    rng = random.Random(1)
+    junk = [("j%d" % i, "".join(rng.choice("ACGT") for _ in range(100)))
+            for i in range(20)]
+    res = type_reads(generef, junk, None,
+                     TypingOptions(simulation=False, allow_discordant=True))
+    assert res.num_reads == 0
+    assert res.prob == []
+    assert res.counts == []
+
+
+def test_debug_test_list_and_id(generef):
+    # explicit draws + index filter (ref: --debug test_list / test_id)
+    target = generef.allele_names[9]
+    n, results = simulation_sweep(generef, simulate_interval=5,
+                                  test_list=[[target]])
+    assert n == 1 and results[0][0] == [target]
+    n, results = simulation_sweep(generef, test_size=4, seed=3,
+                                  simulate_interval=5, test_ids={2})
+    assert len(results) == 1
