@@ -145,6 +145,7 @@ def run_simulation(args, debug, catalog, locus_list, opts):
             w.gene_result(res, simulation=True, true_alleles=true_alleles,
                           best_alleles=args.best_alleles)
             if opts.assembly:
+                w.assembly_detail(res.contigs)
                 w.assembly_calls({gene: res.assembly_call})
                 if res.contigs:
                     from ..db.catalog import _read_fasta  # noqa
@@ -216,7 +217,16 @@ def run_reads(args, catalog, locus_list, opts):
                       output_allele_counts=args.output_allele_counts,
                       best_alleles=args.best_alleles)
     if opts.assembly:
+        for g in locus_list:
+            w.assembly_detail(results[g].contigs)
         w.assembly_calls({g: results[g].assembly_call for g in locus_list})
+        for g in locus_list:
+            if results[g].contigs:
+                with open("%s.fasta" % report_base, "a") as f:
+                    for key, seq in results[g].contigs.items():
+                        print(">%s" % key, file=f)
+                        for s in range(0, len(seq), 60):
+                            print(seq[s:s + 60], file=f)
     w.close()
     print("Report written to %s.report" % report_base, file=sys.stderr)
     return 0

@@ -70,6 +70,22 @@ class ReportWriter:
                 break
         return ranks_of_true
 
+    def assembly_detail(self, contigs):
+        """Per-contig comparison section (ref: typing_core.py:2032-2063:
+        'Genomic:' node lines with Known/Novel classification)."""
+        if not contigs:
+            return
+        self._out("\t\tNumber of contigs: %d" % len(contigs))
+        for key, seq in contigs.items():
+            parts = key.rsplit(" ", 1)
+            node_name, call = parts[0], parts[-1]
+            self._out("\tGenomic: %s" % node_name)
+            self._out("\t\tassembled sequence (%d bps)" % len(seq))
+            if call == "Novel":
+                self._out("\tNovel allele")
+            else:
+                self._out("\tKnown allele")
+
     def assembly_calls(self, calls_by_gene):
         """Ref: typing_core.py:2147-2159."""
         self._out("\t\tAssembly Coloring Allele Collapse:")

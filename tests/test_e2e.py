@@ -97,3 +97,26 @@ def test_debug_test_list_and_id(generef):
     n, results = simulation_sweep(generef, test_size=4, seed=3,
                                   simulate_interval=5, test_ids={2})
     assert len(results) == 1
+
+
+def test_insertion_allele_typing_and_assembly():
+    # alleles carrying insertion variants (min_var_freq above carrier
+    # fraction) must type and phase exactly
+    spec = make_gene_msa(seed=3, n_alleles=40)
+    from hgtpu.db import build_gene_ref
+    ref, _ = build_gene_ref(
+        "A", spec["names"], spec["rows"], spec["ref_allele"],
+        exons_ref_coords=spec["exons"],
+        primary_exon_idx=spec["primary_exon_idx"], min_var_freq=8.0)
+    ins_alleles = [n for n in ref.allele_names
+                   if any(ref.var_type[v] == 2
+                          for v in ref.allele_var_indices(n))]
+    assert ins_alleles
+    allele = ins_alleles[0]
+    r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=4)
+    res = type_reads(ref, [(r.name, r.seq) for r in r1],
+                     [(r.name, r.seq) for r in r2],
+                     TypingOptions(simulation=True, assembly=True))
+    assert res.prob[0][0] == allele
+    assert res.prob[0][1] >= 0.9999
+    assert res.assembly_call and res.assembly_call[0] == [allele, allele]
