@@ -94,20 +94,23 @@ def read_nodes_from_hts(gene: GeneRef, var_table: VarTable, node_read_id,
             if kind in ("match", "mismatch") and node_pos < 0:
                 node_pos = pos
             if kind == "match":
-                node_seq += list(read_seq[read_pos:read_pos + length])
-                node_var += [""] * length
+                seg = read_seq[read_pos:read_pos + length]  # clipped at end
+                node_seq += list(seg)
+                node_var += [""] * len(seg)
                 read_pos += length
             elif kind == "mismatch":
+                if read_pos >= len(read_seq):
+                    break
                 node_seq += [read_seq[read_pos]]
                 node_var += [vid]
                 read_pos += 1
             elif kind == "deletion":
                 node_seq += ["D"] * length
                 node_var += [vid] * length
-            else:  # insertion
+            else:  # insertion (may be truncated by the read end)
                 ins = read_seq[read_pos:read_pos + length]
                 node_seq += ["I%s" % nt for nt in ins]
-                node_var += [vid] * length
+                node_var += [vid] * len(ins)
                 read_pos += length
         if node_pos < 0:
             continue
