@@ -1,0 +1,98 @@
+"""Pallas MXU kernel for the placement correlation.
+
+Hand-tiled alternative to the XLA matmul in ops.placement: reads one-hot
+[N, m*5] against backbone windows [P1, m*5], accumulating [TILE_N, TILE_P]
+f32 tiles on the MXU with the K dimension streamed in blocks.  Useful as
+a tuning surface (XLA's matmul is the default; this kernel exists so the
+hot op can be hand-scheduled when profiling says so) and as the pattern
+for fusing score thresholding into the product later.
+
+Status: bit-validated against the XLA path in interpret mode
+(tests/test_fm.py); compiles and executes on the v5e (8 s cold incl.
+mosaic compile), but the tunneled dev chip's runtime became unresponsive
+when cross-comparing its output buffer against the XLA result in the
+same process — treat as an experimental backend until validated on
+locally attached hardware (see ops/compat_kernel.py for the pallas
+kernel that is hardware-validated end to end).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 128
+TILE_P = 128
+TILE_K = 640   # = 128 bases * 5 channels
+
+
+def _matmul_kernel(lhs_ref, rhs_ref, out_ref):
+    # lhs: [TILE_N, K] bf16, rhs: [K, TILE_P] bf16 -> out: [TILE_N, TILE_P]
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jnp.dot(lhs_ref[:], rhs_ref[:],
+                          preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def placement_scores_pallas(reads_onehot, windows_t, interpret=None):
+    """reads_onehot: [N, K] bf16; windows_t: [K, P1] bf16 -> [N, P1] f32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, K = reads_onehot.shape
+    P1 = windows_t.shape[1]
+
+    def pad(x, mult, axis):
+        p = (-x.shape[axis]) % mult
+        if p:
+            widths = [(0, 0)] * x.ndim
+            widths[axis] = (0, p)
+            x = jnp.pad(x, widths)
+        return x
+
+    lhs = pad(pad(reads_onehot, TILE_N, 0), TILE_K, 1)
+    rhs = pad(pad(windows_t, TILE_K, 0), TILE_P, 1)
+    Np, Kp = lhs.shape
+    Pp = rhs.shape[1]
+    grid = (Np // TILE_N, Pp // TILE_P, Kp // TILE_K)
+    out = pl.pallas_call(
+        _matmul_kernel,
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TILE_N, TILE_K), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_K, TILE_P), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE_N, TILE_P), lambda i, j, k: (i, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((Np, Pp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=8 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Np * Pp * Kp,
+            bytes_accessed=Np * Kp * 2 + Kp * Pp * 2 + Np * Pp * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(lhs, rhs)
+    return out[:N, :P1]
+
+
+def correlate_scores_pallas(pwm_ext, reads):
+    """Drop-in for ops.placement.correlate_scores via the pallas kernel."""
+    n, m = reads.shape
+    P1 = pwm_ext.shape[0] - m + 1
+    onehot = jax.nn.one_hot(reads, 5, dtype=jnp.bfloat16).reshape(n, m * 5)
+    idx = jnp.arange(P1)[:, None] + jnp.arange(m)[None, :]
+    windows = pwm_ext.astype(jnp.bfloat16)[idx].reshape(P1, m * 5)
+    return placement_scores_pallas(onehot, windows.T)
