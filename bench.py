@@ -15,6 +15,10 @@ import time
 sys.path.insert(0, "tests")
 
 
+def _note(msg):
+    print("[bench] %s" % msg, file=sys.stderr, flush=True)
+
+
 def main():
     from synth import make_gene_msa
     from hgtpu.db import build_gene_ref
@@ -22,12 +26,15 @@ def main():
     from hgtpu.pipeline import type_reads
     from hgtpu.sim import simulate_reads
 
+    _note("building synthetic gene")
     spec = make_gene_msa(seed=11, n_alleles=60, length=3000)
     ref, _ = build_gene_ref(
         "A", spec["names"], spec["rows"], spec["ref_allele"],
         exons_ref_coords=spec["exons"],
         primary_exon_idx=spec["primary_exon_idx"], min_var_freq=0.0)
     aligner = GeneAligner(ref)
+    import jax
+    _note("backend: %s" % jax.default_backend())
 
     alleles = ref.allele_names[:4]
     r1, r2, _ = simulate_reads(ref, alleles, simulate_interval=1)
@@ -36,7 +43,9 @@ def main():
     n_reads = len(reads_1) + len(reads_2)
 
     # warm-up (compile)
+    _note("warm-up / compile")
     type_reads(ref, reads_1[:64], reads_2[:64], aligner=aligner)
+    _note("measuring")
 
     # best of 3: the TPU tunnel adds +-40% dispatch-latency noise, so the
     # fastest run is the honest hardware number

@@ -216,6 +216,40 @@ class GeneTyper:
         misalignment heuristics, ref: typing_core.py:1117-1124)."""
         gene = self.gene
         opts = self.opts
+
+        # fast path: clean alignment (only matches + catalog SNPs), every
+        # base pileup-supported, and no alternative-haplotype key inside
+        # the span -> the ht string falls straight out of the cmp list
+        if aln.nm == 0:
+            clean = True
+            for e in aln.cmp:
+                if e[0] == "match":
+                    continue
+                if e[0] == "mismatch" and e[3] is not None and e[3] >= 0:
+                    continue
+                clean = False
+                break
+            if clean:
+                span_l = aln.pos
+                span_r = aln.right - 1
+                i = np.searchsorted(self._alt_key_pos, span_l)
+                no_alts = (i >= len(self._alt_key_pos)
+                           or self._alt_key_pos[i] > span_r)
+                supported = True
+                if opts.error_correction and mpileup is not None:
+                    codes = aln.codes
+                    n = min(len(codes), len(gene.backbone) - span_l)
+                    ok = mpileup.rep6[
+                        mpileup._ramp[span_l:span_l + n], codes[:n]]
+                    supported = not (
+                        mpileup.rep_any[span_l:span_l + n] & ~ok).any()
+                if no_alts and supported:
+                    toks = [str(span_l)]
+                    toks += [gene.var_ids[e[3]] for e in aln.cmp
+                             if e[0] == "mismatch"]
+                    toks.append(str(span_r))
+                    return {"-".join(toks)}
+
         cmp_list = _aln_to_ref_cmp(gene, aln)
         read_seq = aln.seq
         if opts.error_correction and mpileup is not None:
