@@ -106,12 +106,15 @@ class StatAccumulator:
         self.cmpt_order = {}                              # key -> first-seen
         self.cmpt_mask = {}                               # key -> bool[A]
 
-    def add_read(self, count_per_read: np.ndarray):
+    def add_read(self, count_per_read: np.ndarray, weight: int = 1):
         """count_per_read: int [A] compatibility counts for one read.
 
         Faithful to add_stat: the max count may be 0, in which case the
         read contributes the uniform all-include-alleles class
         (typing_core.py:1177-1186 takes every allele at max_count).
+        `weight` folds identical reads into one call (tiled/simulated
+        batches repeat ht sets heavily); equivalent to `weight`
+        consecutive add_read calls.
         """
         if not self.include.any():
             return None
@@ -119,13 +122,13 @@ class StatAccumulator:
         cur = (count_per_read == mx) & self.include
         if not cur.any():
             return None
-        self.counts[cur] += 1
+        self.counts[cur] += weight
         key = cur.tobytes()
         if key not in self.cmpt:
             self.cmpt[key] = 0
             self.cmpt_order[key] = len(self.cmpt_order)
             self.cmpt_mask[key] = cur.copy()
-        self.cmpt[key] += 1
+        self.cmpt[key] += weight
         return key
 
     # ------------------------------------------------------------------ #

@@ -31,12 +31,86 @@ def prob_diff(prob1: dict, prob2: dict) -> float:
     return diff
 
 
+def _single_abundance_np(cmpt_counts: dict, remove_low: bool,
+                         lengths: dict):
+    """Vectorized float64 re-expression of the dict EM below: same
+    initialization, SQUAREM step, pruning schedule, and tie ordering
+    (allele first-appearance order; stable sort).  Differences are
+    limited to float summation order (<1e-15/step)."""
+    alleles = []
+    index = {}
+    rows, cols = [], []
+    counts = []
+    for ci, (cmpt, count) in enumerate(cmpt_counts.items()):
+        for a in cmpt.split("-"):
+            i = index.get(a)
+            if i is None:
+                i = len(alleles)
+                index[a] = i
+                alleles.append(a)
+            rows.append(ci)
+            cols.append(i)
+        counts.append(float(count))
+    A, C = len(alleles), len(counts)
+    M = np.zeros((C, A), dtype=np.float64)
+    M[rows, cols] = 1.0
+    cnt = np.asarray(counts)
+    use_len = bool(lengths)
+    inv_len = (np.array([1.0 / lengths[a] for a in alleles])
+               if use_len else None)
+
+    def norm(p):
+        if use_len:
+            p = p * inv_len
+        return p / p.sum()
+
+    def nxt_of(p):
+        denom = M @ p
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = np.where(denom > 0.0, cnt / np.where(denom > 0.0, denom, 1.0),
+                         0.0)
+        return norm((M.T @ w) * p)
+
+    active = np.ones(A, dtype=bool)
+    p = norm(M.T @ (cnt / M.sum(axis=1)))
+    diff, it = 1.0, 0
+    while diff > 0.0001 and it < 1000:
+        n1 = nxt_of(p)
+        n2 = nxt_of(n1)
+        r = n1 - p
+        v = n2 - n1 - r
+        ssv = float(v @ v)
+        if ssv > 0.0:
+            gamma = -math.sqrt(float(r @ r) / ssv)
+            accel = np.maximum(0.0, p - 2 * gamma * r + gamma * gamma * v)
+            n1 = nxt_of(accel)
+        diff = float(np.abs(p - n1).sum())
+        p = n1
+        if it >= 10 and remove_low and p.any():
+            active &= p >= p.max() / 10.0
+            p = np.where(active, p, 0.0)
+        it += 1
+    if remove_low and p.any():
+        active &= p >= p.max() / 10.0
+        p = np.where(active, p, 0.0)
+    p = norm(p)
+    out = [[alleles[i], float(p[i])] for i in np.flatnonzero(active)]
+    out.sort(key=lambda x: x[1], reverse=True)
+    return out
+
+
 def single_abundance(cmpt_counts: dict,
                      remove_low_abundance_allele: bool = False,
-                     lengths: dict = None):
+                     lengths: dict = None, impl: str = "auto"):
     """cmpt_counts: {'A1-A2-A3': count} (allele names joined by '-').
-    Returns [[allele, prob], ...] sorted by prob desc."""
+    Returns [[allele, prob], ...] sorted by prob desc.
+
+    impl: "auto" routes non-trivial problems through the vectorized
+    float64 path; "dict" forces the reference-literal implementation."""
     lengths = lengths or {}
+    if impl != "dict" and len(cmpt_counts) >= 4:
+        return _single_abundance_np(cmpt_counts,
+                                    remove_low_abundance_allele, lengths)
 
     def normalize(prob):
         total = sum(prob.values())

@@ -452,12 +452,13 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     if opts.error_correction or opts.family == "hla":
         from .mpileup import Mpileup
         mpileup = Mpileup(gene)
+        bulk = []
         for _read_id, alns in read_alns:
             alns = _concordant(alns, opts)
             if alns is None:
                 continue
-            for a in alns:
-                mpileup.add_alignment(a)
+            bulk.extend(alns)
+        mpileup.add_alignments_bulk(bulk)
         mpileup.finalize()
 
     # expected mate inter-distance for CODIS pair disambiguation
@@ -466,6 +467,21 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     if opts.family == "codis" and gene.gene in opts.choose_pairs_genes:
         from .mpileup import pair_interdist
         interdist = pair_interdist(read_alns)
+
+    # read_hts is deterministic in (start, oriented sequence): the edit
+    # script, error correction, and alt trimming are all functions of
+    # those two plus per-gene state fixed after the pileup pass — so
+    # tiled duplicates share one computation
+    hts_memo = {}
+
+    def memo_hts(a):
+        k = (a.pos, a.seq)
+        hit = hts_memo.get(k, False)
+        if hit is not False:
+            return hit
+        r = typer.read_hts(a, novel, mpileup)
+        hts_memo[k] = r
+        return r
 
     for read_id, alns in read_alns:
         alns = _concordant(alns, opts)
@@ -478,7 +494,7 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
             if a.nm > opts.num_editdist:
                 continue
             num_reads += 1
-            hts = typer.read_hts(a, novel, mpileup)
+            hts = memo_hts(a)
             if hts is not None:
                 (left_hts if a.mate == "L" else right_hts).update(hts)
                 if opts.assembly:
@@ -486,7 +502,7 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
             # equal-cost alternative spellings (STR periodicity) also
             # contribute positive haplotypes
             for alt in (a.alts or ()):
-                alt_hts = typer.read_hts(alt, novel, mpileup)
+                alt_hts = memo_hts(alt)
                 if alt_hts is not None:
                     (left_hts if a.mate == "L"
                      else right_hts).update(alt_hts)
@@ -514,7 +530,18 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     if use_device:
         typer.ht_masks_batch(sorted(unique_hts), novel, ht_cache)
 
+    # fold identical ht sets into one weighted add_read: tiled reads
+    # repeat (first-seen class creation order is preserved because equal
+    # ht sets always map to equal class keys at every level)
+    grouped = {}
     for positive_hts in counted_reads:
+        key = frozenset(positive_hts)
+        hit = grouped.get(key)
+        if hit is None:
+            grouped[key] = [1, positive_hts]
+        else:
+            hit[0] += 1
+    for weight, positive_hts in grouped.values():
         cnt_full = np.zeros(A, dtype=np.int32)
         cnt_exon = np.zeros(A, dtype=np.int32)
         cnt_primary = np.zeros(A, dtype=np.int32)
@@ -525,9 +552,9 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
             cnt_primary += primary
 
         if opts.family == "hla":
-            primary_stats.add_read(cnt_primary)
-            exon_stats.add_read(cnt_exon)
-        full_stats.add_read(cnt_full)
+            primary_stats.add_read(cnt_primary, weight)
+            exon_stats.add_read(cnt_exon, weight)
+        full_stats.add_read(cnt_full, weight)
 
     # ------------------------------------------------------------------ #
     # Hierarchical abundance (ref: typing_core.py:1679-1789)

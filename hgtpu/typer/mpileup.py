@@ -49,6 +49,45 @@ class Mpileup:
             else:  # insertion consumes read only
                 read_pos += length
 
+    def add_alignments_bulk(self, alns):
+        """Accumulate many ReadAlns in one pass: base columns through a
+        single bincount over flattened (pos, code) keys, deletion columns
+        through a difference array — same totals as repeated
+        add_alignment calls without the per-read ufunc dispatch."""
+        from ..utils.dna import encode_seq
+
+        P = self.counts.shape[0]
+        pos_chunks = []
+        code_chunks = []
+        ddiff = np.zeros(P + 1, dtype=np.int32)
+        for aln in alns:
+            codes = aln.codes if aln.codes is not None \
+                else encode_seq(aln.seq)
+            read_pos = 0
+            for entry in aln.cmp:
+                kind, pos, length = entry[0], entry[1], entry[2]
+                if kind in ("match", "mismatch"):
+                    n = min(length, P - pos)
+                    if n > 0:
+                        pos_chunks.append(np.arange(pos, pos + n,
+                                                    dtype=np.int64))
+                        code_chunks.append(codes[read_pos:read_pos + n])
+                    read_pos += length
+                elif kind == "deletion":
+                    hi = min(pos + length, P)
+                    if hi > pos:
+                        ddiff[pos] += 1
+                        ddiff[hi] -= 1
+                else:
+                    read_pos += length
+        if pos_chunks:
+            flat = np.concatenate(pos_chunks) * 6 + \
+                np.concatenate(code_chunks).astype(np.int64)
+            self.counts += np.bincount(
+                flat, minlength=P * 6).reshape(P, 6).astype(np.int32)
+        self.counts[:, 5] += np.cumsum(ddiff[:-1], dtype=np.int32)
+        return self
+
     def finalize(self):
         total = self.counts.sum(axis=1)
         acgt = self.counts[:, :4]

@@ -39,3 +39,23 @@ def test_dense_with_lengths():
 
 def test_single_class():
     assert single_abundance({"X*01": 10}) == [["X*01", 1.0]]
+
+
+def test_np_matches_dict_em():
+    """The vectorized float64 path must track the reference-literal dict
+    EM to float-reorder precision, with and without pruning/lengths."""
+    from hgtpu.typer.em import _single_abundance_np
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        M, counts, names, cmpt = _random_classes(rng, A=60, C=40)
+        lengths = rng.integers(800, 1200, len(names)).astype(np.float64)
+        ldict = {n: float(l) for n, l in zip(names, lengths)}
+        for remove_low, ld in ((False, None), (True, None), (True, ldict)):
+            ref = dict((a, p) for a, p in single_abundance(
+                cmpt, remove_low, ld, impl="dict"))
+            fast = dict((a, p) for a, p in _single_abundance_np(
+                cmpt, remove_low, ld or {}))
+            for name in names:
+                assert abs(fast.get(name, 0.0) - ref.get(name, 0.0)) \
+                    < 1e-6, (trial, remove_low, bool(ld), name)
