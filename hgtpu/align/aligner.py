@@ -39,6 +39,25 @@ class GeneAligner:
         self._ext_cache = {}  # padded device PWM per read length
         self._prop_cache = {}  # start proposals per (anchor, read len)
         self.leftmost = leftmost
+        # match table for the proposal lower-bound filter: tbl[p+PAD, b]
+        # is True when base b at backbone pos p is free (backbone match or
+        # catalog SNP).  Padded with PAD always-False rows per side so
+        # shifted-diagonal gathers never need clamping.
+        self._LB_PAD = max(4, num_editdist + 2)
+        P = len(gene.backbone)
+        tbl = np.zeros((P + 2 * self._LB_PAD, 6), dtype=bool)
+        bb = self.verifier.bb
+        tbl[self._LB_PAD + np.arange(P), bb] = True
+        for (pos, base) in self.verifier.single_at:
+            tbl[self._LB_PAD + pos, base] = True
+        self._match_ok6 = tbl
+        # +-num_editdist dilation along positions: one gather answers
+        # "free on ANY shifted diagonal" for the lower-bound filter
+        dil = tbl.copy()
+        for d in range(1, num_editdist + 1):
+            dil[d:] |= tbl[:-d]
+            dil[:-d] |= tbl[d:]
+        self._match_ok6_dil = dil
         self.native = None
         if use_native in ("auto", "on"):
             from .native_verify import NativeVerifier, native_available
@@ -162,6 +181,14 @@ class GeneAligner:
                         flat_meta.append((i, o_rc, cf, len(sub)))
                 if not flat_reads:
                     continue
+                keep = self._lb_keep(flat_reads, flat_starts)
+                if not keep.all():
+                    kept = np.flatnonzero(keep)
+                    flat_reads = [flat_reads[k] for k in kept]
+                    flat_starts = [flat_starts[k] for k in kept]
+                    flat_meta = [flat_meta[k] for k in kept]
+                    if not flat_reads:
+                        continue
                 cost, nops, ops = self.native.verify_raw(flat_reads,
                                                          flat_starts)
                 best = {}
@@ -227,6 +254,48 @@ class GeneAligner:
             out.append(aln)
         return out
 
+    def _lb_keep(self, flat_reads, flat_starts):
+        """Boolean keep-mask over proposal entries: False entries provably
+        exceed the novel-edit budget, so the DFS need not run them.
+
+        Bound: inside the window after `start` that precedes any catalog
+        indel position, a path's backbone position for read base j can
+        only drift within +-max_novel of the plain diagonal (each novel
+        indel costs its length, catalog indels lie outside the window).
+        A base matching neither backbone nor a catalog SNP on any of the
+        2*max_novel+1 shifted diagonals therefore costs >= 1 novel edit
+        on every path; counting such bases lower-bounds the true cost.
+        """
+        E = len(flat_reads)
+        if E == 0:
+            return np.zeros(0, dtype=bool)
+        v = self.verifier
+        B = self.num_editdist
+        starts = np.asarray(flat_starts, dtype=np.int64)
+        lens = np.array([len(r) for r in flat_reads], dtype=np.int64)
+        # first catalog indel position strictly after each start
+        sentinel = np.int64(len(v.bb) + 4096)
+        if len(v.indel_pos):
+            qi = np.searchsorted(v.indel_pos, starts, side="right")
+            q = np.where(qi < len(v.indel_pos),
+                         v.indel_pos[np.minimum(qi, len(v.indel_pos) - 1)],
+                         sentinel)
+        else:
+            q = np.full(E, sentinel, dtype=np.int64)
+        w_eff = np.minimum(lens, np.maximum(q - starts - B, 0))
+        W = int(min(lens.max(), max(1, w_eff.max())))
+        reads_pad = np.full((E, W), 5, dtype=np.int8)   # code 5 never free
+        for i, r in enumerate(flat_reads):
+            n = min(len(r), W)
+            reads_pad[i, :n] = r[:n]
+        j = np.arange(W, dtype=np.int64)
+        base_idx = np.clip(starts[:, None] + j[None, :] + self._LB_PAD,
+                           0, len(self._match_ok6_dil) - 1)
+        ok_any = self._match_ok6_dil[base_idx, reads_pad]
+        in_win = j[None, :] < w_eff[:, None]
+        lb = (in_win & ~ok_any).sum(axis=1)
+        return lb <= self.num_editdist
+
     def _fast_exact(self, codes, start, m):
         """Cost-0 plain alignment when the full placement score is
         attained: resolve SNP-matched positions via the variant lookup;
@@ -289,8 +358,12 @@ class GeneAligner:
         spelling, leftmost first, as a 6th element."""
         best = None
         equal = []
-        for sub, s, clip_front in self._proposal_entries(
-                codes, cand_pos, cand_scores, m):
+        entries = self._proposal_entries(codes, cand_pos, cand_scores, m)
+        if entries:
+            keep = self._lb_keep([e[0] for e in entries],
+                                 [e[1] for e in entries])
+            entries = [e for e, k in zip(entries, keep) if k]
+        for sub, s, clip_front in entries:
             res = self.verifier.verify(sub, s)
             if res is None:
                 continue

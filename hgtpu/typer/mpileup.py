@@ -57,7 +57,8 @@ class Mpileup:
         from ..utils.dna import encode_seq
 
         P = self.counts.shape[0]
-        pos_chunks = []
+        seg_start = []
+        seg_len = []
         code_chunks = []
         ddiff = np.zeros(P + 1, dtype=np.int32)
         for aln in alns:
@@ -69,8 +70,8 @@ class Mpileup:
                 if kind in ("match", "mismatch"):
                     n = min(length, P - pos)
                     if n > 0:
-                        pos_chunks.append(np.arange(pos, pos + n,
-                                                    dtype=np.int64))
+                        seg_start.append(pos)
+                        seg_len.append(n)
                         code_chunks.append(codes[read_pos:read_pos + n])
                     read_pos += length
                 elif kind == "deletion":
@@ -80,8 +81,14 @@ class Mpileup:
                         ddiff[hi] -= 1
                 else:
                     read_pos += length
-        if pos_chunks:
-            flat = np.concatenate(pos_chunks) * 6 + \
+        if seg_start:
+            S = np.asarray(seg_start, dtype=np.int64)
+            L = np.asarray(seg_len, dtype=np.int64)
+            tot = int(L.sum())
+            # positions for all segments without a per-segment arange
+            pos_flat = np.repeat(S - (np.cumsum(L) - L), L) \
+                + np.arange(tot, dtype=np.int64)
+            flat = pos_flat * 6 + \
                 np.concatenate(code_chunks).astype(np.int64)
             self.counts += np.bincount(
                 flat, minlength=P * 6).reshape(P, 6).astype(np.int32)
