@@ -56,6 +56,15 @@ class GeneCounter:
         self.del_pos = gene.var_pos[self.del_idx].astype(np.int64)
         self.del_right = gene.var_right[self.del_idx].astype(np.int64)
         self.del_links = gene.links[self.del_idx]
+        # batch-path tables: links with an all-True sentinel row (padding
+        # variant), variant pos/right with sentinel entries
+        V = gene.n_vars
+        self._links_ext = np.ones((V + 1, A), dtype=bool)
+        self._links_ext[:V] = gene.links
+        self._vp_ext = np.concatenate(
+            [gene.var_pos.astype(np.int64), [-(1 << 40)]])
+        self._vr_ext = np.concatenate(
+            [gene.var_right.astype(np.int64), [-(1 << 40)]])
 
     # ------------------------------------------------------------------ #
     def alleles_for_ht(self, left: int, right: int, ops) -> np.ndarray:
@@ -86,6 +95,44 @@ class GeneCounter:
                 kv += 1
         excl = (cnt - kv) > 0
         return incl & ~excl
+
+    def alleles_for_hts_batch(self, sub_hts):
+        """Vectorized alleles_for_ht over many haplotypes at once.
+
+        sub_hts: [(left, right, [var idx])] (novel idx < 0 allowed, they
+        constrain nothing).  Returns int32 [H, A], row h identical to
+        alleles_for_ht(*sub_hts[h]).
+        """
+        H = len(sub_hts)
+        A = self.A
+        if H == 0:
+            return np.zeros((0, A), dtype=np.int32)
+        V = self.gene.n_vars
+        lefts = np.fromiter((h[0] for h in sub_hts), np.int64, H)
+        rights = np.fromiter((h[1] for h in sub_hts), np.int64, H)
+        K = max(1, max(sum(1 for v in h[2] if v >= 0) for h in sub_hts))
+        vars_ = np.full((H, K), V, dtype=np.int64)   # sentinel pad
+        for i, (_, _, vs) in enumerate(sub_hts):
+            ks = [v for v in vs if v >= 0]
+            vars_[i, : len(ks)] = ks
+        incl = self._links_ext[vars_].all(axis=1)                  # [H, A]
+        i0 = np.searchsorted(self.nd_pos, lefts, side="left")
+        i1 = np.searchsorted(self.nd_pos, rights, side="right")
+        cnt = self.nd_prefix[i1] - self.nd_prefix[i0]              # [H, A]
+        if len(self.del_pos):
+            dmask = (((self.del_pos[None, :] >= lefts[:, None])
+                      & (self.del_pos[None, :] <= rights[:, None]))
+                     | ((self.del_right[None, :] >= lefts[:, None])
+                        & (self.del_right[None, :] <= rights[:, None])))
+            cnt = cnt + dmask.astype(np.int32) @ \
+                self.del_links.astype(np.int32)
+        vp = self._vp_ext[vars_]                                   # [H, K]
+        vr = self._vr_ext[vars_]
+        in_range = (((vp >= lefts[:, None]) & (vp <= rights[:, None]))
+                    | ((vr >= lefts[:, None]) & (vr <= rights[:, None])))
+        kv = in_range.sum(axis=1).astype(np.int32)                 # [H]
+        excl = (cnt - kv[:, None]) > 0
+        return (incl & ~excl).astype(np.int32)
 
 
 class StatAccumulator:

@@ -320,6 +320,36 @@ class GeneTyper:
         cache[ht_str] = out
         return out
 
+    def ht_masks_batch_host(self, ht_strs, novel: NovelVars, cache):
+        """Fill `cache` for every ht with one vectorized host batch
+        (numpy twin of ht_masks_batch; row-identical to ht_masks)."""
+        todo = [h for h in ht_strs if h not in cache]
+        if not todo:
+            return
+        sub_hts = []
+        groups = []
+        for ht_str in todo:
+            left, right, ops = self.count_ht(ht_str, novel)
+            exon_p = get_exon_haplotypes((left, right, ops), self.gene.exons)
+            prim_p = get_exon_haplotypes((left, right, ops),
+                                         self.gene.primary_exons)
+            groups.append((len(exon_p), len(prim_p)))
+            for l, r, o in [(left, right, ops)] + exon_p + prim_p:
+                sub_hts.append((l, r, [op.var_idx for op in o]))
+        masks = self.counter.alleles_for_hts_batch(sub_hts)
+        A = self.gene.n_alleles
+        at = 0
+        for ht_str, (n_exon, n_prim) in zip(todo, groups):
+            full = masks[at]
+            at += 1
+            exon = masks[at:at + n_exon].sum(axis=0) if n_exon \
+                else np.zeros(A, np.int32)
+            at += n_exon
+            primary = masks[at:at + n_prim].sum(axis=0) if n_prim \
+                else np.zeros(A, np.int32)
+            at += n_prim
+            cache[ht_str] = (full, exon, primary)
+
     def ht_masks_batch(self, ht_strs, novel: NovelVars, cache):
         """Fill `cache` for every ht in `ht_strs` with one device batch.
 
@@ -529,6 +559,8 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     use_device = opts.device_counting == "on"
     if use_device:
         typer.ht_masks_batch(sorted(unique_hts), novel, ht_cache)
+    else:
+        typer.ht_masks_batch_host(sorted(unique_hts), novel, ht_cache)
 
     # fold identical ht sets into one weighted add_read: tiled reads
     # repeat (first-seen class creation order is preserved because equal

@@ -64,6 +64,19 @@ class Mpileup:
         for aln in alns:
             codes = aln.codes if aln.codes is not None \
                 else encode_seq(aln.seq)
+            # indel-free alignments (the common case) cover one contiguous
+            # backbone span with the whole read: one segment, no walk
+            for entry in aln.cmp:
+                if entry[0] not in ("match", "mismatch"):
+                    break
+            else:
+                pos = aln.cmp[0][1] if aln.cmp else aln.pos
+                n = min(len(codes), P - pos)
+                if n > 0:
+                    seg_start.append(pos)
+                    seg_len.append(n)
+                    code_chunks.append(codes[:n])
+                continue
             read_pos = 0
             for entry in aln.cmp:
                 kind, pos, length = entry[0], entry[1], entry[2]

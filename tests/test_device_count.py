@@ -60,3 +60,30 @@ def test_pallas_kernel_matches_gather(generef):
     a = dc_j.compat_masks(lefts, rights, vars_)
     b = dc_p.compat_masks(lefts, rights, vars_)
     assert np.array_equal(a, b)
+
+
+def test_host_batch_masks_match_single(generef):
+    """alleles_for_hts_batch rows must be identical to alleles_for_ht."""
+    import numpy as np
+    from hgtpu.typer.counting import GeneCounter, HtOp
+
+    g = generef
+    counter = GeneCounter(g)
+    rng = np.random.default_rng(3)
+    sub_hts = []
+    for _ in range(50):
+        left = int(rng.integers(0, len(g.backbone) - 120))
+        right = left + int(rng.integers(30, 120))
+        n = int(rng.integers(0, 4))
+        vis = [int(v) for v in rng.integers(0, g.n_vars, n)]
+        ops = [HtOp(("mismatch", "deletion", "insertion")[int(g.var_type[v])],
+                    int(g.var_pos[v]), int(g.var_len[v]), v, g.var_data[v])
+               for v in vis]
+        if rng.random() < 0.3:
+            ops.append(HtOp("mismatch", left + 5, 1, -1, "A"))  # novel
+        sub_hts.append((left, right, ops))
+    batch = counter.alleles_for_hts_batch(
+        [(l, r, [o.var_idx for o in ops]) for l, r, ops in sub_hts])
+    for h, (l, r, ops) in enumerate(sub_hts):
+        single = counter.alleles_for_ht(l, r, ops).astype(np.int32)
+        assert (batch[h] == single).all(), h
