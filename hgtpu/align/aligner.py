@@ -22,7 +22,8 @@ class GeneAligner:
     def __init__(self, gene: GeneRef, num_editdist: int = 2,
                  top_k: int = 8, min_seed_frac: float = 0.3,
                  device_batch: int = 512, pad_len: int = 128,
-                 use_native: str = "auto", leftmost: bool = False):
+                 use_native: str = "auto", leftmost: bool = False,
+                 haplotype_paths: bool = True):
         # leftmost=True prefers the smallest-start spelling among
         # equal-cost alignments — required for STR (CODIS) loci where
         # repeat periodicity makes right-shifted plain spellings cost-0
@@ -30,7 +31,8 @@ class GeneAligner:
         # --enable-codis, typing_common.py:1012-1016)
         self.gene = gene
         self.pwm = backbone_pwm(gene)
-        self.verifier = GeneVerifier(gene, max_novel=num_editdist)
+        self.verifier = GeneVerifier(gene, max_novel=num_editdist,
+                                     haplotype_paths=haplotype_paths)
         self.num_editdist = num_editdist
         self.top_k = top_k
         self.min_seed_frac = min_seed_frac
@@ -62,7 +64,8 @@ class GeneAligner:
         if use_native in ("auto", "on"):
             from .native_verify import NativeVerifier, native_available
             if native_available():
-                self.native = NativeVerifier(gene, max_novel=num_editdist)
+                self.native = NativeVerifier(gene, max_novel=num_editdist,
+                                             haplotype_paths=haplotype_paths)
             elif use_native == "on":
                 raise RuntimeError("native verifier requested but "
                                    "native/libhgtpu_native.so is missing")

@@ -63,7 +63,8 @@ class NativeVerifier:
     """Holds the native gene tables; mirrors GeneVerifier's contract."""
 
     def __init__(self, gene: GeneRef, max_novel: int = 2,
-                 allow_novel_indels: bool = True, threads: int = None):
+                 allow_novel_indels: bool = True, threads: int = None,
+                 haplotype_paths: bool = True):
         lib = _load()
         assert lib, "native library not built (make -C native)"
         self.lib = lib
@@ -137,6 +138,20 @@ class NativeVerifier:
             ctypes.c_int64(len(i_pos)),
             _i8p(ins_blob), ctypes.c_int64(len(ins_blob)),
         ))
+        if haplotype_paths and gene.haplotypes \
+                and hasattr(lib, "hgtpu_gene_set_hap"):
+            from .verify import build_haplotype_constraint
+            disallowed, cover_right = build_haplotype_constraint(gene)
+            dis = sorted(disallowed)
+            crs = sorted(cover_right.items())
+            lib.hgtpu_gene_set_hap(
+                self.handle,
+                _i32p(np.array([u for u, _ in dis], np.int32)),
+                _i32p(np.array([v for _, v in dis], np.int32)),
+                ctypes.c_int64(len(dis)),
+                _i32p(np.array([v for v, _ in crs], np.int32)),
+                _i32p(np.array([r for _, r in crs], np.int32)),
+                ctypes.c_int64(len(crs)))
 
     def __del__(self):
         try:

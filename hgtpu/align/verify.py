@@ -19,9 +19,46 @@ from ..db.catalog import GeneRef, VT_SINGLE, VT_DELETION, VT_INSERTION
 from ..utils.dna import encode_seq
 
 
+def build_haplotype_constraint(gene: GeneRef):
+    """(disallowed pair set, cover_right map) for catalog indel variants.
+
+    A pair (u, v) is disallowed when some haplotype row's interval covers
+    both variants' spans yet no allele carries both (links AND empty).
+    cover_right[u] = the rightmost row end among rows starting at or
+    before u — past it, u can no longer constrain later branches.
+    """
+    indels = [vi for vi in range(gene.n_vars)
+              if int(gene.var_type[vi]) != VT_SINGLE]
+    if not indels or not gene.haplotypes:
+        return frozenset(), {}
+    rows = [(int(l), int(r)) for l, r, _ in gene.haplotypes]
+    row_l = np.array([l for l, _ in rows], dtype=np.int64)
+    row_r = np.array([r for _, r in rows], dtype=np.int64)
+    disallowed = set()
+    cover_right = {}
+    for u in indels:
+        pu = int(gene.var_pos[u])
+        starts_before = row_l <= pu
+        cover_right[u] = int(row_r[starts_before].max()) \
+            if starts_before.any() else -1
+    for a_i, u in enumerate(indels):
+        for v in indels[a_i + 1:]:
+            lo = min(int(gene.var_pos[u]), int(gene.var_pos[v]))
+            hi = max(int(gene.var_right[u]), int(gene.var_right[v]))
+            covered = bool(((row_l <= lo) & (row_r >= hi)).any())
+            if not covered:
+                continue
+            together = bool((gene.links[u] & gene.links[v]).any())
+            if not together:
+                disallowed.add((u, v))
+                disallowed.add((v, u))
+    return frozenset(disallowed), cover_right
+
+
 class GeneVerifier:
     def __init__(self, gene: GeneRef, max_novel: int = 2,
-                 allow_novel_indels: bool = True):
+                 allow_novel_indels: bool = True,
+                 haplotype_paths: bool = True):
         self.gene = gene
         self.max_novel = max_novel
         self.allow_novel_indels = allow_novel_indels
@@ -43,6 +80,18 @@ class GeneVerifier:
         self.indel_pos = np.array(
             sorted(set(self.dels_at) | set(self.ins_at)), dtype=np.int64
         )
+        # haplotype-window path constraint (reference --haplotype,
+        # typing_common.py:995-1027 / hisat2-build --haplotype): within a
+        # span covered by an observed haplotype window, two catalog indels
+        # may only combine when some allele carries both; outside covered
+        # spans recombination is unconstrained (hisat2 chains across
+        # windows).  hap_disallowed holds the forbidden ordered pairs;
+        # hap_cover_right[v] bounds how far v's constraint can reach.
+        self.hap_disallowed = frozenset()
+        self.hap_cover_right = {}
+        if haplotype_paths and gene.haplotypes:
+            self.hap_disallowed, self.hap_cover_right = \
+                build_haplotype_constraint(gene)
 
     # ------------------------------------------------------------------ #
     def verify(self, read: np.ndarray, start_pos: int):
@@ -76,7 +125,19 @@ class GeneVerifier:
                 best["cost"] = cost
                 best["ops"] = list(ops)
 
-        def dfs(ri, pos, budget, ops, skip_indel=False):
+        hap_disallowed = self.hap_disallowed
+        hap_cover_right = self.hap_cover_right
+
+        def hap_ok(vi, ops):
+            if not hap_disallowed:
+                return True
+            for e in ops:
+                if e[3] >= 0 and e[0] != "mismatch" \
+                        and (e[3], vi) in hap_disallowed:
+                    return False
+            return True
+
+        def dfs(ri, pos, budget, ops, skip_indel=False, act_r=-1):
             if ri == m:
                 finish(budget, ops)
                 return
@@ -87,21 +148,31 @@ class GeneVerifier:
                 seen = memo.get(key)
                 if seen is not None and seen >= budget:
                     return
-                memo[key] = budget
+                if pos > act_r:
+                    # store only constraint-free states: a memoized visit
+                    # must represent the maximal exploration for (ri, pos)
+                    memo[key] = budget
                 if ri > 0 and (pos in dels_at or pos in ins_at):
                     # plain (backbone-closest) spelling explored first
-                    dfs(ri, pos, budget, ops, skip_indel=True)
+                    dfs(ri, pos, budget, ops, skip_indel=True, act_r=act_r)
                     for dlen, vi in dels_at.get(pos, ()):
+                        if not hap_ok(vi, ops):
+                            continue
                         ops.append(("deletion", pos, dlen, vi, str(dlen)))
-                        dfs(ri, pos + dlen, budget, ops)
+                        dfs(ri, pos + dlen, budget, ops,
+                            act_r=max(act_r, hap_cover_right.get(vi, -1)))
                         ops.pop()
                     for ins_codes, vi in ins_at.get(pos, ()):
                         d = len(ins_codes)
                         if ri + d <= m and np.array_equal(read[ri:ri + d],
                                                           ins_codes):
+                            if not hap_ok(vi, ops):
+                                continue
                             ops.append(("insertion", pos, d, vi,
                                         "".join("ACGT"[c] for c in ins_codes)))
-                            dfs(ri + d, pos, budget, ops)
+                            dfs(ri + d, pos, budget, ops,
+                                act_r=max(act_r,
+                                          hap_cover_right.get(vi, -1)))
                             ops.pop()
                     return
             # --- advance along the diagonal to the next event --- #
@@ -112,7 +183,7 @@ class GeneVerifier:
                 adv = min(nm, ni, span)
                 if not (adv == nm and nm < ni and nm < span):
                     # stop at an indel-var position, read end, or ref end
-                    dfs(ri + adv, pos + adv, budget, ops)
+                    dfs(ri + adv, pos + adv, budget, ops, act_r=act_r)
                     return
                 # otherwise: plain mismatch event strictly before any
                 # indel-variant position
@@ -123,25 +194,25 @@ class GeneVerifier:
             vi = single_at.get((pos, base), -1)
             if vi >= 0:
                 ops.append(("mismatch", pos, 1, vi, "ACGT"[base]))
-                dfs(ri + 1, pos + 1, budget, ops)
+                dfs(ri + 1, pos + 1, budget, ops, act_r=act_r)
                 ops.pop()
                 return
             if budget > 0:
                 ops.append(("mismatch", pos, 1, -1, "ACGTN."[base]))
-                dfs(ri + 1, pos + 1, budget - 1, ops)
+                dfs(ri + 1, pos + 1, budget - 1, ops, act_r=act_r)
                 ops.pop()
             if self.allow_novel_indels and ri > 0:
                 for d in (1, 2):
                     if budget - d < 0:
                         continue
                     ops.append(("deletion", pos, d, -1, str(d)))
-                    dfs(ri, pos + d, budget - d, ops)
+                    dfs(ri, pos + d, budget - d, ops, act_r=act_r)
                     ops.pop()
                     if ri + d <= m:
                         ins_seq = "".join("ACGTN."[int(c)]
                                           for c in read[ri:ri + d])
                         ops.append(("insertion", pos, d, -1, ins_seq))
-                        dfs(ri + d, pos, budget - d, ops)
+                        dfs(ri + d, pos, budget - d, ops, act_r=act_r)
                         ops.pop()
 
         dfs(0, start_pos, self.max_novel, [])

@@ -186,7 +186,7 @@ def error_correct(gene: GeneRef, mpileup: Mpileup, cmp_list, read_seq,
             n = min(length, len(seq) - read_pos, len(ref_seq) - left)
             if n > 0:
                 codes = read_codes[read_pos:read_pos + n]
-                in_rep = (codes < 4) & rep[np.arange(left, left + n),
+                in_rep = (codes < 4) & rep[mpileup._ramp[left:left + n],
                                            np.clip(codes, 0, 3)]
                 bad = rep_any[left:left + n] & ~in_rep
                 bad_js = np.flatnonzero(bad)

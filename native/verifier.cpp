@@ -15,6 +15,7 @@
 #include <cstring>
 #include <thread>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -48,6 +49,16 @@ struct GeneTables {
   // per indel_pos entry: [start,end) into dels and inss arrays (which are
   // grouped by position in construction order)
   std::vector<int32_t> d_start, d_end, i_start, i_end;
+  // haplotype-window path constraint (mirrors
+  // hgtpu.align.verify.build_haplotype_constraint): forbidden ordered
+  // catalog-indel pairs and per-variant constraint reach
+  std::unordered_set<int64_t> hap_disallowed;
+  std::unordered_map<int32_t, int32_t> hap_cover_right;
+
+  int32_t cover_right_of(int32_t vi) const {
+    auto it = hap_cover_right.find(vi);
+    return it == hap_cover_right.end() ? -1 : it->second;
+  }
 
   int32_t single_at(int32_t pos, int8_t base) const {
     // binary search over s_pos then scan equal range
@@ -94,7 +105,19 @@ struct Search {
     }
   }
 
-  void dfs(int32_t ri, int32_t pos, int32_t budget, bool skip_indel) {
+  bool hap_ok(int32_t vi) const {
+    if (g->hap_disallowed.empty()) return true;
+    for (int32_t k = 0; k < nops; ++k) {
+      const Op& o = ops[k];
+      if (o.var >= 0 && o.kind != OP_MISMATCH &&
+          g->hap_disallowed.count(((int64_t)o.var << 32) | (uint32_t)vi))
+        return false;
+    }
+    return true;
+  }
+
+  void dfs(int32_t ri, int32_t pos, int32_t budget, bool skip_indel,
+           int32_t act_r) {
     const GeneTables& G = *g;
     const int64_t P = (int64_t)G.bb.size();
     if (ri == m) { finish(budget); return; }
@@ -104,15 +127,18 @@ struct Search {
       int64_t key = ((int64_t)ri << 32) | (uint32_t)pos;
       auto it = memo.find(key);
       if (it != memo.end() && it->second >= budget) return;
-      memo[key] = budget;
+      // store only constraint-free states (see verify.py)
+      if (pos > act_r) memo[key] = budget;
       if (ri > 0) {
         size_t lb = G.indel_lb(pos);
         if (lb < G.indel_pos.size() && G.indel_pos[lb] == pos) {
           // plain spelling first
-          dfs(ri, pos, budget, true);
+          dfs(ri, pos, budget, true, act_r);
           for (int32_t k = G.d_start[lb]; k < G.d_end[lb]; ++k) {
+            if (!hap_ok(G.d_vi[k])) continue;
             ops[nops++] = {OP_DELETION, pos, G.d_len[k], G.d_vi[k], ri};
-            dfs(ri, pos + G.d_len[k], budget, false);
+            dfs(ri, pos + G.d_len[k], budget, false,
+                std::max(act_r, G.cover_right_of(G.d_vi[k])));
             --nops;
           }
           for (int32_t k = G.i_start[lb]; k < G.i_end[lb]; ++k) {
@@ -120,8 +146,10 @@ struct Search {
             if (ri + d <= m &&
                 std::memcmp(read + ri, G.ins_blob.data() + G.i_off[k], d)
                     == 0) {
+              if (!hap_ok(G.i_vi[k])) continue;
               ops[nops++] = {OP_INSERTION, pos, d, G.i_vi[k], ri};
-              dfs(ri + d, pos, budget, false);
+              dfs(ri + d, pos, budget, false,
+                  std::max(act_r, G.cover_right_of(G.i_vi[k])));
               --nops;
             }
           }
@@ -142,7 +170,7 @@ struct Search {
                        : (int32_t)std::min<int64_t>(P + m, INT32_MAX / 2);
       int32_t adv = std::min(std::min(nm, ni), span);
       if (!(adv == nm && nm < ni && nm < span)) {
-        dfs(ri + adv, pos + adv, budget, false);
+        dfs(ri + adv, pos + adv, budget, false, act_r);
         return;
       }
       ri += nm;
@@ -153,24 +181,24 @@ struct Search {
     int32_t vi = G.single_at(pos, base);
     if (vi >= 0) {
       ops[nops++] = {OP_MISMATCH, pos, 1, vi, ri};
-      dfs(ri + 1, pos + 1, budget, false);
+      dfs(ri + 1, pos + 1, budget, false, act_r);
       --nops;
       return;
     }
     if (budget > 0) {
       ops[nops++] = {OP_MISMATCH, pos, 1, -1, ri};
-      dfs(ri + 1, pos + 1, budget - 1, false);
+      dfs(ri + 1, pos + 1, budget - 1, false, act_r);
       --nops;
     }
     if (novel_indels && ri > 0) {
       for (int32_t d = 1; d <= 2; ++d) {
         if (budget - d < 0) continue;
         ops[nops++] = {OP_DELETION, pos, d, -1, ri};
-        dfs(ri, pos + d, budget - d, false);
+        dfs(ri, pos + d, budget - d, false, act_r);
         --nops;
         if (ri + d <= m) {
           ops[nops++] = {OP_INSERTION, pos, d, -1, ri};
-          dfs(ri + d, pos, budget - d, false);
+          dfs(ri + d, pos, budget - d, false, act_r);
           --nops;
         }
       }
@@ -217,6 +245,22 @@ GeneTables* hgtpu_gene_create(
 
 void hgtpu_gene_destroy(GeneTables* g) { delete g; }
 
+// Install the haplotype-window path constraint: `dis_u/dis_v` list the
+// forbidden ordered pairs (both orders supplied by the caller), and
+// (cr_var, cr_val) the per-variant constraint reach.
+void hgtpu_gene_set_hap(GeneTables* g,
+                        const int32_t* dis_u, const int32_t* dis_v,
+                        int64_t n_dis,
+                        const int32_t* cr_var, const int32_t* cr_val,
+                        int64_t n_cr) {
+  g->hap_disallowed.clear();
+  g->hap_cover_right.clear();
+  for (int64_t i = 0; i < n_dis; ++i)
+    g->hap_disallowed.insert(((int64_t)dis_u[i] << 32) | (uint32_t)dis_v[i]);
+  for (int64_t i = 0; i < n_cr; ++i)
+    g->hap_cover_right[cr_var[i]] = cr_val[i];
+}
+
 // Verify flattened (read, start) pairs.  Outputs per pair:
 //   out_cost[i]  best novel-edit cost, or -1 when no alignment found
 //   out_nops[i]  number of ops
@@ -245,7 +289,7 @@ void hgtpu_verify_batch(
       s.best_cost = max_novel + 1;
       s.best_nops = 0;
       s.nops = 0;
-      s.dfs(0, start, max_novel, false);
+      s.dfs(0, start, max_novel, false, -1);
       if (s.best_cost <= max_novel) {
         out_cost[i] = s.best_cost;
         out_nops[i] = s.best_nops;
