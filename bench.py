@@ -42,9 +42,10 @@ def main():
     reads_2 = [(r.name, r.seq) for r in r2]
     n_reads = len(reads_1) + len(reads_2)
 
-    # warm-up (compile)
+    # warm-up (compile): full-size run so every (chunk, length) placement
+    # shape is compiled before the measured runs
     _note("warm-up / compile")
-    type_reads(ref, reads_1[:64], reads_2[:64], aligner=aligner)
+    type_reads(ref, reads_1, reads_2, aligner=aligner)
     _note("measuring")
 
     # best of 3: the TPU tunnel adds +-40% dispatch-latency noise, so the

@@ -13,7 +13,7 @@ import numpy as np
 from ..db.catalog import GeneRef
 from ..ops.placement import (backbone_pwm, encode_reads,
                              place_with_orientation, resolve_placement)
-from ..utils.dna import decode_seq, encode_seq, revcomp_encoded
+from ..utils.dna import decode_seq
 from .types import ReadAln
 from .verify import GeneVerifier
 
@@ -21,7 +21,7 @@ from .verify import GeneVerifier
 class GeneAligner:
     def __init__(self, gene: GeneRef, num_editdist: int = 2,
                  top_k: int = 8, min_seed_frac: float = 0.3,
-                 device_batch: int = 512, pad_len: int = 128,
+                 device_batch: int = 4096, pad_len: int = 128,
                  use_native: str = "auto", leftmost: bool = False,
                  haplotype_paths: bool = True):
         # leftmost=True prefers the smallest-start spelling among
@@ -46,13 +46,21 @@ class GeneAligner:
         # catalog SNP).  Padded with PAD always-False rows per side so
         # shifted-diagonal gathers never need clamping.
         self._LB_PAD = max(4, num_editdist + 2)
+        # 2048 always-False tail rows let batched gathers index
+        # start + read_offset without clamping (reads are far shorter)
+        self._LB_TAIL = 2048
         P = len(gene.backbone)
-        tbl = np.zeros((P + 2 * self._LB_PAD, 6), dtype=bool)
+        tbl = np.zeros((P + 2 * self._LB_PAD + self._LB_TAIL, 6),
+                       dtype=bool)
         bb = self.verifier.bb
         tbl[self._LB_PAD + np.arange(P), bb] = True
         for (pos, base) in self.verifier.single_at:
             tbl[self._LB_PAD + pos, base] = True
         self._match_ok6 = tbl
+        # backbone codes padded the same way (sentinel 6 never matches)
+        bb_pad = np.full(len(tbl), 6, dtype=np.int8)
+        bb_pad[self._LB_PAD:self._LB_PAD + P] = bb
+        self._bb_pad = bb_pad
         # +-num_editdist dilation along positions: one gather answers
         # "free on ANY shifted diagonal" for the lower-bound filter
         dil = tbl.copy()
@@ -73,56 +81,74 @@ class GeneAligner:
     def align_batch(self, read_ids, seqs, mate: str):
         """Align reads; returns list[ReadAln | None].
 
-        Device work runs in fixed-shape chunks of `device_batch` reads
-        padded to a multiple of `pad_len` bases so XLA compiles the
-        placement kernel once per (chunk, length-bucket) shape.
-
         mate: 'L' reads are used as-is-forward-preferred, 'R' reads are
         expected reverse-complemented (both orientations are always
         scored; the better one wins, ref SAM flag 0x10 equivalent).
         """
-        # phase 1: dispatch every chunk's placement to the device without
-        # blocking (jax async dispatch overlaps device compute + transfer
-        # latency with the host-side verification of earlier chunks)
-        B = self.device_batch
-        chunks_placed = []
-        for i in range(0, len(seqs), B):
-            chunk_ids = list(read_ids[i:i + B])
-            chunk = list(seqs[i:i + B])
-            pad = B - len(chunk)
-            if pad:
-                chunk += ["A" * 32] * pad
-                chunk_ids += ["__pad__"] * pad
-            chunks_placed.append((chunk_ids, chunk, pad,
-                           self._place_chunk(chunk)))
-        # phase 2: one bulk device->host fetch for every chunk (each
-        # per-buffer fetch pays a full tunnel round trip), then verify
+        return self.align_batches([(read_ids, seqs, mate)])[0]
+
+    def align_batches(self, groups):
+        """Align several read groups ([(read_ids, seqs, mate)], e.g. both
+        mates) with ALL device placement dispatched up front and ONE bulk
+        device->host fetch — on a tunneled chip every extra fetch pays a
+        full round trip.  Device work runs in fixed power-of-two chunks
+        (<= device_batch) padded to a multiple of `pad_len` bases so XLA
+        compiles the placement kernel once per (chunk, length) shape.
+
+        Returns one result list per group.
+        """
         import jax
 
+        chunks_placed = []
+        for gi, (read_ids, seqs, _mate) in enumerate(groups):
+            # smallest power-of-two chunk that fits the group, capped at
+            # device_batch: fewest dispatches without over-padding
+            B = 512
+            while B < min(len(seqs), self.device_batch):
+                B *= 2
+            B = min(B, self.device_batch)
+            for i in range(0, len(seqs), B):
+                chunk_ids = list(read_ids[i:i + B])
+                chunk = list(seqs[i:i + B])
+                pad = B - len(chunk)
+                if pad:
+                    chunk += ["A" * 32] * pad
+                    chunk_ids += ["__pad__"] * pad
+                chunks_placed.append((gi, chunk_ids, chunk, pad,
+                                      self._place_chunk(chunk)))
         fetched = jax.device_get(
-            [entry[3][2] for entry in chunks_placed])  # the device handles
-        out = []
-        for (chunk_ids, chunk, pad, placed), host_out in zip(chunks_placed,
-                                                             fetched):
-            placed = (placed[0], placed[1], host_out, placed[3])
-            res = self._align_chunk(chunk_ids, chunk, mate, placed)
-            out.extend(res[: B - pad] if pad else res)
+            [entry[4][2] for entry in chunks_placed])  # the device handles
+        out = [[] for _ in groups]
+        for (gi, chunk_ids, chunk, pad, placed), host_out in zip(
+                chunks_placed, fetched):
+            placed = placed[:2] + (host_out,) + placed[3:]
+            res = self._align_chunk(chunk_ids, chunk, groups[gi][2], placed)
+            out[gi].extend(res[: len(res) - pad] if pad else res)
         return out
+
+    _COMP = np.array([3, 2, 1, 0, 4, 5], dtype=np.int8)
 
     def _place_chunk(self, seqs):
         max_len = max(len(s) for s in seqs)
         max_len = ((max_len + self.pad_len - 1) // self.pad_len) * self.pad_len
         n = len(seqs)
-        fwd = encode_reads(seqs, max_len)
-        fwd_codes = [encode_seq(s) for s in seqs]
-        rc_codes = [revcomp_encoded(c) for c in fwd_codes]
-        rc = np.full((n, max_len), 4, dtype=np.int8)
-        for i, c in enumerate(rc_codes):
-            rc[i, : len(c)] = c
+        fwd = encode_reads(seqs, max_len)               # [n, L] pad 4
+        lens = np.fromiter((min(len(s), max_len) for s in seqs),
+                           np.int64, n)
+        # vectorized reverse complement of every row: the reversed row
+        # carries read i at [L-m, L); shift it left by L-m via one gather
+        j = np.arange(max_len)
+        rev = fwd[:, ::-1]
+        idx = np.minimum(j[None, :] + (max_len - lens)[:, None],
+                         max_len - 1)
+        rc = self._COMP[rev[np.arange(n)[:, None], idx]]
+        rc[j[None, :] >= lens[:, None]] = 4
+        fwd_codes = [fwd[i, : lens[i]] for i in range(n)]
+        rc_codes = [rc[i, : lens[i]] for i in range(n)]
         device_out = place_with_orientation(
             self.pwm, fwd, rc, top_k=self.top_k, block=False,
             ext_cache=self._ext_cache)
-        return fwd_codes, rc_codes, device_out, max_len
+        return fwd_codes, rc_codes, device_out, max_len, fwd, rc, lens
 
     def _align_chunk(self, read_ids, seqs, mate: str, placed=None):
         n = len(seqs)
@@ -130,8 +156,17 @@ class GeneAligner:
             return []
         if placed is None:
             placed = self._place_chunk(seqs)
-        fwd_codes, rc_codes, device_out, max_len = placed
+        fwd_codes, rc_codes, device_out, max_len, fwd_pad, rc_pad, lens = \
+            placed
         sf, pf, sr, pr, use_rc = resolve_placement(device_out, n, max_len)
+
+        # batched exact-diagonal fast path: a full placement score means
+        # every base matches the backbone or a known SNP on the plain
+        # diagonal; one chunk-wide gather resolves those reads outright
+        # (the spelling the DFS would prefer)
+        fast_ops = self._fast_exact_batch(
+            fwd_pad, rc_pad, lens, sf, pf, sr, pr, use_rc) \
+            if not self.leftmost else {}
 
         # pass 1: fast path; collect DFS work for the batch verifier
         results = [None] * n   # (cost, ops, start, clip_front, sub_len, is_rc)
@@ -140,17 +175,11 @@ class GeneAligner:
             if read_ids[i] == "__pad__":
                 continue
             m = len(fwd_codes[i])
-            # exact-diagonal fast path: a full placement score means every
-            # base matches the backbone or a known SNP -> the plain
-            # spelling the DFS would prefer, resolved vectorized
             is_rc = bool(use_rc[i])
-            cand_s, cand_p = (sr[i], pr[i]) if is_rc else (sf[i], pf[i])
-            if cand_s[0] >= m and not self.leftmost:
-                codes = rc_codes[i] if is_rc else fwd_codes[i]
-                fast = self._fast_exact(codes, int(cand_p[0]), m)
-                if fast is not None:
-                    results[i] = (fast, [], is_rc)
-                    continue
+            fast = fast_ops.get(i)
+            if fast is not None:
+                results[i] = (fast, [], is_rc)
+                continue
             order = [(True, rc_codes[i], pr[i], sr[i]),
                      (False, fwd_codes[i], pf[i], sf[i])]
             if not use_rc[i]:
@@ -286,35 +315,53 @@ class GeneAligner:
         else:
             q = np.full(E, sentinel, dtype=np.int64)
         w_eff = np.minimum(lens, np.maximum(q - starts - B, 0))
-        W = int(min(lens.max(), max(1, w_eff.max())))
+        W = int(min(lens.max(), max(1, w_eff.max()), self._LB_TAIL))
         reads_pad = np.full((E, W), 5, dtype=np.int8)   # code 5 never free
         for i, r in enumerate(flat_reads):
             n = min(len(r), W)
             reads_pad[i, :n] = r[:n]
-        j = np.arange(W, dtype=np.int64)
-        base_idx = np.clip(starts[:, None] + j[None, :] + self._LB_PAD,
-                           0, len(self._match_ok6_dil) - 1)
+        j = np.arange(W, dtype=np.int32)
+        base_idx = (starts.astype(np.int32) + self._LB_PAD)[:, None] \
+            + j[None, :]
         ok_any = self._match_ok6_dil[base_idx, reads_pad]
         in_win = j[None, :] < w_eff[:, None]
         lb = (in_win & ~ok_any).sum(axis=1)
         return lb <= self.num_editdist
 
-    def _fast_exact(self, codes, start, m):
-        """Cost-0 plain alignment when the full placement score is
-        attained: resolve SNP-matched positions via the variant lookup;
-        result is identical to the DFS's preferred plain spelling."""
-        v = self.verifier
-        if start < 0 or start + m > len(v.bb):
-            return None
-        diffs = np.flatnonzero(codes.astype(np.int16) != v.bb[start:start + m])
-        ops = []
-        for j in diffs.tolist():
-            base = int(codes[j])
-            vi = v.single_at.get((start + j, base))
-            if vi is None:
-                return None  # PWM/score mismatch edge; fall back to DFS
-            ops.append(("mismatch", start + j, 1, vi, "ACGT"[base]))
-        return 0, ops, start, 0, m
+    def _fast_exact_batch(self, fwd_pad, rc_pad, lens, sf, pf, sr, pr,
+                          use_rc):
+        """Chunk-wide _fast_exact: {row: (0, ops, start, 0, m)} for reads
+        whose best-orientation top candidate attains the full placement
+        score and whose every base is backbone- or catalog-SNP-free on
+        the plain diagonal."""
+        P = len(self.gene.backbone)
+        L = fwd_pad.shape[1]
+        s0 = np.where(use_rc, pr[:, 0], pf[:, 0]).astype(np.int64)
+        sc0 = np.where(use_rc, sr[:, 0], sf[:, 0])
+        valid = (s0 >= 0) & (s0 + lens <= P) & (sc0 >= lens)
+        if not valid.any():
+            return {}
+        codes_pad = np.where(use_rc[:, None], rc_pad, fwd_pad)
+        j = np.arange(L, dtype=np.int32)
+        idx = (s0.astype(np.int32) + self._LB_PAD)[:, None] + j[None, :]
+        np.clip(idx, 0, len(self._match_ok6) - 1, out=idx)
+        free = self._match_ok6[idx, codes_pad]
+        in_len = j[None, :] < lens[:, None]
+        ok = valid & ~(in_len & ~free).any(axis=1)
+        if not ok.any():
+            return {}
+        out = {int(i): (0, [], int(s0[i]), 0, int(lens[i]))
+               for i in np.flatnonzero(ok)}
+        mism = in_len & (codes_pad != self._bb_pad[idx]) & ok[:, None]
+        single_at = self.verifier.single_at
+        rows, cols = np.nonzero(mism)
+        for r_, c_ in zip(rows.tolist(), cols.tolist()):
+            pos = int(s0[r_]) + c_
+            base = int(codes_pad[r_, c_])
+            out[r_][1].append(
+                ("mismatch", pos, 1, single_at[(pos, base)],
+                 "ACGT"[base]))
+        return out
 
     def _proposal_entries(self, codes, cand_pos, cand_scores, m,
                           max_clip_frac=0.35):

@@ -24,12 +24,11 @@ def type_reads(gene: GeneRef, reads_1, reads_2=None, opts=None,
     aligner = aligner or GeneAligner(gene, num_editdist=opts.num_editdist,
                                      leftmost=opts.family == "codis")
     by_read = defaultdict(list)
-    alns1 = aligner.align_batch([n for n, _ in reads_1],
-                                [s for _, s in reads_1], "L")
-    batches = [alns1]
+    groups = [([n for n, _ in reads_1], [s for _, s in reads_1], "L")]
     if reads_2:
-        batches.append(aligner.align_batch([n for n, _ in reads_2],
-                                           [s for _, s in reads_2], "R"))
+        groups.append(([n for n, _ in reads_2],
+                       [s for _, s in reads_2], "R"))
+    batches = aligner.align_batches(groups)
     for alns in batches:
         for a in alns:
             if a is None:
