@@ -65,13 +65,17 @@ class PdfCanvas:
 
 
 def draw_assembly(path, backbone_len, panels, coverage=None, exons=()):
-    """panels: [(title, [(node_id, left, right, [var positions])])].
+    """panels: [(title, [(node_id, left, right, [var positions][, seq])])].
 
     coverage: {allele: [0..1] * backbone_len} drawn under the ruler.
+    At high zoom (short loci, e.g. CODIS STRs) node rows render their
+    per-base nucleotide text, as the reference renderer does when zoomed
+    (hisatgenotype_assembly_graph.py:1875-2230).
     """
     scale_x = 540.0 / max(1, backbone_len)
+    show_bases = scale_x >= 4.0
     margin = 30
-    row_h = 5
+    row_h = 8 if show_bases else 5
     height = margin * 2 + 60
     for _t, nodes in panels:
         height += 30 + row_h * (len(nodes) + 2)
@@ -110,13 +114,23 @@ def draw_assembly(path, backbone_len, panels, coverage=None, exons=()):
     for title, nodes in panels:
         c.text(margin, y, title, size=10)
         y -= 14
-        for node_id, left, right, var_pos in nodes:
+        for entry in nodes:
+            node_id, left, right, var_pos = entry[:4]
+            seq = entry[4] if len(entry) > 4 else None
             c.rect(margin + left * scale_x, y - 3,
                    max(0.5, (right - left + 1) * scale_x), 3.5,
                    rgb=(0.75, 0.75, 0.75))
             for vp in var_pos:
                 c.rect(margin + vp * scale_x, y - 3, max(0.5, scale_x), 3.5,
                        rgb=(0.85, 0.2, 0.2))
+            if show_bases and seq:
+                vset = set(var_pos)
+                size = min(6, int(scale_x))
+                for k, ch in enumerate(seq[: right - left + 1]):
+                    p = left + k
+                    c.text(margin + p * scale_x + 0.4, y - 2.4, ch,
+                           size=size,
+                           rgb=(0.7, 0.1, 0.1) if p in vset else (0, 0, 0))
             if len(nodes) <= 40:
                 c.text(margin + right * scale_x + 4, y - 3,
                        str(node_id)[:40], size=4)
@@ -136,5 +150,9 @@ def panel_from_nodes(graph, gene, nodes):
                 var_pos.append(int(gene.var_pos[gene.var_index(vid)]))
             except KeyError:
                 pass
-        out.append((node_id, node.left, node.right, var_pos))
+        try:
+            seq = node.get_seq()
+        except Exception:
+            seq = None
+        out.append((node_id, node.left, node.right, var_pos, seq))
     return out

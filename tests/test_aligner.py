@@ -138,3 +138,37 @@ def test_native_verifier_matches_python(generef):
             assert ops[i] == exp[1], (i, ops[i][:4], exp[1][:4])
             n_ok += 1
     assert n_ok > 100  # most exact-start probes verify
+
+
+def _aln_key(a):
+    if a is None:
+        return None
+    return (a.pos, a.right, a.nm, a.is_rc, a.seq,
+            tuple((k, p, ln, v, d) for k, p, ln, v, d in a.cmp))
+
+
+def test_batched_fast_path_matches_dfs(generef):
+    """The chunk-wide exact-diagonal fast path must produce exactly the
+    alignments the DFS slow path would (positions, cmp lists, costs)."""
+    import hgtpu.sim as sim
+
+    fast = GeneAligner(generef)
+    slow = GeneAligner(generef)
+    slow._fast_exact_batch = lambda *a, **kw: {}   # force DFS for all
+
+    rng = np.random.default_rng(17)
+    r1, r2, _ = sim.simulate_reads(
+        generef, list(generef.allele_names[:3]), simulate_interval=7,
+        perbase_errorrate=2.0, seed=0.5)
+    names = [r.name for r in r1] + [r.name for r in r2]
+    seqs = [r.seq for r in r1] + [r.seq for r in r2]
+    # plus random junk and clipped reads
+    for i in range(20):
+        n = int(rng.integers(40, 110))
+        seqs.append("".join("ACGT"[c] for c in rng.integers(0, 4, n)))
+        names.append("junk%d" % i)
+    a_fast = fast.align_batch(names, seqs, "L")
+    a_slow = slow.align_batch(names, seqs, "L")
+    assert len(a_fast) == len(a_slow)
+    for f, s, nm in zip(a_fast, a_slow, names):
+        assert _aln_key(f) == _aln_key(s), nm

@@ -53,3 +53,28 @@ def test_assembly_heterozygous(generef):
     assert res.assembly_call is not None
     called = set(res.assembly_call[0])
     assert called == {a1, a2}
+
+
+def test_pdf_per_base_zoom_text(tmp_path):
+    """At high zoom (short loci) node rows must render per-base text
+    (reference renderer parity, assembly_graph.py:1875-2230)."""
+    import re
+    import zlib
+
+    from hgtpu.assemble.pdf import draw_assembly
+
+    panels = [("a. Read alignment",
+               [("n0", 0, 19, [5], "ACGTACGTACGTACGTACGT")])]
+    p = draw_assembly(str(tmp_path / "zoom.pdf"), 60, panels,
+                      exons=[(2, 30)])
+    data = open(p, "rb").read()
+    assert data.endswith(b"%%EOF\n")
+    m = re.search(rb"stream\n(.*?)\nendstream", data, re.S)
+    ops = zlib.decompress(m.group(1)).decode("latin-1")
+    assert "(A) Tj" in ops and "(G) Tj" in ops
+    # wide loci must not draw per-base text
+    p2 = draw_assembly(str(tmp_path / "wide.pdf"), 3000,
+                       [("a", [("n0", 0, 99, [5], "ACGT" * 25)])])
+    m2 = re.search(rb"stream\n(.*?)\nendstream", open(p2, "rb").read(), re.S)
+    ops2 = zlib.decompress(m2.group(1)).decode("latin-1")
+    assert "(A) Tj" not in ops2
