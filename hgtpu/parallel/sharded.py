@@ -63,6 +63,32 @@ def sharded_place(mesh: Mesh, axis: str = "dp", top_k: int = 4):
     return jax.jit(step)
 
 
+def sharded_verify_filter(mesh: Mesh, axis: str = "dp", lb_pad: int = 4):
+    """Data-parallel verify-stage proposal filter (device twin of
+    GeneAligner._lb_keep): per (read, start) proposal, count read bases
+    that match neither backbone nor a catalog SNP on any diagonal within
+    the novel-indel budget — a provable lower bound on the proposal's
+    novel-edit cost.  Proposals sharded over the mesh; the dilated match
+    table replicated.
+
+    step(tbl_dil [R, 6] bool, reads [E, W] int8 (pad code 5),
+         starts [E] i32, w_eff [E] i32) -> lb [E] i32 sharded.
+    """
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(), P(axis), P(axis), P(axis)),
+                       out_specs=P(axis), check_rep=False)
+    def step(tbl_dil, reads, starts, w_eff):
+        W = reads.shape[1]
+        j = jnp.arange(W, dtype=jnp.int32)
+        idx = starts[:, None] + j[None, :] + lb_pad
+        ok = tbl_dil[idx, reads]
+        in_win = j[None, :] < w_eff[:, None]
+        return jnp.sum(in_win & ~ok, axis=1, dtype=jnp.int32)
+
+    return jax.jit(step)
+
+
 def sharded_count(mesh: Mesh, axis: str = "dp"):
     """Data-parallel compatibility counting + ICI-reduced allele totals.
 
@@ -95,17 +121,19 @@ def sharded_count(mesh: Mesh, axis: str = "dp"):
 
 
 def sharded_typing_step(mesh: Mesh, axis: str = "dp"):
-    """Combined demo step for the multi-chip dry run: placement + counting
-    + EM in one jitted program."""
+    """Combined demo step for the multi-chip dry run: placement + verify
+    filter + counting + EM, each stage a jitted shard_map program."""
     place = sharded_place(mesh, axis)
+    filt = sharded_verify_filter(mesh, axis)
     count = sharded_count(mesh, axis)
 
-    def step(pwm_ext, reads, dc_tables, lefts, rights, vars_, class_mask,
-             class_counts):
+    def step(pwm_ext, reads, tbl_dil, starts, w_eff, dc_tables, lefts,
+             rights, vars_, class_mask, class_counts):
         top_scores, top_pos = place(pwm_ext, reads)
+        lb = filt(tbl_dil, reads, starts, w_eff)
         masks, totals, prob = count(*dc_tables, lefts, rights, vars_,
                                     class_mask, class_counts)
-        return top_pos, totals, prob
+        return top_pos, lb, totals, prob
 
     return step
 

@@ -65,3 +65,29 @@ def test_sharded_count_matches_and_psums(generef):
     # psum-reduced totals equal the global per-allele sums
     assert np.array_equal(np.asarray(totals)[:A], single.sum(axis=0))
     assert abs(float(np.asarray(prob).sum()) - 1.0) < 1e-4
+
+
+def test_sharded_verify_filter_matches_numpy():
+    """Device lower-bound filter must equal the host formula on every
+    mesh size (proposals sharded, table replicated)."""
+    import jax.numpy as jnp
+
+    from hgtpu.parallel.sharded import make_mesh, sharded_verify_filter
+
+    rng = np.random.default_rng(23)
+    R, W, PAD = 300, 24, 4
+    tbl = rng.random((R + 2 * PAD + W, 6)) < 0.5
+    tbl[:, 4:] = False
+    for n_dev in (1, 2, 8):
+        E = 8 * n_dev
+        reads = rng.integers(0, 4, (E, W)).astype(np.int8)
+        starts = rng.integers(0, R - 1, E).astype(np.int32)
+        w_eff = rng.integers(0, W + 1, E).astype(np.int32)
+        j = np.arange(W)
+        ok = tbl[starts[:, None] + j[None, :] + PAD, reads]
+        want = ((j[None, :] < w_eff[:, None]) & ~ok).sum(axis=1)
+        mesh = make_mesh(n_dev)
+        filt = sharded_verify_filter(mesh, lb_pad=PAD)
+        got = np.asarray(filt(jnp.asarray(tbl), jnp.asarray(reads),
+                              jnp.asarray(starts), jnp.asarray(w_eff)))
+        assert (got == want).all(), n_dev
