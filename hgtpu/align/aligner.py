@@ -23,7 +23,7 @@ class GeneAligner:
                  top_k: int = 8, min_seed_frac: float = 0.3,
                  device_batch: int = 4096, pad_len: int = 128,
                  use_native: str = "auto", leftmost: bool = False,
-                 haplotype_paths: bool = True):
+                 haplotype_paths: bool = True, device_verify: str = "off"):
         # leftmost=True prefers the smallest-start spelling among
         # equal-cost alignments — required for STR (CODIS) loci where
         # repeat periodicity makes right-shifted plain spellings cost-0
@@ -68,6 +68,16 @@ class GeneAligner:
             dil[d:] |= tbl[:-d]
             dil[:-d] |= tbl[d:]
         self._match_ok6_dil = dil
+        # optional device verify backend: the banded variant-aware DP
+        # scores every proposal on device; the host DFS then extracts the
+        # edit script for each read's winning proposal only.  Entries the
+        # band can't represent (overflow flag) and winners whose DFS cost
+        # diverges (haplotype-window constraint) fall back to the full
+        # host path, so results are bit-identical to device_verify="off".
+        self._dp_tables = None
+        if device_verify == "on":
+            from ..ops.banded_dp import BandedDPTables
+            self._dp_tables = BandedDPTables(gene)
         self.native = None
         if use_native in ("auto", "on"):
             from .native_verify import NativeVerifier, native_available
@@ -221,39 +231,37 @@ class GeneAligner:
                     flat_meta = [flat_meta[k] for k in kept]
                     if not flat_reads:
                         continue
-                cost, nops, ops = self.native.verify_raw(flat_reads,
-                                                         flat_starts)
-                best = {}
-                for idx, (i, o_rc, cf, slen) in enumerate(flat_meta):
-                    c = int(cost[idx])
-                    if c < 0:
+                if self._dp_tables is not None and not self.leftmost:
+                    sel = self._dp_select(flat_reads, flat_starts,
+                                          flat_meta)
+                    if sel is not None:
+                        sel_r, sel_s, sel_m, dp_expect, over_reads = sel
+                        if sel_r:
+                            self._resolve_entries(sel_r, sel_s, sel_m,
+                                                  results)
+                        # the DP is exact modulo the haplotype-window
+                        # constraint and the band: reads whose winner
+                        # diverged (or overflowed) redo the full set
+                        redo = set(over_reads)
+                        for i, c_dp in dp_expect.items():
+                            r = results[i]
+                            if r is None or r[0][0] != c_dp:
+                                redo.add(i)
+                        if redo:
+                            rk = [k for k, m_ in enumerate(flat_meta)
+                                  if m_[0] in redo]
+                            self._resolve_entries(
+                                [flat_reads[k] for k in rk],
+                                [flat_starts[k] for k in rk],
+                                [flat_meta[k] for k in rk], results,
+                                clear=redo)
+                        unresolved = [po for po in unresolved
+                                      if results[po[0]] is None]
                         continue
-                    better = i not in best or c < best[i][0] or (
-                        self.leftmost and c == best[i][0]
-                        and int(flat_starts[idx]) < int(
-                            flat_starts[best[i][1]]))
-                    if better:
-                        best[i] = (c, idx, o_rc, cf, slen)
-                equal_alts = {}
-                if self.leftmost:
-                    for idx, (i, o_rc, cf, slen) in enumerate(flat_meta):
-                        c = int(cost[idx])
-                        if i in best and c == best[i][0] \
-                                and idx != best[i][1]:
-                            equal_alts.setdefault(i, []).append(
-                                (c, idx, o_rc, cf, slen))
-                for i, (c, idx, o_rc, cf, slen) in best.items():
-                    def tup(c_, idx_, cf_, slen_):
-                        return (c_,
-                                self.native.ops_entries(
-                                    flat_reads[idx_], int(nops[idx_]),
-                                    ops[idx_]),
-                                int(flat_starts[idx_]), cf_, slen_)
-                    others = [tup(c_, idx_, cf_, slen_)
-                              for c_, idx_, _rc, cf_, slen_ in
-                              equal_alts.get(i, ())]
-                    results[i] = (tup(c, idx, cf, slen), others, o_rc)
-                unresolved = [po for po in unresolved if po[0] not in best]
+                self._resolve_entries(flat_reads, flat_starts, flat_meta,
+                                      results)
+                unresolved = [po for po in unresolved
+                              if results[po[0]] is None]
 
         out = []
         for i in range(n):
@@ -285,6 +293,90 @@ class GeneAligner:
                             if a is not None][:8]
             out.append(aln)
         return out
+
+    def _resolve_entries(self, flat_reads, flat_starts, flat_meta, results,
+                         clear=None):
+        """Run the native verifier over proposal entries and install each
+        read's best (cost, then proposal-order; leftmost start in STR
+        mode) result into `results`.  `clear` lists read rows whose
+        previous result must be discarded first (device-verify
+        fallback)."""
+        if clear:
+            for i in clear:
+                results[i] = None
+        if not flat_reads:
+            return
+        cost, nops, ops = self.native.verify_raw(flat_reads, flat_starts)
+        best = {}
+        for idx, (i, o_rc, cf, slen) in enumerate(flat_meta):
+            c = int(cost[idx])
+            if c < 0:
+                continue
+            better = i not in best or c < best[i][0] or (
+                self.leftmost and c == best[i][0]
+                and int(flat_starts[idx]) < int(flat_starts[best[i][1]]))
+            if better:
+                best[i] = (c, idx, o_rc, cf, slen)
+        equal_alts = {}
+        if self.leftmost:
+            for idx, (i, o_rc, cf, slen) in enumerate(flat_meta):
+                c = int(cost[idx])
+                if i in best and c == best[i][0] and idx != best[i][1]:
+                    equal_alts.setdefault(i, []).append(
+                        (c, idx, o_rc, cf, slen))
+        for i, (c, idx, o_rc, cf, slen) in best.items():
+            def tup(c_, idx_, cf_, slen_):
+                return (c_,
+                        self.native.ops_entries(
+                            flat_reads[idx_], int(nops[idx_]), ops[idx_]),
+                        int(flat_starts[idx_]), cf_, slen_)
+            others = [tup(c_, idx_, cf_, slen_)
+                      for c_, idx_, _rc, cf_, slen_ in
+                      equal_alts.get(i, ())]
+            results[i] = (tup(c, idx, cf, slen), others, o_rc)
+
+    def _dp_select(self, flat_reads, flat_starts, flat_meta):
+        """Score every proposal with the banded device DP and keep each
+        read's first-minimal winner for host edit-script extraction.
+
+        Returns (reads, starts, meta, {read: device cost},
+        over_reads needing the full host path) or None on empty input.
+        """
+        E = len(flat_reads)
+        if E == 0:
+            return None
+        W = max(len(r) for r in flat_reads)
+        reads = np.full((E, W), 4, np.int8)
+        lens = np.zeros(E, np.int32)
+        for k, r in enumerate(flat_reads):
+            reads[k, : len(r)] = r
+            lens[k] = len(r)
+        cost, over = self._dp_tables.costs(
+            reads, lens, np.asarray(flat_starts, np.int32),
+            max_novel=self.num_editdist)
+        cost = np.asarray(cost)
+        over = np.asarray(over)
+        over_reads = set()
+        winner = {}
+        for idx, (i, _o_rc, _cf, _slen) in enumerate(flat_meta):
+            if over[idx]:
+                over_reads.add(i)
+                continue
+            c = int(cost[idx])
+            if c > self.num_editdist:
+                continue
+            if i not in winner or c < winner[i][0]:
+                winner[i] = (c, idx)
+        sel_r, sel_s, sel_m = [], [], []
+        dp_expect = {}
+        for i, (c, idx) in winner.items():
+            if i in over_reads:
+                continue
+            sel_r.append(flat_reads[idx])
+            sel_s.append(flat_starts[idx])
+            sel_m.append(flat_meta[idx])
+            dp_expect[i] = c
+        return sel_r, sel_s, sel_m, dp_expect, over_reads
 
     def _lb_keep(self, flat_reads, flat_starts):
         """Boolean keep-mask over proposal entries: False entries provably
