@@ -89,6 +89,34 @@ def sharded_verify_filter(mesh: Mesh, axis: str = "dp", lb_pad: int = 4):
     return jax.jit(step)
 
 
+def sharded_banded_dp(mesh: Mesh, axis: str = "dp", max_novel: int = 2):
+    """Data-parallel banded variant-aware DP (hgtpu.ops.banded_dp):
+    proposals sharded over the mesh, gene tables replicated.  Each chip
+    computes exact novel-edit costs for its proposal shard — the full
+    verify scoring stage on device.
+
+    step(free, del_len, ins_len, ins_seq, pos_over  (replicated tables),
+         reads [E, W] i8, lens [E] i32, starts [E] i32  (sharded), P)
+    -> (cost [E] i32, overflow [E] bool) sharded.
+    """
+    from ..ops.banded_dp import _banded_costs
+
+    def make(backbone_len):
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(P(), P(), P(), P(), P(),
+                                     P(axis), P(axis), P(axis)),
+                           out_specs=(P(axis), P(axis)),
+                           check_rep=False)
+        def step(free, del_len, ins_len, ins_seq, pos_over, reads, lens,
+                 starts):
+            return _banded_costs(free, del_len, ins_len, ins_seq, pos_over,
+                                 reads, lens, starts, backbone_len,
+                                 jnp.int32(max_novel))
+        return jax.jit(step)
+
+    return make
+
+
 def sharded_count(mesh: Mesh, axis: str = "dp"):
     """Data-parallel compatibility counting + ICI-reduced allele totals.
 

@@ -91,3 +91,44 @@ def test_sharded_verify_filter_matches_numpy():
         got = np.asarray(filt(jnp.asarray(tbl), jnp.asarray(reads),
                               jnp.asarray(starts), jnp.asarray(w_eff)))
         assert (got == want).all(), n_dev
+
+
+def test_sharded_banded_dp_matches_single():
+    """The sharded banded DP must return the single-device costs on
+    every mesh size."""
+    import jax.numpy as jnp
+
+    from hgtpu.db import build_gene_ref
+    from hgtpu.ops.banded_dp import BandedDPTables
+    from hgtpu.parallel.sharded import make_mesh, sharded_banded_dp
+    from hgtpu.utils.dna import encode_seq
+    from tests.synth import make_gene_msa
+
+    spec = make_gene_msa(seed=11, n_alleles=16, length=1200)
+    ref, _ = build_gene_ref("A", spec["names"], spec["rows"],
+                            spec["ref_allele"], min_var_freq=0.0)
+    tables = BandedDPTables(ref)
+    rng = np.random.default_rng(5)
+    E, W = 32, 80
+    reads = np.full((E, W), 4, np.int8)
+    lens = np.full(E, W, np.int32)
+    starts = np.zeros(E, np.int32)
+    for i in range(E):
+        a = ref.allele_names[int(rng.integers(0, ref.n_alleles))]
+        seq = ref.allele_seq(a)
+        s = int(rng.integers(0, len(seq) - W - 4))
+        r = list(seq[s:s + W])
+        if rng.random() < 0.5:
+            r[int(rng.integers(1, W - 1))] = "ACGT"[int(rng.integers(0, 4))]
+        reads[i] = encode_seq("".join(r))
+        starts[i] = s
+    want_c, want_o = (np.asarray(x) for x in
+                      tables.costs(reads, lens, starts))
+    for n_dev in (2, 8):
+        step = sharded_banded_dp(make_mesh(n_dev))(tables.P)
+        got_c, got_o = step(tables.free, tables.del_len, tables.ins_len,
+                            tables.ins_seq, tables.pos_over,
+                            jnp.asarray(reads), jnp.asarray(lens),
+                            jnp.asarray(starts))
+        assert (np.asarray(got_c) == want_c).all(), n_dev
+        assert (np.asarray(got_o) == want_o).all(), n_dev
