@@ -64,6 +64,71 @@ def configs(quick):
     return base
 
 
+def codis_config():
+    """STR (CODIS) closed loop: every repeat-count allele must be the
+    top call under leftmost/enable-codis alignment semantics."""
+    import random
+
+    from hgtpu.pipeline import type_reads
+    from hgtpu.sim import simulate_reads
+    from hgtpu.tools.codis import codis_msa
+
+    rng = random.Random(5)
+    f5 = "".join(rng.choice("ACGT") for _ in range(400))
+    f3 = "".join(rng.choice("ACGT") for _ in range(400))
+    table = [("D18S51*%d" % c, "[AGAA]%d" % c) for c in (9, 10, 12, 13, 16)]
+    table.append(("D18S51*14.2", "[AGAA]13 GA [AGAA]1"))
+    names, rows = codis_msa(table, f5, f3)
+    ref, _ = build_gene_ref("D18S51", names, rows, names[0],
+                            min_var_freq=0.0, collapse=False,
+                            leftshift=False)
+    n = 0
+    for allele in ("D18S51*10", "D18S51*13", "D18S51*14.2", "D18S51*16"):
+        r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=3,
+                                   frag_len=300)
+        res = type_reads(ref, [(r.name, r.seq) for r in r1],
+                         [(r.name, r.seq) for r in r2],
+                         TypingOptions(family="codis", simulation=True))
+        ok = res.prob[0][0] == allele
+        n += ok
+        if not ok:
+            print("   codis true=%s top=%s" % (allele, res.prob[:3]))
+    return n, 4
+
+
+def family_config():
+    """Multi-gene family routing: reads from two genes typed jointly."""
+    from hgtpu.pipeline import type_family
+    from hgtpu.sim import simulate_reads
+    from synth import make_family
+
+    from hgtpu.db import build_catalog_from_msa
+
+    fam = make_family(genes=("A", "B"), n_alleles=16, length=1600, seed=21)
+    cat = build_catalog_from_msa(
+        "hla",
+        {g: dict(names=sp["names"], rows=sp["rows"],
+                 ref_allele=sp["ref_allele"], exons=sp["exons"],
+                 primary_exon_idx=sp["primary_exon_idx"])
+         for g, sp in fam["specs"].items()},
+        min_var_freq=0.0)
+    n = want = 0
+    for g in ("A", "B"):
+        ref = cat.genes[g]
+        true = ref.allele_names[3]
+        r1, r2, _ = simulate_reads(ref, [true], simulate_interval=4)
+        res = type_family(cat, [(r.name, r.seq) for r in r1],
+                          [(r.name, r.seq) for r in r2], locus_list=[g],
+                          opts=TypingOptions(simulation=True))[g]
+        want += 1
+        ok = res.prob and res.prob[0][0] == true
+        n += bool(ok)
+        if not ok:
+            print("   family gene=%s true=%s top=%s"
+                  % (g, true, res.prob[:2]))
+    return n, want
+
+
 def main():
     quick = "--quick" in sys.argv
     total = passed = 0
@@ -94,6 +159,13 @@ def main():
         if not ok:
             for alleles, res in results:
                 print("   true=%s top=%s" % (alleles, res.prob[:2]))
+    for name, fn in (("codis-str", codis_config),
+                     ("family-2gene", family_config)):
+        n, want = fn()
+        total += want
+        passed += n
+        print("%-16s %d/%d %s" % (name, n, want,
+                                  "OK" if n == want else "FAIL"))
     dt = time.time() - t0
     print("campaign: %d/%d passed in %.0fs" % (passed, total, dt))
     sys.exit(0 if passed == total else 1)

@@ -62,6 +62,8 @@ class Mpileup:
         code_chunks = []
         ddiff = np.zeros(P + 1, dtype=np.int32)
         for aln in alns:
+            if not aln.cmp:
+                continue
             codes = aln.codes if aln.codes is not None \
                 else encode_seq(aln.seq)
             # indel-free alignments (the common case) cover one contiguous
@@ -70,7 +72,7 @@ class Mpileup:
                 if entry[0] not in ("match", "mismatch"):
                     break
             else:
-                pos = aln.cmp[0][1] if aln.cmp else aln.pos
+                pos = aln.cmp[0][1]
                 n = min(len(codes), P - pos)
                 if n > 0:
                     seg_start.append(pos)
