@@ -22,7 +22,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:                                    # jax >= 0.8 (check_rep renamed)
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_rep)
+except ImportError:                     # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def make_mesh(n_devices=None, axis="dp"):
