@@ -152,8 +152,37 @@ def cmd_build_genome(argv):
     return 0
 
 
+def cmd_extract_codis_data(argv):
+    p = argparse.ArgumentParser(prog="hgtpu extract-codis-data")
+    p.add_argument("--base", dest="base_fname", type=str, default="codis")
+    p.add_argument("--locus-list", dest="locus_list", type=str, default="")
+    p.add_argument("--html-dir", dest="html_dir", type=str, default="",
+                   help="directory of saved STRBase str_<locus>.htm pages")
+    p.add_argument("--download", action="store_true",
+                   help="fetch pages over the network (needs egress)")
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    from ..tools.codis_fetch import (dir_source, extract_codis_data,
+                                     url_source)
+    if args.html_dir:
+        source = dir_source(args.html_dir)
+    elif args.download:
+        source = url_source()
+    else:
+        print("extract-codis-data: pass --html-dir DIR (offline pages) "
+              "or --download", file=sys.stderr)
+        return 1
+    loci = [x for x in args.locus_list.split(",") if x]
+    n = extract_codis_data(args.base_fname + ".dat", source, loci or None,
+                           verbose=args.verbose)
+    print("%d alleles -> %s.dat" % (n, args.base_fname), file=sys.stderr)
+    return 0
+
+
 COMMANDS = {
     "extract-vars": cmd_extract_vars,
+    "extract-codis-data": cmd_extract_codis_data,
     "extract-reads": cmd_extract_reads,
     "locus": cmd_locus,
     "parse-results": cmd_parse_results,

@@ -404,13 +404,30 @@ class GeneTyper:
             cache[ht_str] = (full, exon, primary)
 
 
-def choose_pairs(left_hts, right_hts, expected_interdist):
+def choose_pairs(left_hts, right_hts, expected_interdist, gene=None):
     """Keep the (left, right) haplotype pairs whose inner distance is
     closest to the expected fragment inter-distance.
-    Ref: choose_pairs (typing_core.py:680-716)."""
+    Ref: choose_pairs (typing_core.py:680-716).
+
+    Improvement over the reference: the reference measures the mate gap
+    in raw backbone coordinates, so a catalog deletion lying *between*
+    the mates inflates the distance of the true frame and can make a
+    wrong equal-cost STR spelling win (e.g. a microvariant allele's
+    junction reads).  When `gene` is given, each candidate pair may also
+    be scored with any catalog deletion that fits entirely inside the
+    mate gap subtracted — the allele-frame fragment geometry.  Diffs
+    only shrink, so in the worst case this widens a tie (keeping the
+    true spelling in the union) rather than dropping it.
+    """
     if not (left_hts and right_hts
             and max(len(left_hts), len(right_hts)) >= 2):
         return left_hts, right_hts
+    gap_dels = None
+    if gene is not None:
+        from ..db.catalog import VT_DELETION
+        di = np.flatnonzero(gene.var_type == VT_DELETION)
+        gap_dels = (gene.var_pos[di], gene.var_pos[di]
+                    + gene.var_len[di] - 1, gene.var_len[di])
     best_diff = None
     picked = []
     for lht in left_hts:
@@ -421,9 +438,17 @@ def choose_pairs(left_hts, right_hts, expected_interdist):
             r_left, r_right = int(rt[0]), int(rt[-1])
             if l_right < r_right:
                 inter = r_left - l_right - 1
+                gapl, gapr = l_right, r_left
             else:
                 inter = l_left - r_right - 1
+                gapl, gapr = r_right, l_left
             diff = abs(expected_interdist - inter)
+            if gap_dels is not None and diff:
+                dpos, dright, dlen = gap_dels
+                inside = (dpos > gapl) & (dright < gapr)
+                for dl in np.unique(dlen[inside]):
+                    diff = min(diff,
+                               abs(expected_interdist - (inter - int(dl))))
             if best_diff is None or diff < best_diff:
                 best_diff = diff
                 picked = [(lht, rht)]
@@ -538,7 +563,7 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
                      else right_hts).update(alt_hts)
         if interdist is not None and interdist >= 0:
             left_hts, right_hts = choose_pairs(left_hts, right_hts,
-                                               interdist)
+                                               interdist, gene)
         positive_hts = left_hts | right_hts
         if not positive_hts:
             continue

@@ -152,3 +152,65 @@ def test_legacy_pipeline():
                              [(r.name, r.seq) for r in r1],
                              [(r.name, r.seq) for r in r2])
     assert out["hla"]["A"].prob[0][0] == allele
+
+
+def test_strbase_html_fetch(tmp_path):
+    # component #25: STRBase page scraping (extract_codis_data.py:61-141)
+    from hgtpu.tools.codis_fetch import (extract_codis_data,
+                                         parse_strbase_html, dir_source,
+                                         read_codis_dat)
+    html = """
+    <html><body><table>
+    <tr><th>Allele</th><th width="35%">Repeat Structure</th></tr>
+    <tr><td align="center"><font size="4">9 </font></td>
+        <td><font size="2">[AGAA]<sub>9</sub></font> </td></tr>
+    <tr><td>commentary row with no structure</td><td>see note</td></tr>
+    <tr><td><font>14.2&nbsp;</font></td>
+        <td>[AGAA]<sub>13</sub> GA&nbsp;[AGAA]<sub>1</sub></td></tr>
+    <tr><td>22&quot;</td><td>[TCTA]<sub>11</sub>[TCTG]<sub>11</sub></td></tr>
+    </table></body></html>
+    """
+    alleles = parse_strbase_html(html)
+    assert alleles == [
+        ("9", "[AGAA]9"),
+        ("14.2", "[AGAA]13 GA[AGAA]1"),
+        ("22''", "[TCTA]11[TCTG]11"),
+    ]
+    d = tmp_path / "pages"
+    d.mkdir()
+    (d / "str_D18S51.htm").write_text(html)
+    out = tmp_path / "codis.dat"
+    n = extract_codis_data(str(out), dir_source(str(d)), ["D18S51", "FGA"])
+    assert n == 3  # FGA page missing -> skipped, not fatal
+    table = read_codis_dat(str(out))
+    assert list(table) == ["D18S51"]
+    # the scraped table feeds the converter (component #22) directly
+    names, rows = codis_msa([("D18S51*" + a, s)
+                             for a, s in table["D18S51"]], "ACGT", "TTAA")
+    assert len({len(r) for r in rows}) == 1
+
+
+def test_codis_microvariant_truth_100pct():
+    # junction reads of a microvariant allele (x.2) have four equal-cost
+    # STR spellings; deletion-aware pair-gap selection (choose_pairs with
+    # gene) must keep the true frame, where the reference's raw backbone
+    # distances pick wrong frames (typing_core.py:680-716)
+    f5, f3 = _flanks(7, 350)
+    table = [
+        ("D18S51*10", "[AGAA]10"),
+        ("D18S51*13", "[AGAA]13"),
+        ("D18S51*14.2", "[AGAA]13 GA [AGAA]1"),
+        ("D18S51*16", "[AGAA]16"),
+    ]
+    names, rows = codis_msa(table, f5, f3)
+    ref, _ = build_gene_ref("D18S51", names, rows, names[0],
+                            min_var_freq=0.0, collapse=False,
+                            leftshift=False)
+    for allele in ref.allele_names:
+        r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=2,
+                                   frag_len=300)
+        res = type_reads(ref, [(r.name, r.seq) for r in r1],
+                         [(r.name, r.seq) for r in r2],
+                         TypingOptions(family="codis", simulation=True))
+        assert res.prob[0][0] == allele and res.prob[0][1] > 0.9999, \
+            (allele, res.prob[:3])
