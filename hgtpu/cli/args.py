@@ -39,6 +39,19 @@ def args_aligner(parser):
                         default=1)
     parser.add_argument("--no-error-correction", dest="error_correction",
                         action="store_false")
+    parser.add_argument("--type-primary-exons", dest="type_primary_exons",
+                        action="store_true",
+                        help="EM stage on primary-exon representatives "
+                             "first (ref args.py:338-341)")
+    parser.add_argument("--keep-low-abundance-alleles",
+                        dest="remove_low_abundance_alleles",
+                        action="store_false",
+                        help="do not prune low-abundance alleles during "
+                             "EM (ref args.py:342-346)")
+    parser.add_argument("--exclude-allele-list", dest="exclude_allele_list",
+                        type=str, default="",
+                        help="comma-separated alleles removed from the "
+                             "panel before typing (ref args.py:388-393)")
     parser.add_argument("--discordant", dest="discordant",
                         action="store_true")
     parser.add_argument("--keep-alignment", dest="keep_alignment",
@@ -61,6 +74,19 @@ def args_simulation(parser):
     parser.add_argument("--read-len", dest="read_len", type=int, default=100)
     parser.add_argument("--fragment-len", dest="fragment_len", type=int,
                         default=350)
+    parser.add_argument("--perbase-snprate", dest="perbase_snprate",
+                        type=float, default=0.0,
+                        help="%% chance per base of a germline SNP "
+                             "injected into the simulated allele "
+                             "(ref typing_common.py:726-745)")
+    parser.add_argument("--skip-fragment-regions",
+                        dest="skip_fragment_regions", type=str, default="",
+                        help="comma-separated left-right backbone ranges "
+                             "excluded from simulation "
+                             "(ref args.py:311-316)")
+    parser.add_argument("--random-seed", dest="random_seed", type=int,
+                        default=None,
+                        help="simulation seed (same as --debug set_seed:N)")
     parser.add_argument("--perbase-errorrate", dest="perbase_errorrate",
                         type=float, default=0.0)
 

@@ -79,6 +79,15 @@ def main(argv=None):
     locus_list = [g for g in args.locus_list.split(",") if g] \
         or list(catalog.genes)
 
+    # novel-allele experiments: remove alleles from the typing panel but
+    # keep them available as simulation truth (the reference rebuilds its
+    # DB without them, etc/hisatgenotype_hla_cyp.py:552,1154)
+    full_genes = dict(catalog.genes)
+    exclude = [a for a in args.exclude_allele_list.split(",") if a]
+    if exclude:
+        for g in list(catalog.genes):
+            catalog.genes[g] = catalog.genes[g].exclude_alleles(exclude)
+
     if args.alignment_fname:
         return run_alignment_file(args, catalog, locus_list)
 
@@ -92,20 +101,29 @@ def main(argv=None):
         assembly=args.assembly,
         best_alleles=args.best_alleles,
         output_allele_counts=args.output_allele_counts,
+        type_primary_exons=args.type_primary_exons,
+        remove_low_abundance_alleles=args.remove_low_abundance_alleles,
     )
 
     if opts.simulation:
-        return run_simulation(args, debug, catalog, locus_list, opts)
+        return run_simulation(args, debug, catalog, locus_list, opts,
+                              full_genes)
     return run_reads(args, catalog, locus_list, opts)
 
 
-def run_simulation(args, debug, catalog, locus_list, opts):
+def run_simulation(args, debug, catalog, locus_list, opts,
+                   full_genes=None):
     """Ref: the --debug simulation sweep (typing_core.py:2488-2648)."""
     from ..pipeline.genotype import simulation_sweep
 
     test_size = int(debug.get("test_size", 5 if "basic" in debug else 200))
-    seed = debug.get("set_seed")
+    seed = debug.get("set_seed", args.random_seed)
     seed = int(seed) if seed is not None else None
+    skip_regions = []
+    for token in args.skip_fragment_regions.split(","):
+        if token:
+            l, r = token.split("-")
+            skip_regions.append((int(l), int(r)))
     allele_count = 2 if "pair" in debug else 1
     paired = "single-end" not in debug
     # ref: --debug test_list:<allele[-allele]> and test_id:<i[-j]>
@@ -131,9 +149,12 @@ def run_simulation(args, debug, catalog, locus_list, opts):
             allele_count=allele_count,
             simulate_interval=args.simulate_interval,
             read_len=args.read_len, fragment_len=args.fragment_len,
-            perbase_errorrate=args.perbase_errorrate, opts=opts,
+            perbase_errorrate=args.perbase_errorrate,
+            perbase_snprate=args.perbase_snprate,
+            skip_fragment_regions=skip_regions, opts=opts,
             report_base_fn=report_base_for if opts.assembly else None,
-            test_list=test_list, test_ids=test_ids)
+            test_list=test_list, test_ids=test_ids,
+            sim_gene=(full_genes or {}).get(gene))
         for t, (true_alleles, res) in enumerate(results):
             report_base = os.path.join(
                 args.out_dir,

@@ -126,6 +126,20 @@ class GeneRef:
         out.append(self.backbone[cur:])
         return "".join(out)
 
+    def exclude_alleles(self, names) -> "GeneRef":
+        """Panel with the given alleles removed (variant table intact —
+        the aligner still knows every catalog variant, as the reference
+        keeps its index when excluding alleles for novel-allele
+        experiments, etc/hisatgenotype_hla_cyp.py:552,1154)."""
+        drop = set(names)
+        keep = [i for i, a in enumerate(self.allele_names)
+                if a not in drop]
+        return dataclasses.replace(
+            self,
+            allele_names=[self.allele_names[i] for i in keep],
+            links=self.links[:, keep],
+            partial={a for a in self.partial if a not in drop})
+
     def allele_lengths(self) -> dict:
         """Allele sequence lengths, vectorized from the link matrix:
         len(backbone) + sum(insertion lens) - sum(deletion lens)."""

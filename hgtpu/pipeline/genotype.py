@@ -100,9 +100,11 @@ def type_family(catalog, reads_1, reads_2=None, locus_list=None, opts=None,
 
 def simulation_sweep(gene: GeneRef, test_size=5, seed=None, paired=True,
                      allele_count=1, simulate_interval=1, read_len=100,
-                     fragment_len=250, perbase_errorrate=0.0, opts=None,
-                     aligner=None, verbose=False, report_base_fn=None,
-                     test_list=None, test_ids=None):
+                     fragment_len=250, perbase_errorrate=0.0,
+                     perbase_snprate=0.0, skip_fragment_regions=(),
+                     opts=None, aligner=None, verbose=False,
+                     report_base_fn=None, test_list=None, test_ids=None,
+                     sim_gene=None):
     """Reference self-test: draw random alleles, simulate, type, and check
     the truth ranks #1 (typing_core.py:2488-2648).
 
@@ -128,10 +130,14 @@ def simulation_sweep(gene: GeneRef, test_size=5, seed=None, paired=True,
         if test_ids and (t + 1) not in test_ids:
             continue  # ref: --debug test_id filter (hisatgenotype:383)
         alleles = tests[t]
+        # sim_gene lets excluded alleles remain simulation truth
+        # (novel-allele experiments, --exclude-allele-list)
         r1, r2, _ = simulate_reads(
-            gene, alleles, simulate_interval=simulate_interval,
+            sim_gene or gene, alleles, simulate_interval=simulate_interval,
             read_len=read_len, frag_len=fragment_len,
-            perbase_errorrate=perbase_errorrate, seed=rng.random())
+            perbase_errorrate=perbase_errorrate,
+            perbase_snprate=perbase_snprate,
+            skip_fragment_regions=skip_fragment_regions, seed=rng.random())
         if report_base_fn is not None:
             opts.report_base = report_base_fn(t)
         res = type_reads(

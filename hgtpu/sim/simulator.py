@@ -152,6 +152,7 @@ def simulate_reads(
     read_len: int = 100,
     frag_len: int = 250,
     perbase_errorrate: float = 0.0,
+    perbase_snprate: float = 0.0,
     skip_fragment_regions=(),
     seed=None,
 ):
@@ -168,6 +169,16 @@ def simulate_reads(
     for allele_name in allele_names:
         (allele_seq, seq_map, ex_seq_map,
          ex_seq, ex_desc) = _annotated_allele(ref, allele_name)
+        if perbase_snprate > 0:
+            # germline SNPs mutate the allele once, so every read drawn
+            # from the region carries them consistently (they surface as
+            # novel variants downstream) — ref introduce_snps,
+            # typing_common.py:726-745, applied at :889-890
+            chars = list(allele_seq)
+            for j, c in enumerate(chars):
+                if c in "ACGT" and rng.random() * 100 < perbase_snprate:
+                    chars[j] = rng.choice("ACGT".replace(c, ""))
+            allele_seq = "".join(chars)
         cnt = 0
         for i in range(0, len(allele_seq) - frag_len + 1, simulate_interval):
             skip = False

@@ -27,7 +27,10 @@ class TypingOptions:
     num_editdist: int = 2
     allow_discordant: bool = False
     simulation: bool = False
-    remove_low_abundance_alleles: bool = False
+    # reference default is to prune (args.py:342-346 is a store_false
+    # --keep-low-abundance-alleles flag)
+    remove_low_abundance_alleles: bool = True
+    type_primary_exons: bool = False
     output_allele_counts: bool = False
     best_alleles: bool = False
     use_alts: bool = True
@@ -622,9 +625,46 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     primary_cmpt = primary_stats.cmpt_names()
 
     if opts.family == "hla":
-        exon_prob = single_abundance(exon_cmpt,
-                                     opts.remove_low_abundance_alleles)
         name2idx = {n: i for i, n in enumerate(gene.allele_names)}
+
+        def restrict(cmpt, alleles):
+            out = {}
+            for cls, value in cmpt.items():
+                kept = [a for a in cls.split("-") if a in alleles]
+                if kept:
+                    k = "-".join(kept)
+                    out[k] = out.get(k, 0) + value
+            return out
+
+        if opts.type_primary_exons and primary_cmpt:
+            # stage 0 (ref: the type_primary_exons branch,
+            # typing_core.py:1684-1730): primary-exon reps first, then
+            # expand winning groups into the exon-level EM
+            primary_prob = single_abundance(primary_cmpt)
+            px_alleles = set()
+            px_sum = 0.0
+            for allele, prob in primary_prob:
+                group = typer.primary_rep_groups.get(
+                    name2idx[allele], [])
+                if len(group) <= 1:
+                    continue
+                px_sum += prob
+                px_alleles |= {gene.allele_names[i] for i in group}
+            if px_alleles:
+                sub = single_abundance(
+                    restrict(exon_cmpt, px_alleles),
+                    opts.remove_low_abundance_alleles)
+                merged = {a: p for a, p in primary_prob
+                          if a not in px_alleles}
+                for a, p in sub:
+                    merged[a] = p * px_sum
+                exon_prob = sorted(([a, p] for a, p in merged.items()),
+                                   key=lambda x: x[1], reverse=True)
+            else:
+                exon_prob = primary_prob
+        else:
+            exon_prob = single_abundance(exon_cmpt,
+                                         opts.remove_low_abundance_alleles)
         exon_alleles = set()
         exon_prob_sum = 0.0
         for prob_i, (allele, prob) in enumerate(exon_prob):
@@ -637,14 +677,12 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
             exon_alleles |= {gene.allele_names[i] for i in group}
 
         if exon_alleles:
-            cmpt2 = {}
-            for cmpt, value in full_cmpt.items():
-                kept = [a for a in cmpt.split("-") if a in exon_alleles]
-                if not kept:
-                    continue
-                k = "-".join(kept)
-                cmpt2[k] = cmpt2.get(k, 0) + value
-            full_prob = single_abundance(cmpt2, True, lengths)
+            # full-length stage always prunes in the reference
+            # (typing_core.py:1767-1769) — unless the user kept low-
+            # abundance alleles explicitly
+            full_prob = single_abundance(
+                restrict(full_cmpt, exon_alleles),
+                opts.remove_low_abundance_alleles, lengths)
             combined = {a: p for a, p in exon_prob if a not in exon_alleles}
             for a, p in full_prob:
                 combined[a] = p * exon_prob_sum

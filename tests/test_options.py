@@ -1,0 +1,107 @@
+"""Reference CLI options with typing-path behavior: --perbase-snprate,
+--type-primary-exons, --keep-low-abundance-alleles, --exclude-allele-list,
+--skip-fragment-regions (ref: hisatgenotype_args.py:294-346, 388-393)."""
+import numpy as np
+import pytest
+
+from synth import make_gene_msa
+
+from hgtpu.db import build_gene_ref
+from hgtpu.pipeline import simulation_sweep, type_reads
+from hgtpu.sim import simulate_reads
+from hgtpu.typer.engine import TypingOptions
+
+
+@pytest.fixture(scope="module")
+def gene():
+    spec = make_gene_msa(seed=21)
+    ref, _ = build_gene_ref(
+        "A", spec["names"], spec["rows"], spec["ref_allele"],
+        exons_ref_coords=spec["exons"],
+        primary_exon_idx=spec["primary_exon_idx"], min_var_freq=0.0)
+    return ref
+
+
+def test_snprate_consistent_novel_snps(gene):
+    # germline SNPs are injected once per allele: reads still type to
+    # the truth (consistent novel variants, unlike per-read errors)
+    n, results = simulation_sweep(gene, test_size=2, seed=33,
+                                  simulate_interval=7,
+                                  perbase_snprate=0.2)
+    assert n == 2
+    # and the injected SNPs actually appear as novel variants
+    assert any(res.novel_vars for _, res in results)
+
+
+def test_snprate_zero_identical(gene):
+    a = simulate_reads(gene, [gene.allele_names[0]], simulate_interval=9,
+                       seed=5)
+    b = simulate_reads(gene, [gene.allele_names[0]], simulate_interval=9,
+                       perbase_snprate=0.0, seed=5)
+    assert [r.seq for r in a[0]] == [r.seq for r in b[0]]
+
+
+def test_type_primary_exons(gene):
+    opts = TypingOptions(simulation=True, type_primary_exons=True)
+    n, _ = simulation_sweep(gene, test_size=3, seed=41,
+                            simulate_interval=7, opts=opts)
+    assert n == 3
+
+
+def test_keep_low_abundance_alleles(gene):
+    opts = TypingOptions(simulation=True,
+                         remove_low_abundance_alleles=False)
+    n, results = simulation_sweep(gene, test_size=2, seed=43,
+                                  simulate_interval=7, opts=opts)
+    assert n == 2
+    # unpruned runs keep more (tiny-mass) alleles in the listing
+    assert all(res.prob[0][1] > 0.99 for _, res in results)
+
+
+def test_exclude_allele_list(gene):
+    truth = gene.allele_names[3]
+    reduced = gene.exclude_alleles([truth])
+    assert truth not in reduced.allele_names
+    assert reduced.n_vars == gene.n_vars  # variant catalog intact
+    # reads from the excluded allele still type (novel-allele scenario):
+    # the called allele is a panel member, never the excluded truth
+    r1, r2, _ = simulate_reads(gene, [truth], simulate_interval=5)
+    res = type_reads(reduced, [(r.name, r.seq) for r in r1],
+                     [(r.name, r.seq) for r in r2],
+                     TypingOptions(simulation=True))
+    assert res.prob and res.prob[0][0] != truth
+    assert res.prob[0][0] in reduced.allele_names
+    # sweep plumbing: sim_gene carries the full panel
+    n, results = simulation_sweep(reduced, test_size=1, seed=7,
+                                  simulate_interval=5,
+                                  test_list=[[truth]], sim_gene=gene)
+    assert n == 0  # the truth cannot rank: it is not in the panel
+    assert results[0][1].prob
+
+
+def test_skip_fragment_regions(gene):
+    full = simulate_reads(gene, [gene.allele_names[0]],
+                          simulate_interval=3, seed=1)
+    skip = simulate_reads(gene, [gene.allele_names[0]],
+                          simulate_interval=3, seed=1,
+                          skip_fragment_regions=[(200, 600)])
+    assert len(skip[0]) < len(full[0])
+    # no simulated fragment overlaps the skipped range
+    for r in skip[0]:
+        left = int(r.name.split("_")[1])
+        assert not (left <= 600 and left + 250 > 200)
+
+
+def test_cli_flags_parse():
+    from hgtpu.cli.main import build_parser
+    args = build_parser().parse_args([
+        "--base", "hla", "--type-primary-exons",
+        "--keep-low-abundance-alleles", "--exclude-allele-list", "A*01:01",
+        "--perbase-snprate", "0.1", "--skip-fragment-regions", "100-200",
+        "--random-seed", "9"])
+    assert args.type_primary_exons
+    assert not args.remove_low_abundance_alleles
+    assert args.exclude_allele_list == "A*01:01"
+    assert args.perbase_snprate == 0.1
+    assert args.skip_fragment_regions == "100-200"
+    assert args.random_seed == 9
