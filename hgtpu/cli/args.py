@@ -16,6 +16,11 @@ def args_databases(parser):
     parser.add_argument("--base", "--base-fname", dest="base_fname",
                         type=str, default="hla",
                         help="base filename of the family database")
+    parser.add_argument("--region-list", dest="region_list", type=str,
+                        default="",
+                        help="comma-separated family.gene regions; "
+                             "overrides --base/--locus-list "
+                             "(ref args.py:366-371)")
     parser.add_argument("--locus-list", dest="locus_list", type=str,
                         default="", help="comma-separated gene list")
     parser.add_argument("--ix-dir", "--in-dir", dest="ix_dir", type=str,
@@ -28,6 +33,10 @@ def args_input(parser):
     parser.add_argument("-2", dest="read_fname_2", type=str, default="")
     parser.add_argument("-U", dest="read_fname_U", type=str, default="")
     parser.add_argument("-f", "--fasta", dest="fasta", action="store_true")
+    parser.add_argument("--bamfile", dest="bamfile", type=str, default="",
+                        help="coordinate BAM of host-genome alignments; "
+                             "reads overlapping each locus are extracted "
+                             "(ref hisatgenotype:114-241, args.py:170)")
     parser.add_argument("--alignment-file", dest="alignment_fname", type=str,
                         default="", help="type from an existing SAM file")
 

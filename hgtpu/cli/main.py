@@ -74,6 +74,26 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
 
     args.ix_dir = _resolve_ix_dir(args.ix_dir)
+    if args.region_list:
+        # family.gene entries override --base/--locus-list (the
+        # reference loops families the same way, hisatgenotype:345-369)
+        jobs = {}
+        for token in args.region_list.split(","):
+            fam, _, gene = token.partition(".")
+            genes = jobs.setdefault(fam, [])
+            if gene:
+                genes.append(gene)
+        rc = 0
+        args.region_list = ""
+        for fam, genes in jobs.items():
+            args.base_fname = fam
+            args.locus_list = ",".join(genes)
+            rc |= main_one(args, debug)
+        return rc
+    return main_one(args, debug)
+
+
+def main_one(args, debug):
     prefix = os.path.join(args.ix_dir, args.base_fname)
     catalog = import_text(args.base_fname, prefix)
     locus_list = [g for g in args.locus_list.split(",") if g] \
@@ -90,6 +110,8 @@ def main(argv=None):
 
     if args.alignment_fname:
         return run_alignment_file(args, catalog, locus_list)
+    if args.bamfile:
+        return run_bamfile(args, catalog, locus_list)
 
     single_end = bool(args.read_fname_U) or "single-end" in debug
     opts = TypingOptions(
@@ -182,6 +204,47 @@ def run_simulation(args, debug, catalog, locus_list, opts,
               % (total_passed, total, total_passed * 100.0 / max(1, total)),
               file=sys.stderr)
     return 0 if total_passed == total else 1
+
+
+def run_bamfile(args, catalog, locus_list):
+    """Type from a coordinate BAM of host-genome alignments: extract the
+    reads overlapping each locus placement, then type per gene (the
+    reference's --bamfile flow, hisatgenotype:242-315, via samtools;
+    here via the in-process BAM reader)."""
+    from ..pipeline.genotype import type_reads
+    from ..utils.bam import reads_from_bam
+
+    paired = not args.read_fname_U and "single-end" not in args.debug
+    opts = TypingOptions(family=args.base_fname,
+                         num_editdist=args.num_editdist,
+                         allow_discordant=args.discordant or not paired,
+                         error_correction=args.error_correction,
+                         assembly=args.assembly,
+                         best_alleles=args.best_alleles,
+                         output_allele_counts=args.output_allele_counts)
+    core_id = os.path.basename(args.bamfile).split(".")[0]
+    report_base = os.path.join(
+        args.out_dir, "%s-%s.%s" % (args.output_base, args.base_fname,
+                                    core_id))
+    w = ReportWriter(report_base + ".report", echo=args.verbose)
+    w.header(dbversion=catalog.version, command=" ".join(sys.argv))
+    w.begin_aligner()
+    for gene in locus_list:
+        ref = catalog.gene(gene)
+        r1, r2 = reads_from_bam(args.bamfile, ref.chrom, ref.chrom_left,
+                                ref.chrom_right, paired=paired)
+        if args.verbose:
+            print("%s: %d pairs extracted from %s" %
+                  (gene, len(r1), args.bamfile), file=sys.stderr)
+        res = type_reads(ref, [(n, s) for n, s, _q in r1],
+                         [(n, s) for n, s, _q in r2] if paired else None,
+                         opts)
+        w.gene_result(res, simulation=False,
+                      output_allele_counts=args.output_allele_counts,
+                      best_alleles=args.best_alleles)
+    w.close()
+    print("Report written to %s.report" % report_base, file=sys.stderr)
+    return 0
 
 
 def run_alignment_file(args, catalog, locus_list):
