@@ -128,11 +128,39 @@ class GeneAligner:
                                       self._place_chunk(chunk)))
         fetched = jax.device_get(
             [entry[4][2] for entry in chunks_placed])  # the device handles
-        out = [[] for _ in groups]
+        states = []
         for (gi, chunk_ids, chunk, pad, placed), host_out in zip(
                 chunks_placed, fetched):
             placed = placed[:2] + (host_out,) + placed[3:]
-            res = self._align_chunk(chunk_ids, chunk, groups[gi][2], placed)
+            states.append((gi, pad, self._chunk_state(
+                chunk_ids, chunk, groups[gi][2], placed)))
+
+        # batched device verify: ONE banded-DP dispatch covering the
+        # rank-0 proposals of every chunk of every group — a tunneled
+        # chip pays a full round trip per dispatch, so per-chunk DP
+        # dispatch measured ~5x slower than the host path while this
+        # amortizes it across the whole batch
+        start_rank = 0
+        if (self._dp_tables is not None and not self.leftmost
+                and self.native is not None):
+            per_chunk = [self._rank_entries(st, 0) for _g, _p, st in states]
+            sizes = [len(e[0]) if e else 0 for e in per_chunk]
+            if sum(sizes):
+                cost, over = self._dp_costs(
+                    [r for e in per_chunk if e for r in e[0]],
+                    [s for e in per_chunk if e for s in e[1]])
+                at = 0
+                for e, n, (_gi, _pad, st) in zip(per_chunk, sizes, states):
+                    if not n:
+                        continue
+                    self._apply_dp(st, e, cost[at:at + n], over[at:at + n])
+                    at += n
+            start_rank = 1  # rank-0 handled; leftovers retry natively
+
+        out = [[] for _ in groups]
+        for gi, pad, st in states:
+            self._verify_pending(st, start_rank)
+            res = self._chunk_output(st)
             out[gi].extend(res[: len(res) - pad] if pad else res)
         return out
 
@@ -161,9 +189,24 @@ class GeneAligner:
         return fwd_codes, rc_codes, device_out, max_len, fwd, rc, lens
 
     def _align_chunk(self, read_ids, seqs, mate: str, placed=None):
-        n = len(seqs)
-        if n == 0:
+        if len(seqs) == 0:
             return []
+        st = self._chunk_state(read_ids, seqs, mate, placed)
+        if (self._dp_tables is not None and not self.leftmost
+                and self.native is not None):
+            entries = self._rank_entries(st, 0)
+            if entries:
+                cost, over = self._dp_costs(entries[0], entries[1])
+                self._apply_dp(st, entries, cost, over)
+            self._verify_pending(st, 1)
+        else:
+            self._verify_pending(st, 0)
+        return self._chunk_output(st)
+
+    def _chunk_state(self, read_ids, seqs, mate: str, placed=None):
+        """Pass 1 (host): resolve placement, run the exact-diagonal fast
+        path, and stage the remaining reads for the verify backends."""
+        n = len(seqs)
         if placed is None:
             placed = self._place_chunk(seqs)
         fwd_codes, rc_codes, device_out, max_len, fwd_pad, rc_pad, lens = \
@@ -178,9 +221,8 @@ class GeneAligner:
             fwd_pad, rc_pad, lens, sf, pf, sr, pr, use_rc) \
             if not self.leftmost else {}
 
-        # pass 1: fast path; collect DFS work for the batch verifier
         results = [None] * n   # (cost, ops, start, clip_front, sub_len, is_rc)
-        pending_orders = []    # (read i, orientation order, read len)
+        pending = []           # (read i, orientation order, read len)
         for i in range(n):
             if read_ids[i] == "__pad__":
                 continue
@@ -195,7 +237,7 @@ class GeneAligner:
             if not use_rc[i]:
                 order.reverse()
             if self.native is not None:
-                pending_orders.append((i, order, m))
+                pending.append((i, order, m))
             else:
                 for o_rc, codes, cand_p, cand_s in order:
                     aln = self._verify_candidates(codes, cand_p, cand_s, m)
@@ -205,64 +247,57 @@ class GeneAligner:
                         else:
                             results[i] = (aln, [], o_rc)
                         break
+        return {"n": n, "read_ids": read_ids, "mate": mate,
+                "fwd_codes": fwd_codes, "rc_codes": rc_codes,
+                "results": results, "pending": pending}
 
-        # pass 2: native batch verification (threads in C++), primary
-        # orientation first; unresolved reads retry the other orientation
-        if self.native is not None and pending_orders:
-            unresolved = pending_orders
-            for rank in (0, 1):
-                if not unresolved:
-                    break
-                flat_reads, flat_starts, flat_meta = [], [], []
-                for i, order, m in unresolved:
-                    o_rc, codes, cand_p, cand_s = order[rank]
-                    for sub, s, cf in self._proposal_entries(
-                            codes, cand_p, cand_s, m):
-                        flat_reads.append(sub)
-                        flat_starts.append(s)
-                        flat_meta.append((i, o_rc, cf, len(sub)))
-                if not flat_reads:
-                    continue
-                keep = self._lb_keep(flat_reads, flat_starts)
-                if not keep.all():
-                    kept = np.flatnonzero(keep)
-                    flat_reads = [flat_reads[k] for k in kept]
-                    flat_starts = [flat_starts[k] for k in kept]
-                    flat_meta = [flat_meta[k] for k in kept]
-                    if not flat_reads:
-                        continue
-                if self._dp_tables is not None and not self.leftmost:
-                    sel = self._dp_select(flat_reads, flat_starts,
-                                          flat_meta)
-                    if sel is not None:
-                        sel_r, sel_s, sel_m, dp_expect, over_reads = sel
-                        if sel_r:
-                            self._resolve_entries(sel_r, sel_s, sel_m,
-                                                  results)
-                        # the DP is exact modulo the haplotype-window
-                        # constraint and the band: reads whose winner
-                        # diverged (or overflowed) redo the full set
-                        redo = set(over_reads)
-                        for i, c_dp in dp_expect.items():
-                            r = results[i]
-                            if r is None or r[0][0] != c_dp:
-                                redo.add(i)
-                        if redo:
-                            rk = [k for k, m_ in enumerate(flat_meta)
-                                  if m_[0] in redo]
-                            self._resolve_entries(
-                                [flat_reads[k] for k in rk],
-                                [flat_starts[k] for k in rk],
-                                [flat_meta[k] for k in rk], results,
-                                clear=redo)
-                        unresolved = [po for po in unresolved
-                                      if results[po[0]] is None]
-                        continue
-                self._resolve_entries(flat_reads, flat_starts, flat_meta,
-                                      results)
-                unresolved = [po for po in unresolved
-                              if results[po[0]] is None]
+    def _rank_entries(self, st, rank):
+        """Flat proposal entries (reads, starts, meta) of the given
+        orientation rank for the still-unresolved reads, lower-bound
+        filtered; None when nothing survives."""
+        flat_reads, flat_starts, flat_meta = [], [], []
+        for i, order, m in st["pending"]:
+            o_rc, codes, cand_p, cand_s = order[rank]
+            for sub, s, cf in self._proposal_entries(
+                    codes, cand_p, cand_s, m):
+                flat_reads.append(sub)
+                flat_starts.append(s)
+                flat_meta.append((i, o_rc, cf, len(sub)))
+        if not flat_reads:
+            return None
+        keep = self._lb_keep(flat_reads, flat_starts)
+        if not keep.all():
+            kept = np.flatnonzero(keep)
+            flat_reads = [flat_reads[k] for k in kept]
+            flat_starts = [flat_starts[k] for k in kept]
+            flat_meta = [flat_meta[k] for k in kept]
+        return (flat_reads, flat_starts, flat_meta) if flat_reads else None
 
+    def _verify_pending(self, st, start_rank):
+        """Pass 2: native batch verification (threads in C++), primary
+        orientation first; unresolved reads retry the other orientation.
+        start_rank=1 when rank 0 was already handled by the batched
+        device DP."""
+        if self.native is None or not st["pending"]:
+            return
+        results = st["results"]
+        for rank in range(start_rank, 2):
+            if not st["pending"]:
+                break
+            entries = self._rank_entries(st, rank)
+            if entries is None:
+                continue
+            self._resolve_entries(entries[0], entries[1], entries[2],
+                                  results)
+            st["pending"] = [po for po in st["pending"]
+                             if results[po[0]] is None]
+
+    def _chunk_output(self, st):
+        n = st["n"]
+        read_ids = st["read_ids"]
+        results = st["results"]
+        fwd_codes, rc_codes = st["fwd_codes"], st["rc_codes"]
+        mate = st["mate"]
         out = []
         for i in range(n):
             if results[i] is None:
@@ -335,27 +370,36 @@ class GeneAligner:
                       equal_alts.get(i, ())]
             results[i] = (tup(c, idx, cf, slen), others, o_rc)
 
-    def _dp_select(self, flat_reads, flat_starts, flat_meta):
-        """Score every proposal with the banded device DP and keep each
-        read's first-minimal winner for host edit-script extraction.
-
-        Returns (reads, starts, meta, {read: device cost},
-        over_reads needing the full host path) or None on empty input.
-        """
+    def _dp_costs(self, flat_reads, flat_starts):
+        """One banded-DP dispatch over proposal entries.  E is padded to
+        the next power of two and W to a multiple of 32 so XLA compiles
+        a handful of shapes, not one per batch.  Returns host (cost,
+        over) arrays sliced to the real entry count."""
         E = len(flat_reads)
-        if E == 0:
-            return None
         W = max(len(r) for r in flat_reads)
-        reads = np.full((E, W), 4, np.int8)
-        lens = np.zeros(E, np.int32)
+        W = ((W + 31) // 32) * 32
+        Ep = 1
+        while Ep < E:
+            Ep *= 2
+        reads = np.full((Ep, W), 4, np.int8)
+        lens = np.zeros(Ep, np.int32)
+        starts = np.zeros(Ep, np.int32)
         for k, r in enumerate(flat_reads):
             reads[k, : len(r)] = r
             lens[k] = len(r)
+        starts[:E] = np.asarray(flat_starts, np.int32)
         cost, over = self._dp_tables.costs(
-            reads, lens, np.asarray(flat_starts, np.int32),
-            max_novel=self.num_editdist)
-        cost = np.asarray(cost)
-        over = np.asarray(over)
+            reads, lens, starts, max_novel=self.num_editdist)
+        return np.asarray(cost)[:E], np.asarray(over)[:E]
+
+    def _apply_dp(self, st, entries, cost, over):
+        """Install each read's first-minimal DP winner via host
+        edit-script extraction; reads whose winner overflowed the band
+        or whose DFS cost diverges (haplotype-window constraint) redo
+        the full proposal set, so results stay bit-identical to the
+        host-only path."""
+        flat_reads, flat_starts, flat_meta = entries
+        results = st["results"]
         over_reads = set()
         winner = {}
         for idx, (i, _o_rc, _cf, _slen) in enumerate(flat_meta):
@@ -376,7 +420,21 @@ class GeneAligner:
             sel_s.append(flat_starts[idx])
             sel_m.append(flat_meta[idx])
             dp_expect[i] = c
-        return sel_r, sel_s, sel_m, dp_expect, over_reads
+        if sel_r:
+            self._resolve_entries(sel_r, sel_s, sel_m, results)
+        redo = set(over_reads)
+        for i, c_dp in dp_expect.items():
+            r = results[i]
+            if r is None or r[0][0] != c_dp:
+                redo.add(i)
+        if redo:
+            rk = [k for k, m_ in enumerate(flat_meta) if m_[0] in redo]
+            self._resolve_entries([flat_reads[k] for k in rk],
+                                  [flat_starts[k] for k in rk],
+                                  [flat_meta[k] for k in rk], results,
+                                  clear=redo)
+        st["pending"] = [po for po in st["pending"]
+                         if results[po[0]] is None]
 
     def _lb_keep(self, flat_reads, flat_starts):
         """Boolean keep-mask over proposal entries: False entries provably

@@ -18,6 +18,12 @@ catalog indel alternatives than the packed slots, or deletion chains
 longer than the closure depth raise the per-proposal `overflow` flag and
 the caller falls back to the host DFS for those entries.
 
+TPU mapping: every transition is a *static diagonal shift*.  The gene's
+distinct catalog deletion/insertion lengths are compile-time constants,
+so each relaxation is a masked elementwise min over a shifted [E, D]
+plane — no data-dependent scatters, which serialize on TPU (the first
+version used `.at[].min` scatters and ran ~100x slower than this form).
+
 The DP is exact *modulo the haplotype-window constraint* (which is
 path-dependent): its cost can only be lower than the constrained DFS's,
 so callers that enable the constraint must confirm the winning proposal
@@ -36,7 +42,6 @@ from ..db.catalog import GeneRef, VT_SINGLE, VT_DELETION
 DNEG = 8          # max leftward drift (catalog/novel insertions)
 DPOS = 24         # max rightward drift (catalog/novel deletions)
 D = DNEG + DPOS + 1
-ND = 2            # catalog deletion slots per position
 NI = 2            # catalog insertion slots per position
 IL = 4            # max catalog insertion length handled on device
 NITER = 4         # intra-layer closure depth (catalog/novel del chains)
@@ -54,11 +59,19 @@ class BandedDPTables:
         rows = P + OFF + DPOS + 4096   # tail headroom for start+i+d
         free = np.zeros((rows, 8), dtype=bool)
         free[OFF + np.arange(P), gene.backbone_enc] = True
-        del_len = np.zeros((rows, ND), dtype=np.int32)
-        ins_len = np.zeros((rows, NI), dtype=np.int32)
-        ins_seq = np.full((rows, NI, IL), 7, dtype=np.int8)  # 7 never matches
         over = np.zeros(rows, dtype=bool)
-        d_fill = {}
+        # distinct catalog deletion lengths representable in the band
+        # become static shift amounts; one boolean plane per length
+        dlens = sorted({int(gene.var_len[vi])
+                        for vi in range(gene.n_vars)
+                        if int(gene.var_type[vi]) == VT_DELETION
+                        and int(gene.var_len[vi]) <= DPOS})
+        self.del_lens = tuple(dlens)
+        dl_slot = {l: k for k, l in enumerate(dlens)}
+        del_has = np.zeros((rows, max(1, len(dlens))), dtype=bool)
+        ins_len = np.zeros((rows, NI), dtype=np.int32)
+        ins_seq = np.full((rows, NI, IL), 7, dtype=np.int8)  # never matches
+        ilens = set()
         i_fill = {}
         for vi in range(gene.n_vars):
             vt = int(gene.var_type[vi])
@@ -67,13 +80,11 @@ class BandedDPTables:
             if vt == VT_SINGLE:
                 free[r, "ACGT".index(gene.var_data[vi])] = True
             elif vt == VT_DELETION:
-                k = d_fill.get(pos, 0)
                 dlen = int(gene.var_len[vi])
-                if k >= ND or dlen > DPOS:
+                if dlen > DPOS:
                     over[r] = True
                 else:
-                    del_len[r, k] = dlen
-                    d_fill[pos] = k + 1
+                    del_has[r, dl_slot[dlen]] = True
             else:
                 k = i_fill.get(pos, 0)
                 seq = gene.var_data[vi]
@@ -84,11 +95,11 @@ class BandedDPTables:
                     for j, ch in enumerate(seq):
                         ins_seq[r, k, j] = "ACGT".index(ch)
                     i_fill[pos] = k + 1
-        self.free = jnp.asarray(free)
-        self.del_len = jnp.asarray(del_len)
-        self.ins_len = jnp.asarray(ins_len)
-        self.ins_seq = jnp.asarray(ins_seq)
-        self.pos_over = jnp.asarray(over)
+                    ilens.add(len(seq))
+        self.ins_lens = tuple(sorted(ilens))
+        self.arrays = (jnp.asarray(free), jnp.asarray(del_has),
+                       jnp.asarray(ins_len), jnp.asarray(ins_seq),
+                       jnp.asarray(over))
 
     def costs(self, reads: np.ndarray, lens: np.ndarray,
               starts: np.ndarray, max_novel: int = 2):
@@ -97,24 +108,38 @@ class BandedDPTables:
         alignment exists within `max_novel` novel edits inside the band
         (costs above the budget saturate — they can never win, and
         saturation is what lets the deletion-chain closure converge)."""
-        return _banded_costs(self.free, self.del_len, self.ins_len,
-                             self.ins_seq, self.pos_over,
+        return _banded_costs(self.arrays,
                              jnp.asarray(reads, jnp.int8),
                              jnp.asarray(lens, jnp.int32),
                              jnp.asarray(starts, jnp.int32),
-                             self.P, jnp.int32(max_novel))
+                             self.P, jnp.int32(max_novel),
+                             self.del_lens, self.ins_lens)
 
 
-@functools.partial(jax.jit, static_argnames=("P",))
-def _banded_costs(free_tbl, del_len_tbl, ins_len_tbl, ins_seq_tbl,
-                  pos_over_tbl, reads, lens, starts, P, max_novel):
+def _shift_min(dst, src, mask, shift, add=0):
+    """dst = min(dst, (src + add) shifted `shift` diagonals right where
+    mask) — the scatter-free transition.  shift > 0 moves mass toward
+    larger d (deletions); shift < 0 toward smaller d (insertions)."""
+    E = dst.shape[0]
+    vals = jnp.where(mask, src + add, INF)
+    if shift > 0:
+        return dst.at[:, shift:].min(vals[:, : D - shift])
+    if shift < 0:
+        return dst.at[:, : D + shift].min(vals[:, -shift:])
+    return jnp.minimum(dst, vals)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("P", "del_lens", "ins_lens"))
+def _banded_costs(tables, reads, lens, starts, P, max_novel,
+                  del_lens=(), ins_lens=()):
+    free_tbl, del_has_tbl, ins_len_tbl, ins_seq_tbl, pos_over_tbl = tables
     E, W = reads.shape
 
     def sat(x):
         return jnp.where(x > max_novel, INF, x)
     d_idx = jnp.arange(D, dtype=jnp.int32)          # [D]
     d_val = d_idx - DNEG
-    erow = jnp.arange(E, dtype=jnp.int32)[:, None]  # [E, 1]
 
     cur0 = jnp.full((E, D), INF, jnp.int32).at[:, DNEG].set(0)
     pend0 = jnp.full((IL, E, D), INF, jnp.int32)
@@ -142,44 +167,31 @@ def _banded_costs(free_tbl, del_len_tbl, ins_len_tbl, ins_seq_tbl,
                        & indels_on[:, None]).any(axis=1)
 
         # ---- intra-layer closure: catalog + novel deletions ---- #
-        dl = del_len_tbl[pidx]                              # [E, D, ND]
+        # all transitions are static right-shifts of the diagonal plane
+        dl_any = del_has_tbl[pidx]                          # [E, D, nLd]
+        over_acc = []
 
         def relax(c):
             new = c
-            cfin = c < INF
-            gate = cfin & pos_ok & indels_on[:, None]
-            for slot in range(ND):
-                dls = dl[:, :, slot]
-                has = gate & (dls > 0)
-                tgt = jnp.where(has, d_idx[None, :] + dls, 0)
-                inband = tgt <= D - 1
-                vals = jnp.where(has & inband, c, INF)
-                new = new.at[erow, jnp.where(inband, tgt, 0)].min(vals)
-                ob = (has & ~inband).any(axis=1)
-                new_over = ob
-                # out-of-band catalog deletion from a finite state
-                yield_over.append(new_over)
-            # novel deletions (gated on non-free char, like the DFS
-            # mismatch event)
-            ngate = gate & ~free
-            for dlt in (1, 2):
-                shifted = jnp.full((E, D), INF, jnp.int32)
-                shifted = shifted.at[:, dlt:].set(
-                    jnp.where(ngate[:, : D - dlt], c[:, : D - dlt] + dlt,
-                              INF))
-                new = jnp.minimum(new, shifted)
-                yield_over.append((ngate[:, D - dlt:]
-                                   & (c[:, D - dlt:] < INF)).any(axis=1))
+            gate = (c < INF) & pos_ok & indels_on[:, None]
+            for k, L in enumerate(del_lens):                # catalog, free
+                has = gate & dl_any[:, :, k]
+                new = _shift_min(new, c, has, L)
+                over_acc.append(has[:, D - L:].any(axis=1))
+            ngate = gate & ~free          # novel deletions cost their len
+            for L in (1, 2):
+                new = _shift_min(new, c, ngate, L, add=L)
+                over_acc.append((ngate[:, D - L:]
+                                 & (c[:, D - L:] < INF)).any(axis=1))
             return sat(new)
 
-        yield_over = []
         c = cur
         for _ in range(NITER):
             c = relax(c)
         c_extra = relax(c)
         # closure did not converge -> chains deeper than NITER
         over = over | ((c_extra < c).any(axis=1))
-        for ob in yield_over:
+        for ob in over_acc:
             over = over | ob
         cur = c
 
@@ -195,14 +207,12 @@ def _banded_costs(free_tbl, del_len_tbl, ins_len_tbl, ins_seq_tbl,
             k = jnp.arange(IL, dtype=jnp.int32)
             match = jnp.where(k[None, None, :] < il[:, :, None],
                               win[:, None, :] == seq, True).all(axis=2)
-            fits = (i + il <= lens[:, None])
-            has = gate_i & (il > 0) & match & fits
-            tgt = d_idx[None, :] - il
-            inband = tgt >= 0
-            vals = jnp.where(has & inband, cur, INF)
-            pend = pend.at[jnp.maximum(il - 1, 0), erow,
-                           jnp.where(inband, tgt, 0)].min(vals)
-            over = over | (has & ~inband).any(axis=1)
+            for L in ins_lens:                              # static shifts
+                has = (gate_i & (il == L) & match
+                       & (i + L <= lens[:, None]))
+                pend = pend.at[L - 1].set(_shift_min(
+                    pend[L - 1], cur, has, -L))
+                over = over | has[:, :L].any(axis=1)
 
         # ---- consume char i ---- #
         step = jnp.where(free & pos_ok, 0,
@@ -210,14 +220,12 @@ def _banded_costs(free_tbl, del_len_tbl, ins_len_tbl, ins_seq_tbl,
         nxt = sat(jnp.minimum(cur + step, INF))
         # novel insertions (consume 1-2 chars at fixed pos, +length)
         ngate = (cur < INF) & pos_ok & ~free & indels_on[:, None]
-        for dlt in (1, 2):
-            fits = i + dlt <= lens                          # [E]
-            src = sat(jnp.where(ngate & fits[:, None], cur + dlt, INF))
-            shifted = jnp.full((E, D), INF, jnp.int32)
-            shifted = shifted.at[:, : D - dlt].set(src[:, dlt:])
-            pend = pend.at[dlt - 1].min(shifted)
-            over = over | (ngate[:, :dlt] & (cur[:, :dlt] < INF)
-                           & fits[:, None]).any(axis=1)
+        for L in (1, 2):
+            fits = i + L <= lens                            # [E]
+            has = ngate & fits[:, None]
+            pend = pend.at[L - 1].set(
+                sat(_shift_min(pend[L - 1], cur, has, -L, add=L)))
+            over = over | (has[:, :L] & (cur[:, :L] < INF)).any(axis=1)
         cur = jnp.where(live[:, None], nxt, cur)
         return (cur, pend, final, over), None
 

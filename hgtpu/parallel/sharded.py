@@ -109,17 +109,15 @@ def sharded_banded_dp(mesh: Mesh, axis: str = "dp", max_novel: int = 2):
     """
     from ..ops.banded_dp import _banded_costs
 
-    def make(backbone_len):
+    def make(backbone_len, del_lens=(), ins_lens=()):
         @functools.partial(shard_map, mesh=mesh,
-                           in_specs=(P(), P(), P(), P(), P(),
-                                     P(axis), P(axis), P(axis)),
+                           in_specs=(P(), P(axis), P(axis), P(axis)),
                            out_specs=(P(axis), P(axis)),
                            check_rep=False)
-        def step(free, del_len, ins_len, ins_seq, pos_over, reads, lens,
-                 starts):
-            return _banded_costs(free, del_len, ins_len, ins_seq, pos_over,
-                                 reads, lens, starts, backbone_len,
-                                 jnp.int32(max_novel))
+        def step(tables, reads, lens, starts):
+            return _banded_costs(tables, reads, lens, starts,
+                                 backbone_len, jnp.int32(max_novel),
+                                 del_lens, ins_lens)
         return jax.jit(step)
 
     return make

@@ -125,9 +125,9 @@ def test_sharded_banded_dp_matches_single():
     want_c, want_o = (np.asarray(x) for x in
                       tables.costs(reads, lens, starts))
     for n_dev in (2, 8):
-        step = sharded_banded_dp(make_mesh(n_dev))(tables.P)
-        got_c, got_o = step(tables.free, tables.del_len, tables.ins_len,
-                            tables.ins_seq, tables.pos_over,
+        step = sharded_banded_dp(make_mesh(n_dev))(
+            tables.P, tables.del_lens, tables.ins_lens)
+        got_c, got_o = step(tables.arrays,
                             jnp.asarray(reads), jnp.asarray(lens),
                             jnp.asarray(starts))
         assert (np.asarray(got_c) == want_c).all(), n_dev
