@@ -178,6 +178,32 @@ class StatAccumulator:
         self.cmpt[key] += weight
         return key
 
+    def add_reads_batch(self, counts_mat: np.ndarray, weights: np.ndarray):
+        """Vectorized add_read over many reads at once.
+
+        counts_mat: int [G, A] per-read compatibility counts; weights:
+        int [G].  Equivalent to `add_read(counts_mat[g], weights[g])` for
+        g in order — per-allele totals are sums, and class first-seen
+        order (which fixes cmpt_order / dense() row order) is the first
+        occurrence along G.
+        """
+        if not self.include.any() or len(counts_mat) == 0:
+            return
+        mx = counts_mat[:, self.include].max(axis=1)
+        cur = (counts_mat == mx[:, None]) & self.include       # [G, A]
+        self.counts += (cur * weights[:, None]).sum(axis=0, dtype=np.int64)
+        uniq, first, inv = np.unique(cur, axis=0, return_index=True,
+                                     return_inverse=True)
+        wsum = np.bincount(inv, weights=weights)
+        for u in np.argsort(first, kind="stable"):
+            row = uniq[u]
+            key = row.tobytes()
+            if key not in self.cmpt:
+                self.cmpt[key] = 0
+                self.cmpt_order[key] = len(self.cmpt_order)
+                self.cmpt_mask[key] = row.copy()
+            self.cmpt[key] += int(wsum[u])
+
     # ------------------------------------------------------------------ #
     def ranked_counts(self):
         order = np.argsort(-self.counts, kind="stable")

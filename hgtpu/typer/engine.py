@@ -585,14 +585,18 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     # (it is the building block the multi-chip sharded step uses, where
     # the counting must live on device next to the psum reduction).
     use_device = opts.device_counting == "on"
+    hts_sorted = sorted(unique_hts)
     if use_device:
-        typer.ht_masks_batch(sorted(unique_hts), novel, ht_cache)
+        typer.ht_masks_batch(hts_sorted, novel, ht_cache)
     else:
-        typer.ht_masks_batch_host(sorted(unique_hts), novel, ht_cache)
+        typer.ht_masks_batch_host(hts_sorted, novel, ht_cache)
 
-    # fold identical ht sets into one weighted add_read: tiled reads
-    # repeat (first-seen class creation order is preserved because equal
-    # ht sets always map to equal class keys at every level)
+    # fold identical ht sets into one weighted read (first-seen class
+    # creation order is preserved because equal ht sets always map to
+    # equal class keys at every level), then compute every group's
+    # per-level count vectors in one segment-sum over the stacked ht
+    # masks and feed the stats through the batched add path
+    ht_idx = {h: i for i, h in enumerate(hts_sorted)}
     grouped = {}
     for positive_hts in counted_reads:
         key = frozenset(positive_hts)
@@ -601,20 +605,34 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
             grouped[key] = [1, positive_hts]
         else:
             hit[0] += 1
-    for weight, positive_hts in grouped.values():
-        cnt_full = np.zeros(A, dtype=np.int32)
-        cnt_exon = np.zeros(A, dtype=np.int32)
-        cnt_primary = np.zeros(A, dtype=np.int32)
-        for ht_str in positive_hts:
-            full, exon, primary = typer.ht_masks(ht_str, novel, ht_cache)
-            cnt_full += full
-            cnt_exon += exon
-            cnt_primary += primary
-
+    if grouped:
+        U = len(hts_sorted)
+        mask_f = np.empty((U, A), dtype=np.int32)
+        mask_e = np.empty((U, A), dtype=np.int32)
+        mask_p = np.empty((U, A), dtype=np.int32)
+        for i, h in enumerate(hts_sorted):
+            full, exon, primary = ht_cache[h]
+            mask_f[i] = full
+            mask_e[i] = exon
+            mask_p[i] = primary
+        weights = np.fromiter((g[0] for g in grouped.values()),
+                              np.int64, len(grouped))
+        flat = []
+        starts = np.empty(len(grouped), dtype=np.int64)
+        at = 0
+        for gi, (_w, positive_hts) in enumerate(grouped.values()):
+            starts[gi] = at
+            for h in positive_hts:
+                flat.append(ht_idx[h])
+            at += len(positive_hts)
+        flat = np.asarray(flat, dtype=np.int64)
         if opts.family == "hla":
-            primary_stats.add_read(cnt_primary, weight)
-            exon_stats.add_read(cnt_exon, weight)
-        full_stats.add_read(cnt_full, weight)
+            primary_stats.add_reads_batch(
+                np.add.reduceat(mask_p[flat], starts, axis=0), weights)
+            exon_stats.add_reads_batch(
+                np.add.reduceat(mask_e[flat], starts, axis=0), weights)
+        full_stats.add_reads_batch(
+            np.add.reduceat(mask_f[flat], starts, axis=0), weights)
 
     # ------------------------------------------------------------------ #
     # Hierarchical abundance (ref: typing_core.py:1679-1789)

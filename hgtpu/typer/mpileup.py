@@ -59,11 +59,24 @@ class Mpileup:
         P = self.counts.shape[0]
         seg_start = []
         seg_len = []
+        seg_w = []
         code_chunks = []
         ddiff = np.zeros(P + 1, dtype=np.int32)
+        # tiled/simulated batches repeat (pos, seq) heavily and the
+        # aligner's cmp list is a deterministic function of those two, so
+        # only distinct alignments are walked; duplicates contribute via
+        # integer weights in the bincount
+        grouped = {}
         for aln in alns:
             if not aln.cmp:
                 continue
+            key = (aln.pos, aln.seq)
+            hit = grouped.get(key)
+            if hit is None:
+                grouped[key] = [aln, 1]
+            else:
+                hit[1] += 1
+        for aln, w in grouped.values():
             codes = aln.codes if aln.codes is not None \
                 else encode_seq(aln.seq)
             # indel-free alignments (the common case) cover one contiguous
@@ -77,6 +90,7 @@ class Mpileup:
                 if n > 0:
                     seg_start.append(pos)
                     seg_len.append(n)
+                    seg_w.append(w)
                     code_chunks.append(codes[:n])
                 continue
             read_pos = 0
@@ -87,18 +101,20 @@ class Mpileup:
                     if n > 0:
                         seg_start.append(pos)
                         seg_len.append(n)
+                        seg_w.append(w)
                         code_chunks.append(codes[read_pos:read_pos + n])
                     read_pos += length
                 elif kind == "deletion":
                     hi = min(pos + length, P)
                     if hi > pos:
-                        ddiff[pos] += 1
-                        ddiff[hi] -= 1
+                        ddiff[pos] += w
+                        ddiff[hi] -= w
                 else:
                     read_pos += length
         if seg_start:
             S = np.asarray(seg_start, dtype=np.int64)
             L = np.asarray(seg_len, dtype=np.int64)
+            W = np.asarray(seg_w, dtype=np.int64)
             tot = int(L.sum())
             # positions for all segments without a per-segment arange
             pos_flat = np.repeat(S - (np.cumsum(L) - L), L) \
@@ -106,7 +122,8 @@ class Mpileup:
             flat = pos_flat * 6 + \
                 np.concatenate(code_chunks).astype(np.int64)
             self.counts += np.bincount(
-                flat, minlength=P * 6).reshape(P, 6).astype(np.int32)
+                flat, weights=np.repeat(W, L).astype(np.float64),
+                minlength=P * 6).reshape(P, 6).astype(np.int32)
         self.counts[:, 5] += np.cumsum(ddiff[:-1], dtype=np.int32)
         return self
 

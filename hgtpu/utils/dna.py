@@ -24,9 +24,15 @@ def encode_seq(seq: str) -> np.ndarray:
     return _ENC[raw]
 
 
+_DEC_TABLE = bytes(
+    BASES[i].encode("ascii")[0] if i < len(BASES) else ord("N")
+    for i in range(256))
+
+
 def decode_seq(codes: np.ndarray) -> str:
-    lut = np.frombuffer("ACGTN.".encode("ascii"), dtype=np.uint8)
-    return lut[np.asarray(codes, dtype=np.int64)].tobytes().decode("ascii")
+    # bytes.translate over the raw int8 buffer: one C call, no gather
+    return np.ascontiguousarray(codes, dtype=np.int8).tobytes() \
+        .translate(_DEC_TABLE).decode("ascii")
 
 
 def revcomp(seq: str) -> str:
