@@ -8,6 +8,8 @@ cmp lists directly (hgtpu.align.verify).
 """
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from ..db.catalog import GeneRef
@@ -107,6 +109,46 @@ class GeneAligner:
 
         Returns one result list per group.
         """
+        import jax
+
+        # identical sequences align identically (placement, verify, and
+        # edit script are deterministic functions of the sequence), so
+        # only distinct reads go through the device + verify path; tiled
+        # simulations and PCR duplicates fan back out afterwards with a
+        # shallow per-read record copy
+        uniq_groups = []
+        fanout = []
+        for read_ids, seqs, mate in groups:
+            first = {}
+            inv = np.empty(len(seqs), dtype=np.int64)
+            u_ids, u_seqs = [], []
+            for i, s in enumerate(seqs):
+                j = first.get(s)
+                if j is None:
+                    j = len(u_ids)
+                    first[s] = j
+                    u_ids.append(read_ids[i])
+                    u_seqs.append(s)
+                inv[i] = j
+            uniq_groups.append((u_ids, u_seqs, mate))
+            fanout.append(inv)
+        if any(len(u[1]) < len(g[1]) for u, g in zip(uniq_groups, groups)):
+            uniq_out = self._align_batches_impl(uniq_groups)
+            out = []
+            for (read_ids, _seqs, _mate), inv, u_res in zip(
+                    groups, fanout, uniq_out):
+                res = []
+                for i, j in enumerate(inv.tolist()):
+                    aln = u_res[j]
+                    if aln is not None and aln.read_id != read_ids[i]:
+                        aln = dataclasses.replace(aln,
+                                                  read_id=read_ids[i])
+                    res.append(aln)
+                out.append(res)
+            return out
+        return self._align_batches_impl(groups)
+
+    def _align_batches_impl(self, groups):
         import jax
 
         chunks_placed = []
