@@ -8,7 +8,7 @@ cmp lists directly (hgtpu.align.verify).
 """
 from __future__ import annotations
 
-import dataclasses
+import copy
 
 import numpy as np
 
@@ -18,6 +18,17 @@ from ..ops.placement import (backbone_pwm, encode_reads,
 from ..utils.dna import decode_seq
 from .types import ReadAln
 from .verify import GeneVerifier
+
+
+def _pad_codes_2d(code_list, n_rows, width, fill):
+    """Stack variable-length int8 code arrays into [n_rows, width] with
+    `fill` padding (rows beyond len(code_list) stay all-fill; codes longer
+    than `width` are clipped) — one concatenate + one fancy scatter."""
+    out = np.full((n_rows, width), fill, dtype=np.int8)
+    for i, r in enumerate(code_list):
+        n = min(len(r), width)
+        out[i, :n] = r[:n]
+    return out
 
 
 class GeneAligner:
@@ -141,8 +152,10 @@ class GeneAligner:
                 for i, j in enumerate(inv.tolist()):
                     aln = u_res[j]
                     if aln is not None and aln.read_id != read_ids[i]:
-                        aln = dataclasses.replace(aln,
-                                                  read_id=read_ids[i])
+                        # shallow copy + rebind id: ~4x cheaper than
+                        # dataclasses.replace (which re-runs __init__)
+                        aln = copy.copy(aln)
+                        aln.read_id = read_ids[i]
                     res.append(aln)
                 out.append(res)
             return out
@@ -423,12 +436,10 @@ class GeneAligner:
         Ep = 1
         while Ep < E:
             Ep *= 2
-        reads = np.full((Ep, W), 4, np.int8)
+        reads = _pad_codes_2d(flat_reads, Ep, W, fill=4)
         lens = np.zeros(Ep, np.int32)
+        lens[:E] = np.fromiter((len(r) for r in flat_reads), np.int32, E)
         starts = np.zeros(Ep, np.int32)
-        for k, r in enumerate(flat_reads):
-            reads[k, : len(r)] = r
-            lens[k] = len(r)
         starts[:E] = np.asarray(flat_starts, np.int32)
         cost, over = self._dp_tables.costs(
             reads, lens, starts, max_novel=self.num_editdist)
@@ -508,10 +519,7 @@ class GeneAligner:
             q = np.full(E, sentinel, dtype=np.int64)
         w_eff = np.minimum(lens, np.maximum(q - starts - B, 0))
         W = int(min(lens.max(), max(1, w_eff.max()), self._LB_TAIL))
-        reads_pad = np.full((E, W), 5, dtype=np.int8)   # code 5 never free
-        for i, r in enumerate(flat_reads):
-            n = min(len(r), W)
-            reads_pad[i, :n] = r[:n]
+        reads_pad = _pad_codes_2d(flat_reads, E, W, fill=5)  # 5 never free
         j = np.arange(W, dtype=np.int32)
         base_idx = (starts.astype(np.int32) + self._LB_PAD)[:, None] \
             + j[None, :]

@@ -166,10 +166,15 @@ def error_correct(gene: GeneRef, mpileup: Mpileup, cmp_list, read_seq,
     if mpileup is None or mpileup.rep is None:
         return cmp_list, read_seq, 0
     ref_seq = gene.backbone
-    single_lookup = {}
-    for vi in np.flatnonzero(gene.var_type == VT_SINGLE):
-        single_lookup[(int(gene.var_pos[vi]), gene.var_data[vi])] = \
-            gene.var_ids[vi]
+    # (pos, base) -> catalog SNP id, built once per pileup session (the
+    # gene's catalog is immutable for the life of the Mpileup)
+    single_lookup = getattr(mpileup, "_single_lookup", None)
+    if single_lookup is None:
+        single_lookup = {}
+        for vi in np.flatnonzero(gene.var_type == VT_SINGLE):
+            single_lookup[(int(gene.var_pos[vi]), gene.var_data[vi])] = \
+                gene.var_ids[vi]
+        mpileup._single_lookup = single_lookup
 
     out = []
     num_correction = 0
