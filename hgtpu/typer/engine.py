@@ -213,6 +213,54 @@ class GeneTyper:
             + [p for p, _ in self.alts_right_list], dtype=np.int64))
 
     # ------------------------------------------------------------------ #
+    def clean_hts_batch(self, alns, mpileup, use_ec, memo):
+        """Vectorized twin of read_hts' clean fast path: one batched
+        pileup-support gather + alt-key scan over every unique nm==0
+        alignment whose cmp holds only matches and catalog SNPs.  Fills
+        `memo[(pos, seq)] = {ht}` for alignments the fast path resolves;
+        the rest fall through to read_hts unchanged."""
+        from ..utils.dna import encode_seq
+
+        gene = self.gene
+        N = len(alns)
+        if N == 0:
+            return
+        span_l = np.fromiter((a.pos for a in alns), np.int64, N)
+        span_r = np.fromiter((a.right - 1 for a in alns), np.int64, N)
+        key = self._alt_key_pos
+        if len(key):
+            i = np.searchsorted(key, span_l)
+            ok = (i >= len(key)) | \
+                (key[np.minimum(i, len(key) - 1)] > span_r)
+        else:
+            ok = np.ones(N, dtype=bool)
+        if use_ec and mpileup is not None:
+            P = len(gene.backbone)
+            code_list = [a.codes if a.codes is not None
+                         else encode_seq(a.seq) for a in alns]
+            lens = np.fromiter(
+                (min(len(c), P - p) for c, p in zip(code_list, span_l)),
+                np.int64, N)
+            L = int(lens.max()) if N else 0
+            codes = np.full((N, L), 4, np.int8)
+            for r, c in enumerate(code_list):
+                codes[r, : lens[r]] = c[: lens[r]]
+            pos = span_l[:, None] + np.arange(L, dtype=np.int64)[None, :]
+            np.clip(pos, 0, P - 1, out=pos)
+            okmat = mpileup.rep6[pos, codes]
+            bad = mpileup.rep_any[pos] & ~okmat \
+                & (np.arange(L)[None, :] < lens[:, None])
+            ok &= ~bad.any(axis=1)
+        var_ids = gene.var_ids
+        for r in np.flatnonzero(ok).tolist():
+            a = alns[r]
+            toks = [str(a.pos)]
+            for e in a.cmp:
+                if e[0] == "mismatch":
+                    toks.append(var_ids[e[3]])
+            toks.append(str(int(span_r[r])))
+            memo[(a.pos, a.seq)] = {"-".join(toks)}
+
     def read_hts(self, aln, novel: NovelVars, mpileup=None):
         """One mate alignment -> set of ht strings (with alt spellings),
         or None when the read is rejected (error-correction budget or
@@ -503,6 +551,10 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     counted_reads = []
 
     read_alns = list(read_alns)
+    # concordance is a pure function of the pair; resolve it once for both
+    # the pileup pass and the counting pass
+    conc_alns = [(read_id, _concordant(alns, opts))
+                 for read_id, alns in read_alns]
 
     # pass 1: pileup over all concordant alignments (no NM filter, as in
     # get_mpileup — typing_common.py:1059-1184)
@@ -511,8 +563,7 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
         from .mpileup import Mpileup
         mpileup = Mpileup(gene)
         bulk = []
-        for _read_id, alns in read_alns:
-            alns = _concordant(alns, opts)
+        for _read_id, alns in conc_alns:
             if alns is None:
                 continue
             bulk.extend(alns)
@@ -532,6 +583,29 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     # tiled duplicates share one computation
     hts_memo = {}
 
+    # batched clean fast path: one vectorized support/alt-key test over
+    # every unique nm==0 catalog-clean alignment prefills the memo
+    uniq_clean = {}
+    for _rid, alns in conc_alns:
+        if alns is None:
+            continue
+        for a in alns:
+            if a.nm != 0:
+                continue
+            k = (a.pos, a.seq)
+            if k in uniq_clean:
+                continue
+            for e in a.cmp:
+                if e[0] == "match":
+                    continue
+                if e[0] == "mismatch" and e[3] is not None and e[3] >= 0:
+                    continue
+                break
+            else:
+                uniq_clean[k] = a
+    typer.clean_hts_batch(list(uniq_clean.values()), mpileup,
+                          opts.error_correction, hts_memo)
+
     def memo_hts(a):
         k = (a.pos, a.seq)
         hit = hts_memo.get(k, False)
@@ -541,8 +615,7 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
         hts_memo[k] = r
         return r
 
-    for read_id, alns in read_alns:
-        alns = _concordant(alns, opts)
+    for read_id, alns in conc_alns:
         if alns is None:
             continue
         left_hts = set()
