@@ -132,3 +132,73 @@ def test_sharded_banded_dp_matches_single():
                             jnp.asarray(starts))
         assert (np.asarray(got_c) == want_c).all(), n_dev
         assert (np.asarray(got_o) == want_o).all(), n_dev
+
+
+# ---------------------------------------------------------------------- #
+# Connected end-to-end sharded typing (hgtpu.parallel.e2e)
+# ---------------------------------------------------------------------- #
+
+def _snp_only_allele(ref, want_snps=True):
+    """First allele carrying SNPs but no indels (device e2e path scope)."""
+    from hgtpu.db.catalog import VT_SINGLE
+    snp = ref.var_type == VT_SINGLE
+    for i, name in enumerate(ref.allele_names):
+        col = ref.links[:, i]
+        if not col[~snp].any() and (col[snp].any() or not want_snps):
+            return name
+    raise AssertionError("no SNP-only allele in panel")
+
+
+def _sim_codes(ref, alleles, typer, interval=2):
+    from hgtpu.sim.simulator import simulate_reads
+    r1, r2, _ = simulate_reads(ref, alleles, simulate_interval=interval,
+                               read_len=100, frag_len=250, seed=5)
+    return typer.encode([r.seq for r in r1] + [r.seq for r in r2])
+
+
+def test_sharded_e2e_genotype_truth():
+    """The connected placement->extract->count->EM program must rank the
+    true allele #1 at 100.00% on every mesh size, with identical results
+    across meshes."""
+    from hgtpu.parallel.e2e import ShardedTyper
+
+    spec = make_gene_msa(seed=11, n_alleles=32, length=1600,
+                         n_snp=70, n_del=0, n_ins=0)
+    ref, _ = build_gene_ref("A", spec["names"], spec["rows"],
+                            spec["ref_allele"], min_var_freq=0.0)
+    truth = _snp_only_allele(ref)
+
+    probs = {}
+    for n_dev in (1, 2, 8):
+        typer = ShardedTyper(ref, make_mesh(n_dev), em_iters=200)
+        codes = _sim_codes(ref, [truth], typer)
+        name, p_top, totals, n_used = typer.call_allele(codes)
+        assert name == truth, (n_dev, name, truth)
+        assert p_top > 0.9999, (n_dev, p_top)
+        assert n_used > 0.9 * codes.shape[0]
+        probs[n_dev] = typer(codes)[0]
+    assert np.allclose(probs[1], probs[2], atol=1e-4)
+    assert np.allclose(probs[1], probs[8], atol=1e-4)
+
+
+def test_sharded_e2e_heterozygous_pair():
+    """A 50/50 two-allele mixture resolves both alleles near 50%."""
+    from hgtpu.db.catalog import VT_SINGLE
+    from hgtpu.parallel.e2e import ShardedTyper
+
+    spec = make_gene_msa(seed=13, n_alleles=32, length=1600,
+                         n_snp=70, n_del=0, n_ins=0)
+    ref, _ = build_gene_ref("A", spec["names"], spec["rows"],
+                            spec["ref_allele"], min_var_freq=0.0)
+    snp = ref.var_type == VT_SINGLE
+    pair = [name for i, name in enumerate(ref.allele_names)
+            if not ref.links[~snp, i].any()][:2]
+    assert len(pair) == 2
+
+    typer = ShardedTyper(ref, make_mesh(8), em_iters=400)
+    codes = _sim_codes(ref, pair, typer)
+    prob, totals, n_used = typer(codes)
+    top2 = np.argsort(prob)[::-1][:2]
+    called = {ref.allele_names[i] for i in top2}
+    assert called == set(pair), called
+    assert prob[top2[0]] < 0.62 and prob[top2[1]] > 0.38
