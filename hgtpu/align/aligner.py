@@ -23,9 +23,14 @@ def _pad_codes_2d(code_list, n_rows, width, fill):
     `fill` padding (rows beyond len(code_list) stay all-fill; codes longer
     than `width` are clipped) — one concatenate + one fancy scatter."""
     out = np.full((n_rows, width), fill, dtype=np.int8)
-    for i, r in enumerate(code_list):
-        n = min(len(r), width)
-        out[i, :n] = r[:n]
+    if not code_list:
+        return out
+    clipped = [np.asarray(r[:width], np.int8) for r in code_list]
+    lens = np.fromiter((len(r) for r in clipped), np.int64, len(clipped))
+    rows = np.repeat(np.arange(len(clipped), dtype=np.int64), lens)
+    cols = np.arange(int(lens.sum()), dtype=np.int64) \
+        - np.repeat(np.cumsum(lens) - lens, lens)
+    out[rows, cols] = np.concatenate(clipped) if clipped else []
     return out
 
 
@@ -151,7 +156,10 @@ class GeneAligner:
                     aln = u_res[j]
                     if aln is not None and aln.read_id != read_ids[i]:
                         # manual shallow clone: ~10x cheaper than
-                        # copy.copy / dataclasses.replace on a dataclass
+                        # copy.copy / dataclasses.replace on a dataclass.
+                        # Relies on ReadAln being a plain (non-slots,
+                        # no __post_init__) dataclass — guarded by
+                        # tests/test_aligner.py::test_fanout_clone_equiv
                         clone = object.__new__(ReadAln)
                         clone.__dict__ = dict(aln.__dict__)
                         clone.read_id = read_ids[i]

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import math
 import sys
+
+import numpy as np
 from collections import deque
 from copy import deepcopy
 
@@ -65,34 +67,25 @@ def mate_node_id(node_id):
 
 
 def viterbi_path(trellis, states, verbose=False):
-    """Longest path through the contig trellis (ref :130-173)."""
-    vit = [[]]
-    endpath = [-1, None]
-    node_score = -sys.maxsize
-    for i in range(len(trellis[0])):
-        if trellis[0][i] > node_score:
-            endpath = [0, i]
-            node_score = trellis[0][i]
-        vit[0].append({"weight": trellis[0][i], "prev": None})
-    for t in range(1, len(trellis)):
-        vit.append([])
-        node_score = -sys.maxsize
-        for j in range(len(trellis[t])):
-            weight, state = max(
-                [(vit[t - 1][n]["weight"] + trellis[t][j], n)
-                 for n in range(len(vit[t - 1]))],
-                key=lambda x: x[0])
-            if weight > node_score:
-                endpath = [t, j]
-                node_score = weight
-            vit[t].append({"weight": weight, "prev": state})
-    assert endpath[1] is not None
+    """Max-plus decode of the contig/allele trellis (ref :130-173).
+
+    The contig trellis carries NO transition costs — the cumulative weight
+    of state j at step t is trellis[t][j] plus the best cumulative weight
+    of step t-1, a constant across j.  The optimum therefore decomposes
+    row-by-row: total score = sum of row maxima, path = each row's argmax
+    (ties resolve to the lowest index, as the reference's sequential
+    strictly-greater scan does).  One vectorized argmax per (ragged) row
+    replaces the O(T x S^2) dynamic program.
+    """
+    assert trellis and all(len(row) for row in trellis)
+    score = 0.0
     path = []
-    while endpath[1] is not None:
-        t, node = endpath
-        path.append(states[t][node])
-        endpath = [t - 1, vit[t][node]["prev"]]
-    return node_score, path[::-1]
+    for row, row_states in zip(trellis, states):
+        w = np.asarray(row, dtype=np.float64)
+        j = int(np.argmax(w))
+        score += float(w[j])
+        path.append(row_states[j])
+    return score, path
 
 
 class AsmNode:

@@ -105,27 +105,32 @@ def leftshift_deletions(backbone: np.ndarray, row: np.ndarray) -> np.ndarray:
         return row
     seq = row.copy()
     n = len(seq)
-    bp_i = 0
-    while bp_i < n and seq[bp_i] >= 4:
-        bp_i += 1
-    while bp_i < n:
-        if seq[bp_i] != _DOT:
-            bp_i += 1
+    run_start = 0
+    while run_start < n and seq[run_start] >= 4:    # leading non-base block
+        run_start += 1
+    while run_start < n:
+        if seq[run_start] != _DOT:
+            run_start += 1
             continue
-        bp_j = bp_i + 1
-        while bp_j < n and seq[bp_j] == _DOT:
-            bp_j += 1
-        if bp_j >= n:
+        run_end = run_start + 1                     # gap run [start, end)
+        while run_end < n and seq[run_end] == _DOT:
+            run_end += 1
+        if run_end >= n:
             break
-        while (bp_i > 0 and seq[bp_i - 1] < 4 and backbone[bp_j - 1] < 4
-               and seq[bp_i - 1] == backbone[bp_j - 1]):
-            seq[bp_j - 1] = seq[bp_i - 1]
-            seq[bp_i - 1] = _DOT
-            bp_i -= 1
-            bp_j -= 1
-        bp_i = bp_j
-        while bp_i < n and seq[bp_i] >= 4:
-            bp_i += 1
+        # The run slides left as one block: the shift distance is the
+        # longest stretch where the allele's left flank (read inward-out)
+        # keeps matching the backbone directly under the run's right edge.
+        flank = seq[run_start - 1::-1] if run_start else seq[:0]
+        under = backbone[run_end - 1::-1][:run_start]
+        ok = (flank < 4) & (under < 4) & (flank == under)
+        shift = int(np.argmin(ok)) if not ok.all() else len(ok)
+        if shift:
+            seq[run_end - shift:run_end] = \
+                seq[run_start - shift:run_start].copy()
+            seq[run_start - shift:run_end - shift] = _DOT
+        run_start = run_end
+        while run_start < n and seq[run_start] >= 4:
+            run_start += 1
     return seq
 
 

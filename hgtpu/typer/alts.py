@@ -1,23 +1,27 @@
 """Alternative-haplotype ambiguity machinery.
 
-Port of the reference's equivalence engine (the piece that decides
-bit-identical counting):
+The equivalence engine that decides bit-identical counting (behavioral
+spec: typing_common.py:1424-1657 `get_alternatives` and :1663-1955
+`identify_ambigious_diffs` in the reference).  Where the reference spells
+the left and right directions as two mirrored code blocks, this
+implementation runs ONE direction-parameterized path for both:
 
-- `get_alternatives` (typing_common.py:1424-1657): for every deletion
-  variant, recursively discover haplotype spellings that produce the same
-  sequence (deletions sliding through repeats), in both directions.
-  Returns {ht string: set(equivalent ht strings)} for left- and
-  right-anchored spellings.
-- `identify_ambigious_diffs` (typing_common.py:1663-1955): per read, trim
-  the cmp list ends whose spelling is ambiguous and emit every equivalent
-  end spelling, so reads contribute evidence to all alleles that could
-  have produced them.
+- `get_alternatives`: for every deletion variant, breadth-explore pairs of
+  haplotype spellings that denote the same sequence (deletions sliding
+  through repeats), extending outward base-by-base in the chosen
+  direction; maximal distinct-boundary pairs are recorded as equivalent.
+- `identify_ambiguous_diffs`: per read, find the outermost anchor whose
+  end spelling participates in an equivalence, trim the cmp list there,
+  and emit every equivalent end spelling so the read contributes evidence
+  to all alleles that could have produced it.
 
 Haplotype strings follow the reference format
 "<left>-<var id>-...-<right>" with catalog ids ("hv<N>") and novel ids
 ("nv<N>"); the counting layer parses them back.
 """
 from __future__ import annotations
+
+import numpy as np
 
 from ..db.catalog import GeneRef, VT_SINGLE, VT_DELETION, VT_INSERTION
 
@@ -59,128 +63,145 @@ def _lower_bound(lst, pos):
     return lo
 
 
+# A spelling is (lo, ids tuple, hi): the backbone interval [lo, hi] plus
+# the ordered variant ids it carries.  lo > hi denotes the empty interval
+# anchored at a boundary (the "deletion absent" alternative).
+
+
+def _fmt(spelling):
+    lo, ids, hi = spelling
+    if not ids:
+        return "%d-%d" % (lo, hi)
+    return "%d-%s-%d" % (lo, "-".join(ids), hi)
+
+
+class _AltExplorer:
+    """Direction-parameterized spelling search for one gene."""
+
+    def __init__(self, gene: GeneRef):
+        self.gene = gene
+        self.seq = gene.backbone
+        self.vars = VarTable(gene)
+        # scan list keyed by variant start (rightward extension)
+        self.by_start = [(int(gene.var_pos[i]), gene.var_ids[i])
+                         for i in range(gene.n_vars)]
+        # scan list keyed by rightmost occupied/adjacent coordinate
+        # (leftward extension): deletions key on their last deleted base,
+        # insertions on start+1 — matching the reference's reversed list.
+        keyed = []
+        for pos, vid in self.by_start:
+            vt, vp, vd = self.vars[vid]
+            if vt == "deletion":
+                vp += int(vd) - 1
+            elif vt == "insertion":
+                vp += 1
+            keyed.append((vp, vid))
+        keyed.sort(key=lambda x: x[0])
+        self.by_end = keyed
+        # adjacent variant-id pairs attested by at least one allele
+        attested = set()
+        for a in range(gene.n_alleles):
+            carried = np.flatnonzero(gene.links[:, a])
+            for k in range(len(carried) - 1):
+                attested.add((gene.var_ids[carried[k]],
+                              gene.var_ids[carried[k + 1]]))
+        self.attested = attested
+        self.equiv = ({}, {})  # (leftward store, rightward store)
+
+    # ------------------------------------------------------------------ #
+    def _boundary_vars(self, pos, leftward):
+        """Variants whose extension edge lands exactly on `pos`, yielded
+        in the reference's scan order (including its early-break rule that
+        uses the *raw* position for singles/insertions)."""
+        if leftward:
+            lst = self.by_end
+            idx = reversed(range(_lower_bound(lst, pos + 1)))
+        else:
+            lst = self.by_start
+            idx = range(_lower_bound(lst, pos), len(lst))
+        for k in idx:
+            vid = lst[k][1]
+            vt, vp, vd = self.vars[vid]
+            edge = vp
+            if leftward and vt == "deletion":
+                if vp == 0:
+                    continue
+                edge = vp + int(vd) - 1
+            if (edge > pos) if leftward else (edge < pos):
+                continue
+            if (edge < pos) if leftward else (edge > pos):
+                break
+            yield vid, vt, vp, vd
+
+    def _grow(self, spelling, leftward, banned=()):
+        """All one-base outward extensions of a spelling; returns
+        [(new spelling, base denoted)].  A deletion at the boundary
+        denotes no base, so it recurses one step further out."""
+        lo, ids, hi = spelling
+        pos = lo - 1 if leftward else hi + 1
+        if pos < 0 or pos >= len(self.seq):
+            return []
+        grown = [((pos, ids, hi) if leftward else (lo, ids, pos),
+                  self.seq[pos])]
+        inner = ids[0] if leftward and ids else \
+            (ids[-1] if not leftward and ids else None)
+        for vid, vt, vp, vd in self._boundary_vars(pos, leftward):
+            if vid in banned:
+                continue
+            if inner is not None:
+                pair = (vid, inner) if leftward else (inner, vid)
+                if pair not in self.attested:
+                    continue
+            if vt == "single":
+                nxt = (vp, (vid,) + ids, hi) if leftward \
+                    else (lo, ids + (vid,), vp)
+                grown.append((nxt, vd))
+            elif vt == "deletion":
+                dl = int(vd)
+                nxt = (vp, (vid,) + ids, hi) if leftward \
+                    else (lo, ids + (vid,), vp + dl - 1)
+                grown += self._grow(nxt, leftward, banned)
+        return grown
+
+    def _explore(self, del_id, a, b, leftward, depth=0):
+        """Extend the spelling pair outward while they still denote the
+        same bases with distinct boundaries; record maximal pairs."""
+        grows_a = self._grow(a, leftward)
+        grows_b = self._grow(b, leftward, (del_id,))
+        extended = False
+        for na, base_a in grows_a:
+            for nb, base_b in grows_b:
+                if base_a != base_b:
+                    continue
+                if leftward and na[0] == nb[0]:
+                    continue
+                if not leftward and na[2] == nb[2]:
+                    continue
+                extended = True
+                self._explore(del_id, na, nb, leftward, depth + 1)
+        if depth > 0 and not extended:
+            store = self.equiv[0] if leftward else self.equiv[1]
+            sa, sb = _fmt(a), _fmt(b)
+            store.setdefault(sa, set()).add(sb)
+            store.setdefault(sb, set()).add(sa)
+
+    def run(self):
+        for _, vid in self.by_start:
+            vt, vp, vd = self.vars[vid]
+            if vp == 0 or vt != "deletion":
+                continue
+            dl = int(vd)
+            if vp + dl >= len(self.seq):
+                continue
+            span = (vp, (vid,), vp + dl - 1)
+            self._explore(vid, span, (vp + dl, (), vp + dl - 1), True)
+            self._explore(vid, span, (vp, (), vp - 1), False)
+        return self.equiv
+
+
 def get_alternatives(gene: GeneRef, verbose=False):
     """Compute (Alts_left, Alts_right) equivalence dictionaries."""
-    ref_seq = gene.backbone
-    Vars = VarTable(gene)
-    var_list = [(int(gene.var_pos[i]), gene.var_ids[i])
-                for i in range(gene.n_vars)]
-
-    alts_left = {}
-    alts_right = {}
-
-    # consecutive variant pairs observed in real alleles
-    import numpy as np
-    second_order = set()
-    for a in range(gene.n_alleles):
-        idxs = np.flatnonzero(gene.links[:, a])
-        for k in range(len(idxs) - 1):
-            second_order.add((gene.var_ids[idxs[k]], gene.var_ids[idxs[k + 1]]))
-
-    # variants indexed by their rightmost coordinate
-    rev_var_list = []
-    for _, vid in var_list:
-        vt, vp, vd = Vars[vid]
-        if vt == "deletion":
-            vp = vp + int(vd) - 1
-        elif vt == "insertion":
-            vp += 1
-        rev_var_list.append((vp, vid))
-    rev_var_list.sort(key=lambda x: x[0])
-
-    def nextbases(ht, left=True, exclude=()):
-        """Extend a haplotype [left, ids..., right] by one base outward;
-        returns [(new ht, base)] for every spelling of that base."""
-        if left:
-            pos = int(ht[0]) - 1
-        else:
-            pos = ht[-1] + 1
-        if pos < 0 or pos >= len(ref_seq):
-            return []
-        if left:
-            bases = [([pos] + ht[1:], ref_seq[pos])]
-            prev_id = ht[1] if len(ht) > 2 else None
-            vi = _lower_bound(rev_var_list, pos + 1)
-            for vj in reversed(range(vi)):
-                _, vid = rev_var_list[vj]
-                vt, vp, vd = Vars[vid]
-                if vt == "deletion":
-                    if vp == 0:
-                        continue
-                    vp = vp + int(vd) - 1
-                if vp > pos:
-                    continue
-                if vp < pos:
-                    break
-                if vid in exclude:
-                    continue
-                if prev_id and (vid, prev_id) not in second_order:
-                    continue
-                if vt == "single":
-                    bases.append(([vp, vid] + ht[1:], vd))
-                elif vt == "deletion":
-                    bases += nextbases([vp - int(vd) + 1, vid] + ht[1:],
-                                       left, exclude)
-        else:
-            bases = [(ht[:-1] + [pos], ref_seq[pos])]
-            prev_id = ht[-2] if len(ht) > 2 else None
-            vi = _lower_bound(var_list, pos)
-            for vj in range(vi, len(var_list)):
-                _, vid = var_list[vj]
-                vt, vp, vd = Vars[vid]
-                if vp < pos:
-                    continue
-                if vp > pos:
-                    break
-                if vid in exclude:
-                    continue
-                if prev_id and (prev_id, vid) not in second_order:
-                    continue
-                if vt == "single":
-                    bases.append((ht[:-1] + [vid, vp], vd))
-                elif vt == "deletion":
-                    bases += nextbases(ht[:-1] + [vid, vp + int(vd) - 1],
-                                       left, exclude)
-        return bases
-
-    def ht_str(ht):
-        if len(ht) <= 2:
-            return "%d-%d" % (ht[0], ht[1])
-        return "%d-%s-%d" % (ht[0], "-".join(ht[1:-1]), ht[-1])
-
-    def recur(del_id, ht, ht_alt, left=True, dep=0):
-        bases1 = nextbases(ht, left)
-        bases2 = nextbases(ht_alt, left, (del_id,))
-        found = False
-        for nht, bp in bases1:
-            for nht_alt, bp2 in bases2:
-                if bp != bp2:
-                    continue
-                if left:
-                    if int(nht[0]) == int(nht_alt[0]):
-                        continue
-                else:
-                    if int(nht[-1]) == int(nht_alt[-1]):
-                        continue
-                found = True
-                recur(del_id, nht, nht_alt, left, dep + 1)
-        if dep > 0 and not found:
-            s1, s2 = ht_str(ht), ht_str(ht_alt)
-            store = alts_left if left else alts_right
-            store.setdefault(s1, set()).add(s2)
-            store.setdefault(s2, set()).add(s1)
-
-    for _, vid in var_list:
-        vt, vp, vd = Vars[vid]
-        if vp == 0 or vt != "deletion":
-            continue
-        dl = int(vd)
-        if vp + dl >= len(ref_seq):
-            continue
-        recur(vid, [vp, vid, vp + dl - 1], [vp + dl, vp + dl - 1], True)
-        recur(vid, [vp, vid, vp + dl - 1], [vp, vp - 1], False)
-
-    return alts_left, alts_right
+    return _AltExplorer(gene).run()
 
 
 def alts_sorted_lists(alts_left, alts_right):
@@ -193,6 +214,168 @@ def alts_sorted_lists(alts_left, alts_right):
     return left_list, right_list
 
 
+def _segment_span(entry):
+    """Inclusive backbone span of one cmp-list entry."""
+    typ, pos, length = entry[:3]
+    return pos, pos + length - 1 if typ in ("match", "deletion") else pos
+
+
+def _ht_and_seq(ref_seq, segments):
+    """Variant-id list + denoted sequence of a cmp-list slice."""
+    ids = []
+    seq = []
+    for seg in segments:
+        typ, pos, length = seg[:3]
+        vid = seg[3] if len(seg) > 3 else ""
+        if typ == "match":
+            seq.append(ref_seq[pos:pos + length])
+        elif typ == "mismatch":
+            seq.append(ref_seq[pos])
+        if vid not in ("", "unknown"):
+            ids.append(vid)
+    return ids, "".join(seq)
+
+
+def _walk_alt(Vars, alt_ids, start_pos, seq_len, seq_off, leftward):
+    """Replay an alternative spelling against the trimmed end, walking
+    variant ids away from the read (leftward: right-to-left).  Returns
+    (ids consumed, final backbone pos, final seq offset)."""
+    part = []
+    cur = start_pos
+    off = seq_off
+    order = reversed(alt_ids) if leftward else alt_ids
+    for vid in order:
+        vt, vp, vd = Vars[vid]
+        if leftward and vt == "deletion":
+            dl = int(vd)
+            vp = vp + dl - 1
+        step = (cur - vp) if leftward else (vp - cur)
+        assert step >= 0
+        noff = off + step
+        if noff >= seq_len:
+            break
+        if vt == "single":
+            noff += 1
+            ncur = vp - 1 if leftward else vp + 1
+        elif leftward:
+            ncur = vp - dl
+        else:
+            ncur = vp + int(vd)
+        if leftward:
+            part.insert(0, vid)
+        else:
+            part.append(vid)
+        if noff >= seq_len:
+            break
+        off, cur = noff, ncur
+    return part, cur, off
+
+
+def _trim_end(ref_seq, Vars, alts, alts_list, cmp_list, read_edge,
+              leftward):
+    """Scan segments from the far end toward `read_edge`'s end, find
+    anchors participating in an equivalence, and collect every equivalent
+    end spelling.  Returns (trim index, alt spellings, anchored?)."""
+    n = len(cmp_list)
+    order = reversed(range(n)) if leftward else range(n)
+    trim = 0 if leftward else n - 1
+    spellings = set()
+    anchored = False
+
+    for i in order:
+        seg = cmp_list[i]
+        typ = seg[0]
+        vid = seg[3] if typ in ("mismatch", "deletion") else ""
+        if typ in ("mismatch", "deletion", "insertion") \
+                and not str(vid).startswith("hv"):
+            continue
+        seg_lo, seg_hi = _segment_span(seg)
+        end_slice = cmp_list[:i + 1] if leftward else cmp_list[i:]
+        end_ids, end_seq = _ht_and_seq(ref_seq, end_slice)
+        if not end_ids:
+            end_str = str(read_edge)
+        elif leftward:
+            end_str = "%d-%s" % (read_edge, "-".join(end_ids))
+        else:
+            end_str = "%s-%d" % ("-".join(end_ids), read_edge)
+
+        hit = False
+        if leftward:
+            stop = _lower_bound(alts_list, seg_hi + 1)
+            scan = reversed(range(min(stop + 1, len(alts_list))))
+        else:
+            scan = range(_lower_bound(alts_list, seg_lo), len(alts_list))
+        for j in scan:
+            anchor_pos, rep = alts_list[j]
+            if (anchor_pos < seg_lo) if leftward else (anchor_pos > seg_hi):
+                break
+            if (anchor_pos > seg_hi) if leftward else (anchor_pos < seg_lo):
+                continue
+            if end_ids and rep.find("-".join(end_ids)) == -1:
+                continue
+            # the equivalence must extend past the read edge: either the
+            # rep ht has no extra inner variant (then its boundary must
+            # reach the edge) or its first extra variant lies beyond it.
+            rep_ids = rep.split("-")[:-1] if leftward else rep.split("-")[1:]
+            if len(end_ids) + 1 == len(rep_ids):
+                bound = int(rep_ids[0]) if leftward else int(rep_ids[-1])
+                if (read_edge < bound) if leftward else (read_edge > bound):
+                    continue
+            else:
+                extra = rep_ids[len(rep_ids) - len(end_ids) - 1] \
+                    if leftward else rep_ids[len(end_ids)]
+                vt2, vp2, vd2 = Vars[extra]
+                if leftward and vt2 == "deletion":
+                    vp2 = vp2 + int(vd2) - 1
+                if (read_edge <= vp2) if leftward else (read_edge >= vp2):
+                    continue
+            hit = True
+            for alt_str in alts[rep]:
+                toks = alt_str.split("-")
+                if leftward:
+                    alt_edge = int(toks[-1])
+                    assert alt_edge <= seg_hi
+                    off0 = seg_hi - alt_edge
+                else:
+                    alt_edge = int(toks[0])
+                    assert seg_lo <= alt_edge
+                    off0 = alt_edge - seg_lo
+                part, cur, off = _walk_alt(Vars, toks[1:-1], alt_edge,
+                                           len(end_seq), off0, leftward)
+                if not part:
+                    continue
+                overhang = len(end_seq) - off - 1
+                if not leftward:
+                    assert overhang >= 0
+                # inner catalog variants between the old and new trim
+                # points ride along on the emitted spelling
+                bridge = ""
+                if anchored:
+                    lo_s, hi_s = ((i + 1, trim) if leftward
+                                  else (trim + 1, i))
+                    mids = [c[3] for c in cmp_list[lo_s:hi_s]
+                            if c[0] in ("mismatch", "deletion", "insertion")
+                            and str(c[3]).startswith("hv")]
+                    if mids:
+                        bridge = ("-" + "-".join(mids)) if leftward \
+                            else ("-".join(mids) + "-")
+                if leftward:
+                    spellings.add("%d-%s%s" % (cur - overhang,
+                                               "-".join(part), bridge))
+                else:
+                    spellings.add("%s%s-%d" % (bridge, "-".join(part),
+                                               cur + overhang))
+        if hit:
+            if not anchored:
+                trim = i + 1 if leftward else i - 1
+                spellings.add(end_str)
+            anchored = True
+
+    if not anchored:
+        spellings.add(str(read_edge))
+    return trim, spellings, anchored
+
+
 def identify_ambiguous_diffs(ref_seq, Vars, alts_left, alts_right,
                              alts_left_list, alts_right_list, cmp_list,
                              verbose=0):
@@ -201,192 +384,21 @@ def identify_ambiguous_diffs(ref_seq, Vars, alts_left, alts_right,
 
     cmp_list entries: [type, pos, length, var_id_str] (reference format).
     """
-    cmp_left = 0
-    cmp_right = len(cmp_list) - 1
-    left = cmp_list[0][1]
-    right = cmp_list[-1][1] + cmp_list[-1][2] - 1
-    left_alt_set = set()
-    right_alt_set = set()
+    read_lo = cmp_list[0][1]
+    read_hi = cmp_list[-1][1] + cmp_list[-1][2] - 1
 
-    def ht_and_seq(cl):
-        ht = []
-        seq = ""
-        for c in cl:
-            typ, pos, length = c[:3]
-            vid = c[3] if len(c) > 3 else ""
-            if typ == "match":
-                seq += ref_seq[pos:pos + length]
-            elif typ == "mismatch":
-                seq += ref_seq[pos]
-            if vid not in ("", "unknown"):
-                ht.append(vid)
-        return ht, seq
-
-    # ---- left end ---- #
-    found = False
-    for i in reversed(range(len(cmp_list))):
-        i_found = False
-        typ, cur_left, length = cmp_list[i][:3]
-        vid = cmp_list[i][3] if typ in ("mismatch", "deletion") else ""
-        if typ in ("mismatch", "deletion", "insertion") \
-                and not str(vid).startswith("hv"):
-            continue
-        cur_right = cur_left + length - 1 if typ in ("match", "deletion") \
-            else cur_left
-        cur_ht, cur_seq = ht_and_seq(cmp_list[:i + 1])
-        cur_ht_str = str(left) if not cur_ht \
-            else "%d-%s" % (left, "-".join(cur_ht))
-        ht_i = _lower_bound(alts_left_list, cur_right + 1)
-        for ht_j in reversed(range(min(ht_i + 1, len(alts_left_list)))):
-            ht_pos, ht = alts_left_list[ht_j]
-            if ht_pos < cur_left:
-                break
-            if ht_pos > cur_right:
-                continue
-            if cur_ht and ht.find("-".join(cur_ht)) == -1:
-                continue
-            parts = ht.split("-")[:-1]
-            if len(cur_ht) + 1 == len(parts):
-                if left < int(parts[0]):
-                    continue
-            else:
-                vid2 = parts[len(parts) - len(cur_ht) - 1]
-                vt2, vp2, vd2 = Vars[vid2]
-                if vt2 == "deletion":
-                    vp2 = vp2 + int(vd2) - 1
-                if left <= vp2:
-                    continue
-            i_found = True
-            rep_ht = alts_left_list[ht_j][1]
-            for alt_ht_str in alts_left[rep_ht]:
-                alt = alt_ht_str.split("-")
-                alt_right = int(alt[-1])
-                assert alt_right <= cur_right
-                seq_pos = cur_right - alt_right
-                cur_pos = alt_right
-                part = []
-                for vid_ in reversed(alt[1:-1]):
-                    vt_, vp_, vd_ = Vars[vid_]
-                    if vt_ == "deletion":
-                        dl = int(vd_)
-                        vp_ = vp_ + dl - 1
-                    assert vp_ <= cur_pos
-                    nsp = seq_pos + (cur_pos - vp_)
-                    if nsp >= len(cur_seq):
-                        break
-                    if vt_ == "single":
-                        nsp += 1
-                        ncp = vp_ - 1
-                    else:
-                        ncp = vp_ - dl
-                    part.insert(0, vid_)
-                    if nsp >= len(cur_seq):
-                        break
-                    seq_pos, cur_pos = nsp, ncp
-                if part:
-                    seq_left = len(cur_seq) - seq_pos - 1
-                    tail = ""
-                    if found:
-                        mids = [c[3] for c in cmp_list[i + 1:cmp_left]
-                                if c[0] in ("mismatch", "deletion",
-                                            "insertion")
-                                and str(c[3]).startswith("hv")]
-                        if mids:
-                            tail = "-" + "-".join(mids)
-                    left_alt_set.add(
-                        "%d-%s" % (cur_pos - seq_left, "-".join(part)) + tail)
-        if i_found:
-            if not found:
-                cmp_left = i + 1
-                left_alt_set.add(cur_ht_str)
-            found = True
-    if not found:
-        left_alt_set.add(str(left))
-
-    # ---- right end ---- #
-    found = False
-    for i in range(len(cmp_list)):
-        i_found = False
-        typ, cur_left, length = cmp_list[i][:3]
-        vid = cmp_list[i][3] if typ in ("mismatch", "deletion") else ""
-        if typ in ("mismatch", "deletion", "insertion") \
-                and not str(vid).startswith("hv"):
-            continue
-        cur_right = cur_left + length - 1 if typ in ("match", "deletion") \
-            else cur_left
-        cur_ht, cur_seq = ht_and_seq(cmp_list[i:])
-        cur_ht_str = str(right) if not cur_ht \
-            else "%s-%d" % ("-".join(cur_ht), right)
-        ht_i = _lower_bound(alts_right_list, cur_left)
-        for ht_j in range(ht_i, len(alts_right_list)):
-            ht_pos, ht = alts_right_list[ht_j]
-            if ht_pos > cur_right:
-                break
-            if ht_pos < cur_left:
-                continue
-            if cur_ht and ht.find("-".join(cur_ht)) == -1:
-                continue
-            parts = ht.split("-")[1:]
-            if len(cur_ht) + 1 == len(parts):
-                if right > int(parts[-1]):
-                    continue
-            else:
-                vid2 = parts[len(cur_ht)]
-                _vt2, vp2, _ = Vars[vid2]
-                if right >= vp2:
-                    continue
-            i_found = True
-            rep_ht = alts_right_list[ht_j][1]
-            for alt_ht_str in alts_right[rep_ht]:
-                alt = alt_ht_str.split("-")
-                alt_left = int(alt[0])
-                assert cur_left <= alt_left
-                seq_pos = alt_left - cur_left
-                cur_pos = alt_left
-                part = []
-                for vid_ in alt[1:-1]:
-                    vt_, vp_, vd_ = Vars[vid_]
-                    assert vp_ >= cur_pos
-                    nsp = seq_pos + (vp_ - cur_pos)
-                    if nsp >= len(cur_seq):
-                        break
-                    if vt_ == "single":
-                        nsp += 1
-                        ncp = vp_ + 1
-                    else:
-                        ncp = vp_ + int(vd_)
-                    part.append(vid_)
-                    if nsp >= len(cur_seq):
-                        break
-                    seq_pos, cur_pos = nsp, ncp
-                if part:
-                    seq_left = len(cur_seq) - seq_pos - 1
-                    assert seq_left >= 0
-                    head = ""
-                    if found:
-                        mids = [c[3] for c in cmp_list[cmp_right + 1:i]
-                                if c[0] in ("mismatch", "deletion",
-                                            "insertion")
-                                and str(c[3]).startswith("hv")]
-                        if mids:
-                            head = "-".join(mids) + "-"
-                    right_alt_set.add(
-                        head + "%s-%d" % ("-".join(part), cur_pos + seq_left))
-        if i_found:
-            if not found:
-                cmp_right = i - 1
-                right_alt_set.add(cur_ht_str)
-            found = True
-    if not found:
-        right_alt_set.add(str(right))
+    cmp_left, left_set, _ = _trim_end(
+        ref_seq, Vars, alts_left, alts_left_list, cmp_list, read_lo, True)
+    cmp_right, right_set, _ = _trim_end(
+        ref_seq, Vars, alts_right, alts_right_list, cmp_list, read_hi, False)
 
     if cmp_right < cmp_left:
         cmp_left = 0
-        left_alt_set = {str(left)}
+        left_set = {str(read_lo)}
 
     from ..validate import SANITY_CHECK, check_amb_uniqueness
     if SANITY_CHECK:
         check_amb_uniqueness(cmp_list, cmp_left, cmp_right,
-                             list(left_alt_set), list(right_alt_set))
+                             list(left_set), list(right_set))
 
-    return cmp_left, cmp_right, list(left_alt_set), list(right_alt_set)
+    return cmp_left, cmp_right, list(left_set), list(right_set)

@@ -241,7 +241,8 @@ class GeneTyper:
             lens = np.fromiter(
                 (min(len(c), P - p) for c, p in zip(code_list, span_l)),
                 np.int64, N)
-            L = int(lens.max()) if N else 0
+            np.maximum(lens, 0, out=lens)   # span_l past the backbone end
+            L = max(int(lens.max()), 0) if N else 0
             codes = np.full((N, L), 4, np.int8)
             for r, c in enumerate(code_list):
                 codes[r, : lens[r]] = c[: lens[r]]

@@ -172,3 +172,22 @@ def test_batched_fast_path_matches_dfs(generef):
     assert len(a_fast) == len(a_slow)
     for f, s, nm in zip(a_fast, a_slow, names):
         assert _aln_key(f) == _aln_key(s), nm
+
+
+def test_fanout_clone_equiv():
+    """The dedup fan-out path shallow-clones ReadAln via object.__new__ +
+    __dict__ copy; guard that this stays equivalent to real construction
+    (breaks if ReadAln ever gains __slots__ or a __post_init__)."""
+    import dataclasses
+    from hgtpu.align.types import ReadAln
+
+    src = ReadAln(read_id="r1", mate="L", pos=5, right=105,
+                  cmp=[("match", 5, 100, -1, "")], nm=0, is_rc=False,
+                  seq="A" * 100)
+    clone = object.__new__(ReadAln)
+    clone.__dict__ = dict(src.__dict__)
+    clone.read_id = "r2"
+    want = dataclasses.replace(src, read_id="r2")
+    assert clone == want
+    assert not hasattr(ReadAln, "__slots__")
+    assert not hasattr(ReadAln, "__post_init__")
