@@ -129,6 +129,36 @@ def family_config():
     return n, want
 
 
+def hla_scale_config():
+    """Reference-scale closed loop: IMGT-HLA-A-magnitude panel (3,600
+    alleles, ~1,500 variants, 3.5 kb) — truth must rank #1 at 100.00%."""
+    from synth import make_hla_scale_msa
+
+    from hgtpu.pipeline import type_reads
+    from hgtpu.sim import simulate_reads
+
+    spec = make_hla_scale_msa()
+    ref, _ = build_gene_ref(
+        "A", spec["names"], spec["rows"], spec["ref_allele"],
+        exons_ref_coords=spec["exons"],
+        primary_exon_idx=spec["primary_exon_idx"], min_var_freq=0.0)
+    n = want = 0
+    for idx, seed in ((55, 1), (1234, 2), (3333, 3)):
+        allele = ref.allele_names[idx]
+        r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=10,
+                                   seed=seed)
+        res = type_reads(ref, [(r.name, r.seq) for r in r1],
+                         [(r.name, r.seq) for r in r2],
+                         TypingOptions(simulation=True))
+        want += 1
+        ok = bool(res.prob) and res.prob[0][0] == allele \
+            and res.prob[0][1] >= 0.9999
+        n += bool(ok)
+        if not ok:
+            print("   hla-scale true=%s top=%s" % (allele, res.prob[:2]))
+    return n, want
+
+
 def main():
     quick = "--quick" in sys.argv
     total = passed = 0
@@ -159,8 +189,10 @@ def main():
         if not ok:
             for alleles, res in results:
                 print("   true=%s top=%s" % (alleles, res.prob[:2]))
-    for name, fn in (("codis-str", codis_config),
-                     ("family-2gene", family_config)):
+    extra = [("codis-str", codis_config), ("family-2gene", family_config)]
+    if not quick:
+        extra.append(("hla-scale-3600", hla_scale_config))
+    for name, fn in extra:
         n, want = fn()
         total += want
         passed += n

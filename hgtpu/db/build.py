@@ -20,6 +20,8 @@ indel run) so it is O(#variants) instead of O(L) per allele.
 """
 from __future__ import annotations
 
+import bisect
+
 import numpy as np
 
 from .catalog import GeneRef, VT_SINGLE, VT_DELETION, VT_INSERTION, Catalog
@@ -105,22 +107,26 @@ def leftshift_deletions(backbone: np.ndarray, row: np.ndarray) -> np.ndarray:
         return row
     seq = row.copy()
     n = len(seq)
-    run_start = 0
-    while run_start < n and seq[run_start] >= 4:    # leading non-base block
-        run_start += 1
-    while run_start < n:
-        if seq[run_start] != _DOT:
-            run_start += 1
+    is_dot = seq == _DOT
+    if not is_dot.any():
+        return seq
+    # maximal gap runs [start, end), found in one vectorized pass; runs
+    # preceded by a non-base shift 0 bases through the flank test below,
+    # so no explicit skip bookkeeping is needed.
+    edge = np.diff(is_dot.astype(np.int8))
+    starts = np.flatnonzero(edge == 1) + 1
+    ends = np.flatnonzero(edge == -1) + 1
+    if is_dot[0]:
+        starts = np.concatenate([[0], starts])
+    if is_dot[-1]:
+        ends = np.concatenate([ends, [n]])
+    for run_start, run_end in zip(starts.tolist(), ends.tolist()):
+        if run_start == 0 or run_end >= n:
             continue
-        run_end = run_start + 1                     # gap run [start, end)
-        while run_end < n and seq[run_end] == _DOT:
-            run_end += 1
-        if run_end >= n:
-            break
         # The run slides left as one block: the shift distance is the
         # longest stretch where the allele's left flank (read inward-out)
         # keeps matching the backbone directly under the run's right edge.
-        flank = seq[run_start - 1::-1] if run_start else seq[:0]
+        flank = seq[run_start - 1::-1]
         under = backbone[run_end - 1::-1][:run_start]
         ok = (flank < 4) & (under < 4) & (flank == under)
         shift = int(np.argmin(ok)) if not ok.all() else len(ok)
@@ -128,9 +134,6 @@ def leftshift_deletions(backbone: np.ndarray, row: np.ndarray) -> np.ndarray:
             seq[run_end - shift:run_end] = \
                 seq[run_start - shift:run_start].copy()
             seq[run_start - shift:run_end - shift] = _DOT
-        run_start = run_end
-        while run_start < n and seq[run_start] >= 4:
-            run_start += 1
     return seq
 
 
@@ -253,15 +256,55 @@ def collapse_alleles(names, rows, verbose=False):
         offsets.append(offsets[-1] + len(stripped[i]) + 1)
     hay = "#".join(hay_parts)
     starts = np.array(offsets[:-1])
+    # Anchor index: rolling 64-gram hashes of the haystack (vectorized,
+    # one pass) so each needle costs O(candidates) instead of a full
+    # hay.find scan — the reference's O(A x total_len) loop collapses to
+    # O(total_len + A x hits) at IMGT scale (thousands of alleles).
+    ANCHOR = 64
+    occ_of = None
+    if len(hay) >= ANCHOR:
+        codes = np.frombuffer(hay.encode("ascii"), np.uint8).astype(
+            np.uint64)
+        n = len(codes)
+        B = 1099511628211                       # odd -> invertible mod 2^64
+        binv = pow(B, -1, 1 << 64)
+        pw = np.full(n, np.uint64(B)); pw[0] = 1
+        np.cumprod(pw, out=pw)                  # B^i (wrapping)
+        pwi = np.full(n, np.uint64(binv)); pwi[0] = 1
+        np.cumprod(pwi, out=pwi)                # B^-i (wrapping)
+        pref = np.cumsum(codes * pwi, dtype=np.uint64)
+        win = pref[ANCHOR - 1:].copy()
+        win[1:] -= pref[:n - ANCHOR]
+        win *= pw[ANCHOR - 1:]                  # hash of hay[i:i+ANCHOR]
+        sort_ix = np.argsort(win)
+        win_sorted = win[sort_ix]
+
+        def occ_of(needle):
+            """Candidate start positions of `needle` in hay, ascending."""
+            h = 0
+            for ch in needle[:ANCHOR].encode("ascii"):
+                h = (h * B + ch) & 0xFFFFFFFFFFFFFFFF
+            h = np.uint64(h)
+            lo = int(np.searchsorted(win_sorted, h, side="left"))
+            hi = int(np.searchsorted(win_sorted, h, side="right"))
+            return np.sort(sort_ix[lo:hi])
+
+    def _occurrences(si):
+        if occ_of is not None and len(si) >= ANCHOR:
+            for a in occ_of(si):
+                if hay.startswith(si, int(a)):
+                    yield int(a)
+        else:
+            at = hay.find(si)
+            while at != -1:
+                yield at
+                at = hay.find(si, at + 1)
+
     for i in order:
         if not keep[i]:
             continue
         si = stripped[i]
-        at = 0
-        while True:
-            at = hay.find(si, at)
-            if at == -1:
-                break
+        for at in _occurrences(si):
             j = owners[int(np.searchsorted(starts, at, side="right")) - 1]
             if j != i and keep[j] and len(stripped[i]) < len(stripped[j]):
                 ni, nj = names[i], names[j]
@@ -276,7 +319,6 @@ def collapse_alleles(names, rows, verbose=False):
                     collapsed[ni] = nj
                 if not keep[i]:
                     break
-            at += 1
     new_names = [n for i, n in enumerate(names) if keep[i]]
     new_rows = [r for i, r in enumerate(rows) if keep[i]]
     return new_names, new_rows, collapsed
@@ -423,7 +465,18 @@ def build_gene_ref(
     dots_before = np.concatenate([[0], np.cumsum(backbone == _DOT)[:-1]])
 
     # ---- variant extraction over all alleles ---------------------------- #
-    dec = lambda bs: _MSA_DEC[np.frombuffer(bs, dtype=np.uint8).astype(np.int64)].tobytes().decode()
+    _dec_cache = {}
+
+    def dec(bs):
+        """Decode variant payload codes -> str, memoized (the same SNP
+        payload recurs once per carrying allele)."""
+        key = bs if isinstance(bs, bytes) else bs.tobytes()
+        out = _dec_cache.get(key)
+        if out is None:
+            out = _MSA_DEC[np.frombuffer(
+                key, dtype=np.uint8).astype(np.int64)].tobytes().decode()
+            _dec_cache[key] = out
+        return out
     var_table = {}   # key (pos, type, data) -> [freq, [allele names]]
     for i, name in enumerate(names):
         for pos, vtype, data, msf_col in _scan_allele_vars(backbone, mat[i],
@@ -560,7 +613,6 @@ def _build_haplotypes(keys, var_table, var_freq, min_var_freq, inter_gap,
                     prev_locus += data_i - 1
                 j += 1
 
-        window = set(range(i, j)) - excluded
         alleles = set()
         for k in range(i, j):
             if var_freq[k] < min_var_freq:
@@ -569,7 +621,11 @@ def _build_haplotypes(keys, var_table, var_freq, min_var_freq, inter_gap,
 
         hap_set = set()
         for allele in alleles:
-            avars = [v for v in allele_key_idxs[allele] if v in window]
+            lst = allele_key_idxs[allele]      # sorted; window is [i, j)
+            lo = bisect.bisect_left(lst, i)
+            hi = bisect.bisect_left(lst, j)
+            avars = [v for v in lst[lo:hi] if v not in excluded] \
+                if excluded else lst[lo:hi]
             if avars:
                 hap_set.add(tuple(avars))
         if not whole_haplotype:

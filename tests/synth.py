@@ -170,3 +170,122 @@ def make_family(genes=("A", "B", "C"), n_alleles=24, length=2000, seed=17):
         pos += len(ref_seq)
     genome_parts.append("".join(rng.choice(BASES) for _ in range(flank)))
     return dict(specs=specs, genome="".join(genome_parts), loci=loci)
+
+
+def make_hla_scale_msa(gene="A", n_alleles=3600, length=3500, n_snp=1500,
+                       n_del=150, n_ins=80, partial_frac=0.3, seed=4):
+    """Reference-scale panel (IMGT HLA-A is ~4,000 alleles over a ~3.5 kb
+    gene with thousands of catalog variants).  Vectorized with numpy so a
+    3,600 x 3,500 MSA renders in seconds; same output contract as
+    make_gene_msa.  partial_frac marks a fraction of alleles partial
+    (exon-only in the reference DB, devel/hg_test* panels)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    anc = rng.integers(0, 4, length)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+
+    # --- event pool over non-overlapping positions --- #
+    events = []          # (kind, pos, payload, prob)
+    taken = np.zeros(length, bool)
+
+    def claim(span):
+        for _ in range(50):
+            p = int(rng.integers(10, length - 10 - span))
+            if not taken[max(0, p - 1):p + span + 1].any():
+                taken[p:p + span] = True
+                return p
+        return -1
+
+    for _ in range(n_snp):
+        p = claim(1)
+        if p < 0:
+            continue
+        alt = int((anc[p] + rng.integers(1, 4)) % 4)
+        events.append(("S", p, alt, float(rng.uniform(0.01, 0.4))))
+    for _ in range(n_del):
+        ln = int(rng.integers(1, 7))
+        p = claim(ln)
+        if p < 0:
+            continue
+        events.append(("D", p, ln, float(rng.uniform(0.01, 0.25))))
+    for _ in range(n_ins):
+        ln = int(rng.integers(1, 5))
+        p = claim(1)
+        if p < 0:
+            continue
+        ins = "".join("ACGT"[i] for i in rng.integers(0, 4, ln))
+        events.append(("I", p, ins, float(rng.uniform(0.01, 0.2))))
+    E = len(events)
+
+    # --- correlated carrier matrix [A, E]: 2-branch phylogeny bias --- #
+    probs = np.array([e[3] for e in events])
+    bias = np.where(np.arange(n_alleles)[:, None] % 2 == 0, 1.6, 0.6)
+    bias = np.where(np.arange(E)[None, :] % 3 == 0, bias, 1.0)
+    # cap carrier fraction below 0.5 so the consensus backbone stays the
+    # ancestral sequence (variants then mean the same thing for every
+    # allele; at 3,600 draws the sampling noise cannot cross 50%)
+    carry = rng.random((n_alleles, E)) < np.minimum(probs[None, :] * bias,
+                                                    0.45)
+    carry[0] = False                         # clean reference allele
+    # a handful of SNP-only alleles (as in IMGT, where many alleles differ
+    # from the consensus by substitutions alone).  At min_var_freq=0 every
+    # insertion column enters the consensus backbone (reference
+    # create_consensus_seq semantics), so "no indels vs backbone" means:
+    # carry every insertion, no deletion.
+    is_del = np.array([e[0] == "D" for e in events])
+    is_ins = np.array([e[0] == "I" for e in events])
+    carry[1:9, is_del] = False
+    carry[1:9, is_ins] = True
+
+    # --- column layout: backbone cols + insertion cols --- #
+    col_of = np.zeros(length, np.int64)      # backbone pos -> column
+    ins_cols = {}                            # event idx -> (col, len)
+    col = 0
+    ins_by_pos = {}
+    for ei, (k, p, payload, _) in enumerate(events):
+        if k == "I":
+            ins_by_pos.setdefault(p, []).append(ei)
+    total_cols = length + sum(
+        len(events[ei][2]) for eis in ins_by_pos.values() for ei in eis)
+    mat = np.empty((n_alleles, total_cols), np.uint8)
+    for p in range(length):
+        for ei in ins_by_pos.get(p, ()):
+            ln = len(events[ei][2])
+            ins_cols[ei] = (col, ln)
+            col += ln
+        col_of[p] = col
+        col += 1
+    assert col == total_cols
+
+    # render: ancestral everywhere, then vectorized event application
+    mat[:, col_of] = bases[anc][None, :]
+    for ei, (k, p, payload, _) in enumerate(events):
+        rows = carry[:, ei]
+        if k == "S":
+            mat[rows, col_of[p]] = bases[payload]
+        elif k == "D":
+            for o in range(payload):
+                mat[rows, col_of[p + o]] = ord(".")
+    for ei, (c0, ln) in ins_cols.items():
+        payload = events[ei][2]
+        rows = carry[:, ei]
+        mat[:, c0:c0 + ln] = ord(".")
+        for o in range(ln):
+            mat[rows, c0 + o] = ord(payload[o])
+
+    # dedup rows (collapse_alleles would anyway; keep names deterministic)
+    names = ["%s*%02d:%02d:%02d:%02d" % (gene, a // 1000 + 1,
+                                         (a // 100) % 10 + 1,
+                                         (a // 10) % 10 + 1, a % 10 + 1)
+             for a in range(n_alleles)]
+    rows = [m.tobytes().decode("ascii") for m in mat]
+
+    exon_len = length // 6
+    exons = [(exon_len, 2 * exon_len - 1),
+             (3 * exon_len, 4 * exon_len - 1),
+             (5 * exon_len, length - 11)]
+    partial = {names[a] for a in range(n_alleles)
+               if a > 0 and rng.random() < partial_frac}
+    return dict(names=names, rows=rows, ref_allele=names[0], exons=exons,
+                primary_exon_idx=(0, 1), partial=partial)

@@ -1,0 +1,90 @@
+"""Reference-scale validation: IMGT HLA-A is ~4,000 alleles over a
+~3.5 kb gene (the reference's golden tests run against that DB,
+/root/reference/devel/hg_test1_basic/assembly_graph-hla.test-1.report:12-19).
+This suite types against a synthetic panel of the same magnitude —
+3,600 alleles, ~1,500 catalog variants, 3.5 kb backbone — asserting the
+golden invariant (truth ranked #1 at exactly 100.00%) holds at scale."""
+import numpy as np
+import pytest
+
+from hgtpu.db import build_gene_ref
+from hgtpu.pipeline import type_reads
+from hgtpu.typer.engine import TypingOptions
+from hgtpu.sim import simulate_reads
+from tests.synth import make_hla_scale_msa
+
+
+@pytest.fixture(scope="module")
+def hla_scale_ref():
+    spec = make_hla_scale_msa()
+    ref, _ = build_gene_ref(
+        "A", spec["names"], spec["rows"], spec["ref_allele"],
+        exons_ref_coords=spec["exons"],
+        primary_exon_idx=spec["primary_exon_idx"], min_var_freq=0.0)
+    return ref
+
+
+def test_panel_magnitude(hla_scale_ref):
+    ref = hla_scale_ref
+    assert ref.n_alleles >= 3500
+    assert ref.n_vars >= 1400
+    assert len(ref.backbone) >= 3400
+    assert len(ref.haplotypes) >= 5000
+
+
+def test_truth_rank_at_scale(hla_scale_ref):
+    ref = hla_scale_ref
+    for idx, seed in ((123, 1), (2047, 2)):
+        allele = ref.allele_names[idx]
+        r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=10,
+                                   seed=seed)
+        res = type_reads(ref, [(r.name, r.seq) for r in r1],
+                         [(r.name, r.seq) for r in r2],
+                         TypingOptions(simulation=True))
+        assert res.prob[0][0] == allele
+        assert res.prob[0][1] >= 0.9999   # golden 100.00% invariant
+        assert res.counts[0][0] == allele
+
+
+def test_heterozygous_pair_at_scale(hla_scale_ref):
+    ref = hla_scale_ref
+    pair = [ref.allele_names[500], ref.allele_names[3100]]
+    r1, r2, _ = simulate_reads(ref, pair, simulate_interval=12, seed=9)
+    res = type_reads(ref, [(r.name, r.seq) for r in r1],
+                     [(r.name, r.seq) for r in r2],
+                     TypingOptions(simulation=True))
+    top2 = {res.prob[0][0], res.prob[1][0]}
+    assert top2 == set(pair)
+    assert 0.38 <= res.prob[0][1] <= 0.62
+
+
+def test_sequencing_errors_at_scale(hla_scale_ref):
+    """Per-base errors + mpileup error correction at full panel width."""
+    ref = hla_scale_ref
+    allele = ref.allele_names[777]
+    r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=10,
+                               perbase_errorrate=0.2, seed=4)
+    res = type_reads(ref, [(r.name, r.seq) for r in r1],
+                     [(r.name, r.seq) for r in r2],
+                     TypingOptions(simulation=True))
+    assert res.prob[0][0] == allele
+    assert res.prob[0][1] >= 0.99
+
+
+def test_sharded_e2e_at_scale(hla_scale_ref):
+    """The connected multi-chip program handles the full-width link
+    matrix: SNP-only truth allele on the 8-device mesh."""
+    from hgtpu.db.catalog import VT_SINGLE
+    from hgtpu.parallel.e2e import ShardedTyper
+    from hgtpu.parallel.sharded import make_mesh
+
+    ref = hla_scale_ref
+    snp = ref.var_type == VT_SINGLE
+    truth = next(n for i, n in enumerate(ref.allele_names)
+                 if not ref.links[~snp, i].any() and ref.links[snp, i].any())
+    typer = ShardedTyper(ref, make_mesh(8), em_iters=300)
+    r1, r2, _ = simulate_reads(ref, [truth], simulate_interval=8, seed=3)
+    codes = typer.encode([r.seq for r in r1] + [r.seq for r in r2])
+    name, p_top, totals, n_used = typer.call_allele(codes)
+    assert name == truth
+    assert p_top > 0.999
