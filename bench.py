@@ -1,12 +1,21 @@
 """Benchmark: end-to-end typing throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 The reference publishes no throughput numbers (SURVEY.md §6); the
 baseline anchor is an estimated 1,000 reads/s for the reference's CPU
 HISAT2 + Python typing pipeline on a single-locus run (hg_test1-scale:
 622 reads in ~1 s of alignment plus several seconds of Python stream
 processing).  vs_baseline = our end-to-end reads/s divided by that anchor.
+
+Extra fields (VERDICT r1 items 2/3):
+  hla_scale_reads_per_s — same pipeline on a 3,600-allele / 3.5 kb panel
+      (IMGT HLA-A magnitude), where compatibility counting is no longer
+      trivially small.
+  stage_shares — per-stage share of the measured wall time (utils.trace).
+  device_wall_share — fraction of wall spent dispatching / waiting on the
+      device (placement dispatch+fetch, device DP, device counting).
+  mfu_pct — dispatched placement-matmul FLOPs / wall / v5e bf16 peak.
 """
 import json
 import sys
@@ -14,58 +23,114 @@ import time
 
 sys.path.insert(0, "tests")
 
+V5E_BF16_PEAK = 197e12  # TFLOP/s, one v5e chip
+
+DEVICE_STAGES = ("place.dispatch", "place.fetch", "verify.device_dp",
+                 "type.count_masks.device")
+
 
 def _note(msg):
     print("[bench] %s" % msg, file=sys.stderr, flush=True)
 
 
-def main():
-    from synth import make_gene_msa
-    from hgtpu.db import build_gene_ref
-    from hgtpu.align import GeneAligner
+def _measure(ref, reads_1, reads_2, aligner, opts=None, repeats=3):
+    """Best-of-N e2e typing wall time; returns (best_dt, res, stage
+    summary + counters of the best run).  The TPU tunnel adds +-40%
+    dispatch-latency noise, so the fastest run is the honest hardware
+    number."""
     from hgtpu.pipeline import type_reads
-    from hgtpu.sim import simulate_reads
+    from hgtpu.utils.trace import TRACE
 
-    _note("building synthetic gene")
-    spec = make_gene_msa(seed=11, n_alleles=60, length=3000)
+    best = None
+    for _ in range(repeats):
+        TRACE.reset()
+        t0 = time.time()
+        res = type_reads(ref, reads_1, reads_2, opts, aligner=aligner)
+        dt = time.time() - t0
+        if best is None or dt < best[0]:
+            best = (dt, res, TRACE.summary(), TRACE.counters())
+    return best
+
+
+def _build(name, n_alleles, length, scale=False):
+    from synth import make_gene_msa, make_hla_scale_msa
+    from hgtpu.db import build_gene_ref
+
+    spec = make_hla_scale_msa(n_alleles=n_alleles, length=length) if scale \
+        else make_gene_msa(seed=11, n_alleles=n_alleles, length=length)
     ref, _ = build_gene_ref(
         "A", spec["names"], spec["rows"], spec["ref_allele"],
         exons_ref_coords=spec["exons"],
         primary_exon_idx=spec["primary_exon_idx"], min_var_freq=0.0)
-    aligner = GeneAligner(ref)
+    return ref
+
+
+def main():
+    from hgtpu.align import GeneAligner
+    from hgtpu.sim import simulate_reads
+
     import jax
     _note("backend: %s" % jax.default_backend())
 
+    # ---- flagship: hg_test1-scale gene (60 alleles / 3 kb) ---- #
+    _note("building 60-allele gene")
+    ref = _build("A", 60, 3000)
+    aligner = GeneAligner(ref)
     alleles = ref.allele_names[:4]
     r1, r2, _ = simulate_reads(ref, alleles, simulate_interval=1)
     reads_1 = [(r.name, r.seq) for r in r1]
     reads_2 = [(r.name, r.seq) for r in r2]
     n_reads = len(reads_1) + len(reads_2)
 
-    # warm-up (compile): full-size run so every (chunk, length) placement
-    # shape is compiled before the measured runs
     _note("warm-up / compile")
-    type_reads(ref, reads_1, reads_2, aligner=aligner)
-    _note("measuring")
-
-    # best of 3: the TPU tunnel adds +-40% dispatch-latency noise, so the
-    # fastest run is the honest hardware number
-    best_dt = None
-    for _ in range(3):
-        t0 = time.time()
-        res = type_reads(ref, reads_1, reads_2, aligner=aligner)
-        dt = time.time() - t0
-        if best_dt is None or dt < best_dt:
-            best_dt = dt
+    _measure(ref, reads_1, reads_2, aligner, repeats=1)
+    _note("measuring (%d reads)" % n_reads)
+    best_dt, res, stages, counters = _measure(ref, reads_1, reads_2, aligner)
     assert res.prob, "typing produced no abundance"
     assert res.prob[0][0] in alleles, "typing called a wrong allele"
-
     reads_per_s = n_reads / best_dt
+
+    # ---- reference scale: 3,600 alleles / 3.5 kb ---- #
+    _note("building 3,600-allele panel (HLA-A magnitude)")
+    big = _build("A", 3600, 3500, scale=True)
+    big_aligner = GeneAligner(big)
+    truth = big.allele_names[123]
+    b1, b2, _ = simulate_reads(big, [truth], simulate_interval=2, seed=1)
+    breads_1 = [(r.name, r.seq) for r in b1]
+    breads_2 = [(r.name, r.seq) for r in b2]
+    bn = len(breads_1) + len(breads_2)
+    _note("warm-up / compile (scale)")
+    _measure(big, breads_1, breads_2, big_aligner, repeats=1)
+    _note("measuring (%d reads, %d alleles)" % (bn, big.n_alleles))
+    big_dt, bres, big_stages, _bc = _measure(big, breads_1, breads_2,
+                                             big_aligner)
+    assert bres.prob[0][0] == truth, "scale typing called a wrong allele"
+    big_reads_per_s = bn / big_dt
+
+    # ---- derived diagnostics from the flagship run ---- #
+    stage_shares = {k: round(v["s"] / best_dt, 4)
+                    for k, v in sorted(stages.items(),
+                                       key=lambda kv: -kv[1]["s"])}
+    device_share = sum(stages[k]["s"] for k in DEVICE_STAGES
+                       if k in stages) / best_dt
+    mfu = counters.get("flops.placement", 0.0) / best_dt / V5E_BF16_PEAK
+    big_device_share = sum(big_stages[k]["s"] for k in DEVICE_STAGES
+                           if k in big_stages) / big_dt
+
     print(json.dumps({
         "metric": "e2e_typing_reads_per_s",
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / 1000.0, 3),
+        "hla_scale_reads_per_s": round(big_reads_per_s, 1),
+        "stage_shares": stage_shares,
+        "hla_scale_stage_shares": {
+            k: round(v["s"] / big_dt, 4)
+            for k, v in sorted(big_stages.items(),
+                               key=lambda kv: -kv[1]["s"])},
+        "device_wall_share": round(device_share, 4),
+        "hla_scale_device_wall_share": round(big_device_share, 4),
+        "mfu_pct": round(100.0 * mfu, 4),
     }))
 
 

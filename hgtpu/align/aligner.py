@@ -14,6 +14,7 @@ from ..db.catalog import GeneRef
 from ..ops.placement import (backbone_pwm, encode_reads,
                              place_with_orientation, resolve_placement)
 from ..utils.dna import decode_seq
+from ..utils.trace import TRACE
 from .types import ReadAln
 from .verify import GeneVerifier
 
@@ -187,30 +188,33 @@ class GeneAligner:
                 if pad:
                     chunk += ["A" * 32] * pad
                     chunk_ids += ["__pad__"] * pad
-                chunks_placed.append((gi, chunk_ids, chunk, pad,
-                                      self._place_chunk(chunk)))
+                with TRACE.stage("place.dispatch"):
+                    chunks_placed.append((gi, chunk_ids, chunk, pad,
+                                          self._place_chunk(chunk)))
         # one device->host fetch of exactly TWO arrays: the per-chunk
         # (scores, positions) handles are concatenated on device first —
         # on a tunneled chip every fetched leaf pays a full round trip,
         # so 2 transfers beat 2-per-chunk
         handles = [entry[4][2] for entry in chunks_placed]
-        if len(handles) > 1:
-            import jax.numpy as jnp
-            s_host, p_host = jax.device_get(
-                (jnp.concatenate([h[0] for h in handles], axis=0),
-                 jnp.concatenate([h[1] for h in handles], axis=0)))
-            sizes = np.cumsum([0] + [h[0].shape[0] for h in handles])
-            fetched = [(s_host[sizes[i]:sizes[i + 1]],
-                        p_host[sizes[i]:sizes[i + 1]])
-                       for i in range(len(handles))]
-        else:
-            fetched = [jax.device_get(h) for h in handles]
+        with TRACE.stage("place.fetch"):
+            if len(handles) > 1:
+                import jax.numpy as jnp
+                s_host, p_host = jax.device_get(
+                    (jnp.concatenate([h[0] for h in handles], axis=0),
+                     jnp.concatenate([h[1] for h in handles], axis=0)))
+                sizes = np.cumsum([0] + [h[0].shape[0] for h in handles])
+                fetched = [(s_host[sizes[i]:sizes[i + 1]],
+                            p_host[sizes[i]:sizes[i + 1]])
+                           for i in range(len(handles))]
+            else:
+                fetched = [jax.device_get(h) for h in handles]
         states = []
-        for (gi, chunk_ids, chunk, pad, placed), host_out in zip(
-                chunks_placed, fetched):
-            placed = placed[:2] + (host_out,) + placed[3:]
-            states.append((gi, pad, self._chunk_state(
-                chunk_ids, chunk, groups[gi][2], placed)))
+        with TRACE.stage("place.resolve"):
+            for (gi, chunk_ids, chunk, pad, placed), host_out in zip(
+                    chunks_placed, fetched):
+                placed = placed[:2] + (host_out,) + placed[3:]
+                states.append((gi, pad, self._chunk_state(
+                    chunk_ids, chunk, groups[gi][2], placed)))
 
         # batched device verify: ONE banded-DP dispatch covering the
         # rank-0 proposals of every chunk of every group — a tunneled
@@ -418,7 +422,8 @@ class GeneAligner:
                 results[i] = None
         if not flat_reads:
             return
-        cost, nops, ops = self.native.verify_raw(flat_reads, flat_starts)
+        with TRACE.stage("verify.native"):
+            cost, nops, ops = self.native.verify_raw(flat_reads, flat_starts)
         best = {}
         for idx, (i, o_rc, cf, slen) in enumerate(flat_meta):
             c = int(cost[idx])
@@ -463,8 +468,9 @@ class GeneAligner:
         lens[:E] = np.fromiter((len(r) for r in flat_reads), np.int32, E)
         starts = np.zeros(Ep, np.int32)
         starts[:E] = np.asarray(flat_starts, np.int32)
-        cost, over = self._dp_tables.costs(
-            reads, lens, starts, max_novel=self.num_editdist)
+        with TRACE.stage("verify.device_dp"):
+            cost, over = self._dp_tables.costs(
+                reads, lens, starts, max_novel=self.num_editdist)
         return np.asarray(cost)[:E], np.asarray(over)[:E]
 
     def _apply_dp(self, st, entries, cost, over):

@@ -9,6 +9,11 @@ from __future__ import annotations
 
 def args_common(parser):
     parser.add_argument("-v", "--verbose", action="store_true")
+    parser.add_argument("--verbose-level", dest="verbose_level", type=int,
+                        default=0,
+                        help="also print some statistics to stderr; >=2 "
+                             "adds the per-stage timing table "
+                             "(ref args.py:319-323)")
     parser.add_argument("--out-dir", dest="out_dir", type=str, default=".")
 
 

@@ -72,6 +72,8 @@ def main(argv=None):
         return 0
     debug = A.parse_debug(args.debug)
     os.makedirs(args.out_dir, exist_ok=True)
+    if args.verbose and not args.verbose_level:
+        args.verbose_level = 1
 
     args.ix_dir = _resolve_ix_dir(args.ix_dir)
     if args.region_list:
@@ -89,8 +91,12 @@ def main(argv=None):
             args.base_fname = fam
             args.locus_list = ",".join(genes)
             rc |= main_one(args, debug)
-        return rc
-    return main_one(args, debug)
+    else:
+        rc = main_one(args, debug)
+    if args.verbose_level >= 2:
+        from ..utils.trace import TRACE
+        TRACE.report(sys.stderr)
+    return rc
 
 
 def main_one(args, debug):
@@ -164,19 +170,31 @@ def run_simulation(args, debug, catalog, locus_list, opts,
         return os.path.join(args.out_dir, "%s-%s.test-%d"
                             % (args.output_base, args.base_fname, t + 1))
 
+    from ..utils.runlog import RunLog
+    runlog = RunLog(args.out_dir)
     for gene in locus_list:
         ref = catalog.gene(gene)
-        n, results = simulation_sweep(
-            ref, test_size=test_size, seed=seed, paired=paired,
-            allele_count=allele_count,
-            simulate_interval=args.simulate_interval,
-            read_len=args.read_len, fragment_len=args.fragment_len,
-            perbase_errorrate=args.perbase_errorrate,
-            perbase_snprate=args.perbase_snprate,
-            skip_fragment_regions=skip_regions, opts=opts,
-            report_base_fn=report_base_for if opts.assembly else None,
-            test_list=test_list, test_ids=test_ids,
-            sim_gene=(full_genes or {}).get(gene))
+        try:
+            n, results = simulation_sweep(
+                ref, test_size=test_size, seed=seed, paired=paired,
+                allele_count=allele_count,
+                simulate_interval=args.simulate_interval,
+                read_len=args.read_len, fragment_len=args.fragment_len,
+                perbase_errorrate=args.perbase_errorrate,
+                perbase_snprate=args.perbase_snprate,
+                skip_fragment_regions=skip_regions, opts=opts,
+                report_base_fn=report_base_for if opts.assembly else None,
+                test_list=test_list, test_ids=test_ids,
+                sim_gene=(full_genes or {}).get(gene))
+        except Exception:
+            # per-gene failure: log the traceback and keep going (the
+            # reference captures per-job tracebacks into the date-stamped
+            # run log, hisatgenotype:670-680)
+            runlog.exception("%s %s" % (args.base_fname, gene))
+            print("gene %s failed; traceback in %s"
+                  % (gene, runlog.path), file=sys.stderr)
+            total += test_size * allele_count
+            continue
         for t, (true_alleles, res) in enumerate(results):
             report_base = os.path.join(
                 args.out_dir,
@@ -288,10 +306,17 @@ def run_reads(args, catalog, locus_list, opts):
         args.out_dir, "%s-%s.%s" % (args.output_base, args.base_fname,
                                     core_id))
     opts.report_base = report_base
+    from ..utils.runlog import RunLog
+    runlog = RunLog(args.out_dir)
     results = type_family(catalog, reads_1, reads_2,
                           locus_list=locus_list, opts=opts,
                           sam_out=report_base if args.keep_alignment
-                          else None, threads=args.threads)
+                          else None, threads=args.threads, runlog=runlog)
+    failed = [g for g in locus_list if results.get(g) is None]
+    if failed:
+        print("genes failed (tracebacks in %s): %s"
+              % (runlog.path, ",".join(failed)), file=sys.stderr)
+        locus_list = [g for g in locus_list if results.get(g) is not None]
     w = ReportWriter(report_base + ".report", echo=args.verbose)
     w.header(dbversion=catalog.version, command=" ".join(sys.argv))
     w.begin_aligner()

@@ -117,6 +117,10 @@ def place_with_orientation(pwm, fwd: np.ndarray, rc: np.ndarray,
             _ext_cache.clear()
         _ext_cache[key] = pwm_ext
     both = np.concatenate([fwd, rc], axis=0)
+    # dispatched MXU work: [2N, m*5] x [P1, m*5]^T
+    from ..utils.trace import TRACE
+    P1 = pwm_ext.shape[0] - m + 1
+    TRACE.count("flops.placement", 2.0 * both.shape[0] * (m * 5) * P1)
     handles = place_batch(pwm_ext, jnp.asarray(both), top_k=top_k)
     if not block:
         return handles

@@ -50,13 +50,18 @@ def type_from_sam(gene: GeneRef, sam_path, opts=None):
 
 
 def type_family(catalog, reads_1, reads_2=None, locus_list=None, opts=None,
-                family_aligner=None, sam_out=None, threads=1):
+                family_aligner=None, sam_out=None, threads=1, runlog=None):
     """Type every gene of a family from one read set.
 
     Reads are assigned cross-gene by the NH==1 uniqueness rule
     (FamilyAligner); each gene in locus_list is then typed independently.
     Ref: typing() per-gene loop (typing_core.py:370-1789).
     Returns {gene: GeneTypingResult}.
+
+    When `runlog` (utils.runlog.RunLog) is given, a gene whose typing
+    raises is logged with its traceback and mapped to None instead of
+    aborting the family — the reference's per-sample error-log behavior
+    (hisatgenotype:670-680).
     """
     from ..align.family import FamilyAligner
 
@@ -72,20 +77,27 @@ def type_family(catalog, reads_1, reads_2=None, locus_list=None, opts=None,
         per_gene_2 = fa.align_batch([n for n, _ in reads_2],
                                     [s for _, s in reads_2], "R")
     def run_gene(g):
-        by_read = defaultdict(list)
-        batches = [per_gene_1[g]]
-        if per_gene_2:
-            batches.append(per_gene_2[g])
-        for alns in batches:
-            for a in alns:
-                if a is None:
-                    continue
-                by_read[a.read_id.split("|")[0]].append(a)
-        groups = sorted(by_read.items(), key=lambda kv: kv[0])
-        if sam_out:
-            from ..align.sam import write_sam
-            write_sam("%s.%s.sam" % (sam_out, g), catalog.genes[g], groups)
-        return g, type_gene(catalog.genes[g], groups, opts)
+        try:
+            by_read = defaultdict(list)
+            batches = [per_gene_1[g]]
+            if per_gene_2:
+                batches.append(per_gene_2[g])
+            for alns in batches:
+                for a in alns:
+                    if a is None:
+                        continue
+                    by_read[a.read_id.split("|")[0]].append(a)
+            groups = sorted(by_read.items(), key=lambda kv: kv[0])
+            if sam_out:
+                from ..align.sam import write_sam
+                write_sam("%s.%s.sam" % (sam_out, g), catalog.genes[g],
+                          groups)
+            return g, type_gene(catalog.genes[g], groups, opts)
+        except Exception:
+            if runlog is None:
+                raise
+            runlog.exception("%s %s" % (catalog.family, g))
+            return g, None
 
     if threads > 1 and len(genes) > 1:
         # per-gene threading mirrors the reference's per-locus Pool fan-out

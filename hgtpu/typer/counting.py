@@ -204,6 +204,34 @@ class StatAccumulator:
                 self.cmpt_mask[key] = row.copy()
             self.cmpt[key] += int(wsum[u])
 
+    def add_packed_batch(self, packed: np.ndarray, weights: np.ndarray,
+                         totals: np.ndarray):
+        """Device-fold twin of add_reads_batch.
+
+        packed: uint32 [G, W] bit-packed class rows (bit b of word w is
+        allele w*32+b), computed on device by typer.device_fold; weights:
+        int [G]; totals: int [A] weighted per-allele sums (the device's
+        `(cur * weights).sum(0)`).  Class identity, first-seen order,
+        and counts are identical to add_reads_batch on the unpacked rows.
+        """
+        if not self.include.any() or len(packed) == 0:
+            return
+        self.counts += totals.astype(np.int64)
+        uniq, first, inv = np.unique(packed, axis=0, return_index=True,
+                                     return_inverse=True)
+        wsum = np.bincount(inv, weights=weights)
+        a_idx = np.arange(self.A)
+        for u in np.argsort(first, kind="stable"):
+            row_bits = uniq[u]
+            key = row_bits.tobytes()
+            if key not in self.cmpt:
+                self.cmpt[key] = 0
+                self.cmpt_order[key] = len(self.cmpt_order)
+                self.cmpt_mask[key] = (
+                    (row_bits[a_idx // 32] >> (a_idx % 32)) & 1
+                ).astype(bool)
+            self.cmpt[key] += int(wsum[u])
+
     # ------------------------------------------------------------------ #
     def ranked_counts(self):
         order = np.argsort(-self.counts, kind="stable")

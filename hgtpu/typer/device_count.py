@@ -59,18 +59,20 @@ class DeviceCounter:
         self.use_pallas = use_pallas
 
     # ------------------------------------------------------------------ #
-    def pack_hts(self, hts):
+    def pack_hts(self, hts, k: int = MAX_HT_VARS):
         """hts: [(left, right, [var idx (>=0 known only)])] ->
-        (lefts, rights, vars [H, MAX_HT_VARS]) padded with the all-ones
-        sentinel variant."""
+        (lefts, rights, vars [H, k]) padded with the all-ones
+        sentinel variant.  k must cover the widest ht (IMGT-scale reads
+        carry ~40+ catalog variants; callers bucket k to a power of two
+        so XLA compiles a handful of shapes)."""
         H = len(hts)
         lefts = np.zeros(H, np.int32)
         rights = np.zeros(H, np.int32)
-        vars_ = np.full((H, MAX_HT_VARS), self.gene.n_vars, np.int32)
+        vars_ = np.full((H, k), self.gene.n_vars, np.int32)
         for i, (l, r, vs) in enumerate(hts):
             lefts[i] = l
             rights[i] = r
-            ks = [v for v in vs if v >= 0][:MAX_HT_VARS]
+            ks = [v for v in vs if v >= 0][:k]
             vars_[i, :len(ks)] = ks
         return lefts, rights, vars_
 

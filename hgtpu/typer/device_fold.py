@@ -1,0 +1,195 @@
+"""Whole-gene compatibility counting + class fold on device.
+
+The reference's per-read hot spot is add_count / add_stat
+(typing_core.py:626-677, 1171-1236): per read, intersect allele sets
+over the read's variants, take the alleles at max compatibility, and
+accumulate the resulting equivalence class.  The host twin here
+(engine.type_gene's stats fold over GeneCounter masks) is memory-bound
+at IMGT scale — [F, A] int32 gathers and reduceats over a 3,600-allele
+axis dominate wall time on a 2-vCPU host.
+
+This module runs the entire chain as ONE jitted device program:
+
+    sub-ht compat masks  [S, A]   (_compat — bitset AND + range counts)
+    per-ht level masks   [3U, A]  (segment-sum over sub-ht projections)
+    per-group counts     [G, A]   (gather + segment-sum over read groups)
+    class rows           [G, A]   (counts == max over include mask)
+    packed class keys    [G, W]   (bit-pack along A: 32 alleles / word)
+    per-allele totals    [A]      (weighted column sum)
+
+and fetches only the packed keys + totals (~A/8 bytes per read group),
+so the tunnel transfer is 32x smaller than the bool rows.  Shapes are
+bucketed to powers of two so XLA compiles a handful of programs.
+
+Results are bit-identical to the host path (tests/test_device_count.py
+asserts equality of cmpt dicts and ranked counts).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .device_count import MAX_HT_VARS, DeviceCounter, _compat
+
+# widest variant slot the fold will compile for (beyond this a single
+# pathological haplotype sends the whole gene to the host path)
+MAX_FOLD_VARS = 256
+
+
+def _pow2(n, lo=64):
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+class DeviceFold:
+    """Per-gene device state for the fused counting/fold program."""
+
+    def __init__(self, typer):
+        self.typer = typer
+        self.gene = typer.gene
+        self.dc = DeviceCounter(self.gene)
+
+    def run(self, hts_sorted, novel, grouped):
+        """hts_sorted: sorted unique ht strings; grouped: the engine's
+        {frozenset(ht): [weight, positive_hts]} fold.
+
+        Returns per-level [(packed_rows [G, W] uint32, totals [A])]
+        in level order (full, exon, primary), or None when a ht exceeds
+        the device variant budget (host fallback).
+        """
+        from .exons import get_exon_haplotypes
+
+        typer = self.typer
+        gene = self.gene
+        U = len(hts_sorted)
+        A = gene.n_alleles
+
+        # ---- sub-ht prep: full + exon + primary projections ---- #
+        sub_hts = []
+        ht_seg_l = []
+        kmax = 1
+        for u, ht_str in enumerate(hts_sorted):
+            left, right, ops = typer.count_ht(ht_str, novel)
+            packs = [(0, (left, right, ops))]
+            packs += [(1, e) for e in
+                      get_exon_haplotypes((left, right, ops), gene.exons)]
+            packs += [(2, e) for e in
+                      get_exon_haplotypes((left, right, ops),
+                                          gene.primary_exons)]
+            for level, (l, r, o) in packs:
+                kmax = max(kmax, sum(1 for op in o if op.var_idx >= 0))
+                sub_hts.append((l, r, [op.var_idx for op in o]))
+                ht_seg_l.append(level * U + u)
+        if kmax > MAX_FOLD_VARS:
+            return None        # pathological ht; host fallback
+        K = _pow2(kmax, lo=MAX_HT_VARS)
+        S = len(sub_hts)
+        Sp = _pow2(S)
+        lefts, rights, vars_ = self.dc.pack_hts(sub_hts, k=K)
+        lefts = np.pad(lefts, (0, Sp - S))
+        rights = np.pad(rights, (0, Sp - S))
+        vars_ = np.pad(vars_, ((0, Sp - S), (0, 0)),
+                       constant_values=gene.n_vars)
+        ht_seg = np.full(Sp, 3 * U, np.int32)    # padding segment
+        ht_seg[:S] = ht_seg_l
+
+        # ---- read-group flat rows (per level the row offset differs,
+        # so flat carries the ht index; the level offset is added in
+        # the jitted program via flat_rows per level... simpler: emit
+        # one flat per level stacked, sharing group ids) ---- #
+        ht_idx = {h: i for i, h in enumerate(hts_sorted)}
+        flat = []
+        gseg = []
+        weights = np.fromiter((g[0] for g in grouped.values()),
+                              np.int64, len(grouped))
+        G = len(grouped)
+        for gi, (_w, positive_hts) in enumerate(grouped.values()):
+            for h in positive_hts:
+                flat.append(ht_idx[h])
+                gseg.append(gi)
+        F = len(flat)
+        Fp = _pow2(F)
+        flat = np.pad(np.asarray(flat, np.int32), (0, Fp - F))
+        gseg_np = np.full(Fp, G, np.int32)       # padding group
+        gseg_np[:F] = gseg
+
+        levels = [0, 1, 2] if typer.opts.family == "hla" else [0]
+        include = np.zeros((len(levels), A), dtype=bool)
+        include[0] = True
+        if len(levels) > 1:
+            include[1] = typer.allele_rep_mask
+            include[2] = typer.primary_rep_mask
+
+        # all levels share one gather + segment-sum: concatenate each
+        # level's flat rows (offset into the stacked level-mask matrix)
+        # and give each level its own group-id range
+        nlev = len(levels)
+        flat_all = np.concatenate(
+            [flat[:F] + li * U for li in levels]
+            + [np.full(Fp * nlev - F * nlev, 3 * U, np.int32)])
+        gseg_all = np.concatenate(
+            [gseg_np[:F] + li * G for li in levels]
+            + [np.full(Fp * nlev - F * nlev, G * nlev, np.int32)])
+
+        dc = self.dc
+        pk, tt = _fold_levels(
+            dc.links_packed, dc.nd_pos, dc.nd_prefix, dc.del_pos,
+            dc.del_right, dc.del_links, dc.var_pos_d, dc.var_right_d,
+            jnp.asarray(lefts), jnp.asarray(rights), jnp.asarray(vars_),
+            jnp.asarray(ht_seg), jnp.asarray(flat_all),
+            jnp.asarray(gseg_all), jnp.asarray(weights.astype(np.int32)),
+            jnp.asarray(include),
+            n_ht_segments=3 * U + 1, n_group_segments=G * nlev + 1,
+            n_groups=G, n_levels=nlev)
+        pk_h, tt_h = jax.device_get((pk, tt))
+        out = []
+        for li in range(nlev):
+            out.append((pk_h[li], tt_h[li]))
+        return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_ht_segments",
+                                              "n_group_segments",
+                                              "n_groups", "n_levels"))
+def _fold_levels(links_packed, nd_pos, nd_prefix, del_pos, del_right,
+                 del_links, var_pos, var_right,
+                 lefts, rights, vars_, ht_seg,
+                 flat_rows, group_seg, weights, include_levels,
+                 n_ht_segments, n_group_segments, n_groups, n_levels):
+    """Fused program over all levels at once (full/exon/primary counts
+    share the gather + segment-sum; class extraction per level)."""
+    compat = _compat(links_packed, nd_pos, nd_prefix, del_pos, del_right,
+                     del_links, var_pos, var_right, lefts, rights, vars_)
+    compat = compat.astype(jnp.int32)                         # [S, A]
+    level_masks = jax.ops.segment_sum(
+        compat, ht_seg, num_segments=n_ht_segments)           # [3U+1, A]
+    per_read = level_masks[flat_rows]                         # [F*, A]
+    counts_all = jax.ops.segment_sum(
+        per_read, group_seg, num_segments=n_group_segments)   # [G*L+1, A]
+
+    A = counts_all.shape[1]
+    W = (A + 31) // 32
+    pad_A = W * 32 - A
+    bitw = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+
+    packed_all, totals_all = [], []
+    for li in range(n_levels):
+        counts = jax.lax.dynamic_slice_in_dim(
+            counts_all, li * n_groups, n_groups, axis=0)      # [G, A]
+        inc = include_levels[li]
+        mx = jnp.max(jnp.where(inc[None, :], counts, -1), axis=1)
+        cur = (counts == mx[:, None]) & inc[None, :]
+        cur_pad = jnp.pad(cur, ((0, 0), (0, pad_A)))
+        packed = jnp.sum(
+            cur_pad.reshape(n_groups, W, 32).astype(jnp.uint32)
+            * bitw[None, None, :], axis=2, dtype=jnp.uint32)
+        totals = jnp.sum(cur.astype(jnp.int32) * weights[:, None],
+                         axis=0, dtype=jnp.int32)
+        packed_all.append(packed)
+        totals_all.append(totals)
+    return jnp.stack(packed_all), jnp.stack(totals_all)

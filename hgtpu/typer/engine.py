@@ -14,11 +14,18 @@ import dataclasses
 import numpy as np
 
 from ..db.catalog import GeneRef
+from ..utils.trace import TRACE
 from .alts import (VarTable, alts_sorted_lists, get_alternatives,
                    identify_ambiguous_diffs)
 from .counting import GeneCounter, HtOp, StatAccumulator
 from .em import single_abundance
 from .exons import get_exon_haplotypes
+
+
+# allele-panel width at which device_counting="auto" switches the
+# counting+class fold onto the device (host reduceat is memory-bound
+# there; measured on the v5e tunnel, see device_fold.py)
+DEVICE_FOLD_MIN_A = 1024
 
 
 @dataclasses.dataclass
@@ -207,6 +214,7 @@ class GeneTyper:
         self.alts_left_list, self.alts_right_list = alts_sorted_lists(
             self.alts_left, self.alts_right)
         self._device_counter = None
+        self._device_fold = None
         # key positions for the fast no-ambiguity precheck
         self._alt_key_pos = np.sort(np.array(
             [p for p, _ in self.alts_left_list]
@@ -402,6 +410,15 @@ class GeneTyper:
             at += n_prim
             cache[ht_str] = (full, exon, primary)
 
+    def device_fold_run(self, hts_sorted, novel, grouped):
+        """Fused device counting+fold (device_fold.DeviceFold); None when
+        a haplotype exceeds the device variant budget."""
+        from .device_fold import DeviceFold
+
+        if self._device_fold is None:
+            self._device_fold = DeviceFold(self)
+        return self._device_fold.run(hts_sorted, novel, grouped)
+
     def ht_masks_batch(self, ht_strs, novel: NovelVars, cache):
         """Fill `cache` for every ht in `ht_strs` with one device batch.
 
@@ -562,14 +579,15 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     mpileup = None
     if opts.error_correction or opts.family == "hla":
         from .mpileup import Mpileup
-        mpileup = Mpileup(gene)
-        bulk = []
-        for _read_id, alns in conc_alns:
-            if alns is None:
-                continue
-            bulk.extend(alns)
-        mpileup.add_alignments_bulk(bulk)
-        mpileup.finalize()
+        with TRACE.stage("type.pileup"):
+            mpileup = Mpileup(gene)
+            bulk = []
+            for _read_id, alns in conc_alns:
+                if alns is None:
+                    continue
+                bulk.extend(alns)
+            mpileup.add_alignments_bulk(bulk)
+            mpileup.finalize()
 
     # expected mate inter-distance for CODIS pair disambiguation
     # (ref: get_pair_interdist called for codis, typing_core.py:451-456)
@@ -604,8 +622,9 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
                 break
             else:
                 uniq_clean[k] = a
-    typer.clean_hts_batch(list(uniq_clean.values()), mpileup,
-                          opts.error_correction, hts_memo)
+    with TRACE.stage("type.clean_fast_path"):
+        typer.clean_hts_batch(list(uniq_clean.values()), mpileup,
+                              opts.error_correction, hts_memo)
 
     def memo_hts(a):
         k = (a.pos, a.seq)
@@ -616,6 +635,8 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
         hts_memo[k] = r
         return r
 
+    _t_hts = TRACE.stage("type.read_hts")
+    _t_hts.__enter__()
     for read_id, alns in conc_alns:
         if alns is None:
             continue
@@ -648,29 +669,23 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
         if opts.assembly:
             asm_reads.append((read_id, per_mate_hts))
         counted_reads.append(positive_hts)
+    _t_hts.__exit__(None, None, None)
 
     # batch the per-ht compatibility masks through the device counter
     unique_hts = set()
     for hts in counted_reads:
         unique_hts |= hts
-    # Measured on the tunneled v5e chip, per-dispatch latency makes the
-    # host numpy path faster for single-chip typing even at 1200-allele
-    # panels, so "auto" resolves to host; "on" forces the device path
-    # (it is the building block the multi-chip sharded step uses, where
-    # the counting must live on device next to the psum reduction).
-    use_device = opts.device_counting == "on"
+    # Device-vs-host counting: on a tunneled chip each dispatch pays a
+    # 10-30 ms round trip, so small panels stay on host; at IMGT width
+    # (A >= DEVICE_FOLD_MIN_A) the host fold is memory-bound ([F, A]
+    # int32 gathers/reduceats dominate wall time — measured 53% at
+    # A=3600) and the fused device program (device_fold.DeviceFold)
+    # wins, so "auto" switches to device there.
     hts_sorted = sorted(unique_hts)
-    if use_device:
-        typer.ht_masks_batch(hts_sorted, novel, ht_cache)
-    else:
-        typer.ht_masks_batch_host(hts_sorted, novel, ht_cache)
 
     # fold identical ht sets into one weighted read (first-seen class
     # creation order is preserved because equal ht sets always map to
-    # equal class keys at every level), then compute every group's
-    # per-level count vectors in one segment-sum over the stacked ht
-    # masks and feed the stats through the batched add path
-    ht_idx = {h: i for i, h in enumerate(hts_sorted)}
+    # equal class keys at every level)
     grouped = {}
     for positive_hts in counted_reads:
         key = frozenset(positive_hts)
@@ -679,38 +694,69 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
             grouped[key] = [1, positive_hts]
         else:
             hit[0] += 1
-    if grouped:
-        U = len(hts_sorted)
-        mask_f = np.empty((U, A), dtype=np.int32)
-        mask_e = np.empty((U, A), dtype=np.int32)
-        mask_p = np.empty((U, A), dtype=np.int32)
-        for i, h in enumerate(hts_sorted):
-            full, exon, primary = ht_cache[h]
-            mask_f[i] = full
-            mask_e[i] = exon
-            mask_p[i] = primary
+
+    use_device = opts.device_counting == "on" or (
+        opts.device_counting == "auto"
+        and gene.n_alleles >= DEVICE_FOLD_MIN_A)
+    folded = None
+    if use_device and grouped:
+        with TRACE.stage("type.count_fold.device"):
+            folded = typer.device_fold_run(hts_sorted, novel, grouped)
+
+    _t_stats = TRACE.stage("type.stats")
+    _t_stats.__enter__()
+    if folded is not None:
         weights = np.fromiter((g[0] for g in grouped.values()),
                               np.int64, len(grouped))
-        flat = []
-        starts = np.empty(len(grouped), dtype=np.int64)
-        at = 0
-        for gi, (_w, positive_hts) in enumerate(grouped.values()):
-            starts[gi] = at
-            for h in positive_hts:
-                flat.append(ht_idx[h])
-            at += len(positive_hts)
-        flat = np.asarray(flat, dtype=np.int64)
+        stats_levels = [full_stats, exon_stats, primary_stats] \
+            if opts.family == "hla" else [full_stats]
+        with TRACE.stage("type.stats.classes"):
+            for (packed, totals), st in zip(folded, stats_levels):
+                st.add_packed_batch(packed, weights, totals)
+    elif grouped:
+        with TRACE.stage("type.count_masks.host"):
+            typer.ht_masks_batch_host(hts_sorted, novel, ht_cache)
+        ht_idx = {h: i for i, h in enumerate(hts_sorted)}
+        U = len(hts_sorted)
+        with TRACE.stage("type.stats.mask_fill"):
+            mask_f = np.empty((U, A), dtype=np.int32)
+            mask_e = np.empty((U, A), dtype=np.int32)
+            mask_p = np.empty((U, A), dtype=np.int32)
+            for i, h in enumerate(hts_sorted):
+                full, exon, primary = ht_cache[h]
+                mask_f[i] = full
+                mask_e[i] = exon
+                mask_p[i] = primary
+            weights = np.fromiter((g[0] for g in grouped.values()),
+                                  np.int64, len(grouped))
+            flat = []
+            starts = np.empty(len(grouped), dtype=np.int64)
+            at = 0
+            for gi, (_w, positive_hts) in enumerate(grouped.values()):
+                starts[gi] = at
+                for h in positive_hts:
+                    flat.append(ht_idx[h])
+                at += len(positive_hts)
+            flat = np.asarray(flat, dtype=np.int64)
         if opts.family == "hla":
-            primary_stats.add_reads_batch(
-                np.add.reduceat(mask_p[flat], starts, axis=0), weights)
-            exon_stats.add_reads_batch(
-                np.add.reduceat(mask_e[flat], starts, axis=0), weights)
-        full_stats.add_reads_batch(
-            np.add.reduceat(mask_f[flat], starts, axis=0), weights)
+            with TRACE.stage("type.stats.fold"):
+                fold_p = np.add.reduceat(mask_p[flat], starts, axis=0)
+                fold_e = np.add.reduceat(mask_e[flat], starts, axis=0)
+            with TRACE.stage("type.stats.classes"):
+                primary_stats.add_reads_batch(fold_p, weights)
+                exon_stats.add_reads_batch(fold_e, weights)
+        with TRACE.stage("type.stats.fold"):
+            fold_f = np.add.reduceat(mask_f[flat], starts, axis=0)
+        with TRACE.stage("type.stats.classes"):
+            full_stats.add_reads_batch(fold_f, weights)
+
+    _t_stats.__exit__(None, None, None)
 
     # ------------------------------------------------------------------ #
     # Hierarchical abundance (ref: typing_core.py:1679-1789)
     # ------------------------------------------------------------------ #
+    _t_em = TRACE.stage("type.em")
+    _t_em.__enter__()
     lengths = gene.allele_lengths()
     full_cmpt = full_stats.cmpt_names()
     exon_cmpt = exon_stats.cmpt_names()
@@ -788,11 +834,14 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
         else:
             prob = single_abundance(full_cmpt)
 
+    _t_em.__exit__(None, None, None)
+
     assembly_call = None
     contigs = None
     if opts.assembly and asm_reads:
-        assembly_call, contigs = _run_assembly(gene, typer, novel, asm_reads,
-                                               prob)
+        with TRACE.stage("type.assembly"):
+            assembly_call, contigs = _run_assembly(gene, typer, novel,
+                                                   asm_reads, prob)
 
     return GeneTypingResult(
         gene=gene.gene,

@@ -87,3 +87,52 @@ def test_host_batch_masks_match_single(generef):
     for h, (l, r, ops) in enumerate(sub_hts):
         single = counter.alleles_for_ht(l, r, ops).astype(np.int32)
         assert (batch[h] == single).all(), h
+
+
+def test_device_fold_end_to_end_identical(generef):
+    """type_gene with device_counting='on' (fused device fold) must be
+    bit-identical to the host path: cmpt dicts at all three levels,
+    ranked counts, and abundance."""
+    from hgtpu.pipeline import type_reads
+    from hgtpu.sim import simulate_reads
+    from hgtpu.typer.engine import TypingOptions
+
+    alleles = [generef.allele_names[3], generef.allele_names[17]]
+    r1, r2, _ = simulate_reads(generef, alleles, simulate_interval=3,
+                               seed=5)
+    reads_1 = [(r.name, r.seq) for r in r1]
+    reads_2 = [(r.name, r.seq) for r in r2]
+    res_host = type_reads(generef, reads_1, reads_2,
+                          TypingOptions(simulation=True,
+                                        device_counting="off"))
+    res_dev = type_reads(generef, reads_1, reads_2,
+                         TypingOptions(simulation=True,
+                                       device_counting="on"))
+    assert res_dev.cmpt == res_host.cmpt
+    assert res_dev.exon_cmpt == res_host.exon_cmpt
+    assert res_dev.primary_exon_cmpt == res_host.primary_exon_cmpt
+    assert res_dev.counts == res_host.counts
+    assert res_dev.prob == res_host.prob
+
+
+def test_device_fold_with_errors_identical(generef):
+    """Error-corrected + novel-variant haplotypes through the device
+    fold (exercises sentinel padding and in-range kv logic)."""
+    from hgtpu.pipeline import type_reads
+    from hgtpu.sim import simulate_reads
+    from hgtpu.typer.engine import TypingOptions
+
+    allele = generef.allele_names[9]
+    r1, r2, _ = simulate_reads(generef, [allele], simulate_interval=4,
+                               perbase_errorrate=0.3, seed=11)
+    reads_1 = [(r.name, r.seq) for r in r1]
+    reads_2 = [(r.name, r.seq) for r in r2]
+    res_host = type_reads(generef, reads_1, reads_2,
+                          TypingOptions(simulation=True,
+                                        device_counting="off"))
+    res_dev = type_reads(generef, reads_1, reads_2,
+                         TypingOptions(simulation=True,
+                                       device_counting="on"))
+    assert res_dev.cmpt == res_host.cmpt
+    assert res_dev.counts == res_host.counts
+    assert res_dev.prob == res_host.prob

@@ -115,3 +115,45 @@ def test_genome_scale_extraction(family, tmp_path):
     from hgtpu.pipeline import type_family as tf
     res = tf(cat, *routed["hla"])
     assert res["A"].prob[0][0] == a_allele
+
+
+def test_router_matches_exhaustive():
+    """FamilyAligner's panel-router path must agree with the exhaustive
+    per-gene path on which reads are kept and their costs (3-gene
+    family triggers route='auto')."""
+    from hgtpu.align.family import FamilyAligner
+    from hgtpu.db import build_catalog_from_msa
+
+    fam = make_family(genes=("A", "B", "C"), n_alleles=10, length=1200,
+                      seed=33)
+    cat = build_catalog_from_msa(
+        "hla",
+        {g: dict(names=s["names"], rows=s["rows"],
+                 ref_allele=s["ref_allele"], exons=s["exons"],
+                 primary_exon_idx=s["primary_exon_idx"])
+         for g, s in fam["specs"].items()},
+        min_var_freq=0.0)
+    reads = []
+    rng = random.Random(5)
+    for g in ("A", "B", "C"):
+        ref = cat.gene(g)
+        r1, _, _ = simulate_reads(ref, [ref.allele_names[2]],
+                                  simulate_interval=12, seed=rng.random())
+        reads += [("%s%d" % (g, i), r.seq) for i, r in enumerate(r1)]
+    # plus background reads that map nowhere
+    for i in range(20):
+        reads.append(("bg%d" % i,
+                      "".join(rng.choice("ACGT") for _ in range(100))))
+    ids = [n for n, _ in reads]
+    seqs = [s for _, s in reads]
+    fa_router = FamilyAligner(cat, route="on")
+    fa_exh = FamilyAligner(cat, route="off")
+    assert fa_router.router is not None and fa_exh.router is None
+    pr = fa_router.align_batch(ids, seqs, "L")
+    pe = fa_exh.align_batch(ids, seqs, "L")
+    for g in ("A", "B", "C"):
+        for i in range(len(reads)):
+            ar, ae = pr[g][i], pe[g][i]
+            assert (ar is None) == (ae is None), (g, ids[i])
+            if ar is not None:
+                assert ar.nm == ae.nm and ar.pos == ae.pos
