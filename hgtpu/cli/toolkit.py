@@ -139,14 +139,32 @@ def cmd_build_genome(argv):
     p.add_argument("--ix-dir", dest="ix_dir", type=str, default=".")
     p.add_argument("--out-prefix", dest="out_prefix", type=str,
                    default="genotype_genome")
+    p.add_argument("--clinvar", dest="clinvar", type=str, default="",
+                   help="ClinVar-style VCF(.gz) of external variants to "
+                        "splice in (writes <out>.clnsig)")
+    p.add_argument("--commonvar", dest="commonvar", type=str, default="",
+                   help="UCSC snpNNNCommon.txt(.gz) dbSNP table to splice in")
     args = p.parse_args(argv)
+    if args.clinvar and args.commonvar:
+        # mutually exclusive, as in the reference (build_genome.py:554-556)
+        print("Error: both --clinvar and --commonvar cannot be used "
+              "together.", file=sys.stderr)
+        return 1
     from ..db.catalog import import_text, _read_fasta
     from ..db.genome import build_genotype_genome
+    external_vars, clnsig = None, None
+    if args.clinvar:
+        from ..db.clinvar import read_vcf_variants
+        external_vars, clnsig = read_vcf_variants(args.clinvar)
+    elif args.commonvar:
+        from ..db.clinvar import read_ucsc_common
+        external_vars = read_ucsc_common(args.commonvar)
     genome = _read_fasta(args.genome)
     catalogs = {fam: import_text(fam, os.path.join(args.ix_dir, fam))
                 for fam in args.database_list.split(",")}
     build_genotype_genome(genome, catalogs,
-                          os.path.join(args.out_dir, args.out_prefix))
+                          os.path.join(args.out_dir, args.out_prefix),
+                          external_vars=external_vars, clnsig=clnsig)
     print("genotype genome written to %s/%s.*"
           % (args.out_dir, args.out_prefix), file=sys.stderr)
     return 0

@@ -25,10 +25,22 @@ _VT_NAME = {VT_SINGLE: "single", VT_DELETION: "deletion",
             VT_INSERTION: "insertion"}
 
 
-def build_genotype_genome(genome: dict, catalogs: dict, out_prefix: str):
+def build_genotype_genome(genome: dict, catalogs: dict, out_prefix: str,
+                          external_vars: dict = None, clnsig: dict = None,
+                          inter_gap: int = 30):
     """genome: {chrom: seq}; catalogs: {family: Catalog} whose genes carry
     chrom/chrom_left/chrom_right placements.  Returns the spliced genome
-    dict (also written to <out_prefix>.fa)."""
+    dict (also written to <out_prefix>.fa).
+
+    external_vars ({chrom: [(left, type, data, id)]} as produced by
+    db.clinvar.read_vcf_variants / read_ucsc_common) are renumbered into
+    spliced coordinates, clustered into haplotype windows, and written
+    into the combined .snp/.index.snp/.haplotype tables; clnsig
+    ({id: (gene, significance)}) rows land in <out>.clnsig — the
+    reference's ClinVar/dbSNP import (build_genome.py:65-142, the
+    add_vars interleave at :205-290, clnsig output :244-247).  Variants
+    overlapping a spliced gene region are dropped, as the reference
+    skips them (:231-234)."""
     os.makedirs(os.path.dirname(out_prefix) or ".", exist_ok=True)
     # genes grouped per chromosome, sorted by placement
     per_chrom = defaultdict(list)
@@ -41,6 +53,7 @@ def build_genotype_genome(genome: dict, catalogs: dict, out_prefix: str):
     spliced = {}
     offsets = {}      # (family, gene) -> new left coordinate
     coord_lines = []
+    segments = defaultdict(list)   # chrom -> (old_start, old_end, new_start)
     for chrom, seq in genome.items():
         parts = []
         cur = 0          # old coordinate
@@ -51,6 +64,7 @@ def build_genotype_genome(genome: dict, catalogs: dict, out_prefix: str):
             parts.append(seq[cur:left])
             coord_lines.append("%s\t%d\t%d\t%d"
                                % (chrom, new_pos, cur, left - cur))
+            segments[chrom].append((cur, left, new_pos))
             new_pos += left - cur
             offsets[(family, gene.gene)] = new_pos
             parts.append(gene.backbone)
@@ -59,6 +73,7 @@ def build_genotype_genome(genome: dict, catalogs: dict, out_prefix: str):
         parts.append(seq[cur:])
         coord_lines.append("%s\t%d\t%d\t%d"
                            % (chrom, new_pos, cur, len(seq) - cur))
+        segments[chrom].append((cur, len(seq), new_pos))
         spliced[chrom] = "".join(parts)
 
     with open(out_prefix + ".fa", "w") as f:
@@ -110,6 +125,47 @@ def build_genotype_genome(genome: dict, catalogs: dict, out_prefix: str):
                 print("%s\t%s" % (family, name), file=allele_f)
                 if name in gene.partial:
                     print("%s\t%s" % (family, name), file=partial_f)
+
+    # ---- external (ClinVar/dbSNP) variants: shift into spliced
+    # coordinates, drop ones overlapping gene splices, emit haplotype
+    # windows and clinical-significance rows ---- #
+    if external_vars:
+        from .clinvar import group_haplotypes
+
+        clnsig = clnsig or {}
+        clnsig_f = open(out_prefix + ".clnsig", "w")
+        kept = defaultdict(list)    # chrom -> (new_left, type, data, id)
+        for chrom, vars_ in external_vars.items():
+            segs = segments.get(chrom, [])
+            starts = [s for s, _e, _n in segs]
+            for left, vtype, data, vid in vars_:
+                right = left + int(data) - 1 if vtype == "deletion" \
+                    else left
+                si = np.searchsorted(starts, left, "right") - 1
+                if si < 0:
+                    continue
+                old_s, old_e, new_s = segs[si]
+                if right >= old_e:      # overlaps a gene splice: drop
+                    continue
+                kept[chrom].append((new_s + (left - old_s), vtype, data,
+                                    vid))
+        for chrom in sorted(kept):
+            for new_left, vtype, data, vid in kept[chrom]:
+                line = "%s\t%s\t%s\t%d\t%s" % (vid, vtype, chrom,
+                                               new_left, data)
+                print(line, file=snp_f)
+                print(line, file=isnp_f)
+                if vid in clnsig:
+                    print("%s\t%s\t%s" % (vid, clnsig[vid][0],
+                                          clnsig[vid][1]), file=clnsig_f)
+        for chrom, hts in group_haplotypes(kept, inter_gap).items():
+            for left, right, vids in hts:
+                print("ht%d\t%s\t%d\t%d\t%s"
+                      % (nh, chrom, left, right, ",".join(vids)),
+                      file=hap_f)
+                nh += 1
+        clnsig_f.close()
+
     for f in (locus_f, snp_f, isnp_f, hap_f, link_f, allele_f, partial_f):
         f.close()
     return spliced, offsets

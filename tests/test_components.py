@@ -200,3 +200,119 @@ def test_region_typing(tmp_path):
     # flank-only region carries no variants
     flank = region_gene(out, "chrS", 0, 2000)
     assert flank.n_vars == 0
+
+
+def _place_family(fam, cat, chrom="chrS"):
+    for g, (left, right) in fam["loci"].items():
+        if g in cat.genes:
+            cat.genes[g].chrom = chrom
+            cat.genes[g].chrom_left = left
+            cat.genes[g].chrom_right = right
+
+
+def test_clinvar_vcf_import(tmp_path):
+    """ClinVar-style VCF variants splice into the genotype genome:
+    renumbered into spliced coordinates, gene-overlapping rows dropped,
+    .clnsig written, nearby variants grouped into haplotype windows
+    (ref: build_genome.py:65-102, 205-290, 327-360)."""
+    import gzip
+
+    from hgtpu.db import build_catalog_from_msa
+    from hgtpu.db.clinvar import read_vcf_variants
+    from hgtpu.db.genome import build_genotype_genome, liftover
+
+    fam = make_family(genes=("A",), n_alleles=8, length=1200, seed=77)
+    cat = build_catalog_from_msa(
+        "hla",
+        {g: dict(names=s["names"], rows=s["rows"],
+                 ref_allele=s["ref_allele"], exons=s["exons"])
+         for g, s in fam["specs"].items()}, min_var_freq=0.0)
+    _place_family(fam, cat)
+    left, right = fam["loci"]["A"]
+    genome = fam["genome"]
+
+    # VCF: 1-based positions.  Two nearby SNVs upstream of the gene, a
+    # deletion, an insertion, a multi-alt row, one inside the gene locus
+    # (must be dropped), and one far downstream.
+    vcf = "\n".join([
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+        "chrS\t11\trs1\t%s\tG\t.\t.\tGENEINFO=GENE1:111;CLNSIG=Pathogenic"
+        % genome[10],
+        "chrS\t21\trs2\t%s\tT\t.\t.\tCLNSIG=Benign" % genome[20],
+        "chrS\t61\trs3\t%sAA\t%s\t.\t.\t."
+        % (genome[60], genome[60]),                       # 2bp deletion
+        "chrS\t81\trs4\t%s\t%sTTT\t.\t.\t."
+        % (genome[80], genome[80]),                       # 3bp insertion
+        "chrS\t%d\trs5\t%s\tA\t.\t.\tCLNSIG=Pathogenic"
+        % (left + 3, genome[left + 2]),                   # inside locus
+        "chrS\t%d\trs6\t%s\tC,G\t.\t.\t."
+        % (len(genome) - 9, genome[len(genome) - 10]),    # multi-alt
+        "",
+    ])
+    vcf_path = str(tmp_path / "clinvar.vcf.gz")
+    with gzip.open(vcf_path, "wt") as f:
+        f.write(vcf)
+
+    ext, clnsig = read_vcf_variants(vcf_path)
+    assert [v[:3] for v in ext["chrS"][:4]] == [
+        (10, "single", "G"), (20, "single", "T"),
+        (61, "deletion", "2"), (81, "insertion", "TTT")]
+    # deletion/insertion left = base after the VCF anchor (0-based 60+1)
+    # the multi-alt row becomes two ids; one of C/G may equal the ref
+    assert clnsig["rs1"] == ("GENE1", "Pathogenic")
+    assert clnsig["rs2"] == ("-", "Benign")
+
+    out = str(tmp_path / "gg" / "genotype_genome")
+    spliced, offsets = build_genotype_genome(
+        {"chrS": genome}, {"hla": cat}, out,
+        external_vars=ext, clnsig=clnsig)
+
+    rows = {l.split("\t")[0]: l.split("\t")
+            for l in open(out + ".snp").read().splitlines()}
+    assert "rs5" not in rows                # inside-locus variant dropped
+    assert rows["rs1"][1:] == ["single", "chrS", "10", "G"]
+    assert rows["rs3"][1:] == ["deletion", "chrS", "61", "2"]
+    # downstream variant shifted by the backbone/locus length delta
+    lift = liftover(out + ".coord")
+    new_rs6 = int(rows["rs6"][3])
+    assert lift("chrS", new_rs6) == len(genome) - 10
+
+    sig_rows = dict((l.split("\t")[0], l.split("\t")[1:])
+                    for l in open(out + ".clnsig").read().splitlines())
+    assert sig_rows["rs1"] == ["GENE1", "Pathogenic"]
+    assert "rs3" not in sig_rows            # no CLNSIG on rs3
+
+    # rs1+rs2 (gap 10 <= 30) share a haplotype window; rs6 is alone
+    ht_rows = [l.split("\t")
+               for l in open(out + ".haplotype").read().splitlines()
+               if ",".join(("rs1", "rs2")) in l or "rs6" in l]
+    assert any(r[4] == "rs1,rs2" for r in ht_rows)
+
+
+def test_ucsc_common_import(tmp_path):
+    """UCSC snpNNNCommon.txt dbSNP table parses into variant tuples with
+    chr-prefix stripping (ref build_genome.py:107-142)."""
+    from hgtpu.db.clinvar import read_ucsc_common
+
+    cols12 = lambda *c: "\t".join(map(str, c))
+    txt = "\n".join([
+        cols12(585, "chr1", 100, 101, "rs10", 0, "+", "A", "A", "A/G",
+               "genomic", "single"),
+        cols12(585, "chr1", 200, 203, "rs11", 0, "+", "TTT", "TTT", "-/TTT",
+               "genomic", "deletion"),
+        cols12(585, "chrM", 50, 50, "rs12", 0, "+", "-", "-", "-/CC",
+               "genomic", "insertion"),
+        cols12(585, "chr1", 300, 301, "rs13", 0, "+", "C", "C", "C/T/G",
+               "genomic", "single"),
+        "",
+    ])
+    p = str(tmp_path / "snp144Common.txt")
+    open(p, "w").write(txt)
+    vars_ = read_ucsc_common(p)
+    assert vars_["1"][0] == (100, "single", "G", "rs10")
+    assert vars_["1"][1] == (200, "deletion", "3", "rs11")
+    assert vars_["MT"][0] == (50, "insertion", "CC", "rs12")
+    # multi-alt single expands with .N suffixes
+    assert {(v[0], v[2]) for v in vars_["1"][2:]} == {(300, "T"), (300, "G")}
+    assert {v[3] for v in vars_["1"][2:]} == {"rs13", "rs13.1"}
