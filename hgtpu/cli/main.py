@@ -32,9 +32,13 @@ def build_parser(advanced=False):
         prog="hgtpu", description="TPU-native HLA/CYP/CODIS genotyping",
         epilog="use --advanced-help for simulation/assembly tuning flags")
     A.args_common(p)
-    A.args_databases(p)
+    A.args_databases(p, genome=True)
     A.args_input(p)
     A.args_aligner(p)
+    A.args_set_aligner(p)
+    A.args_reference_type(p)
+    A.args_no_partial(p)
+    A.args_single_end(p)
     A.args_assembly(p)
     A.args_simulation(p)
     A.args_output(p)
@@ -100,10 +104,35 @@ def main(argv=None):
 
 
 def main_one(args, debug):
+    if args.aligner not in ("hisat2", "bowtie2"):
+        print("Error: unsupported aligner '%s' (hisat2 or bowtie2)"
+              % args.aligner, file=sys.stderr)
+        return 1
+    if args.reference_type == "chromosome":
+        # the reference's chromosome mode needs per-chromosome backbones
+        # built by its extract_vars; only gene and genome are supported
+        print("Error: --reference-type chromosome is not supported; "
+              "use gene (default) or genome with -x", file=sys.stderr)
+        return 1
+    if args.reference_type == "genome":
+        return run_genome_regions(args)
+
     prefix = os.path.join(args.ix_dir, args.base_fname)
     catalog = import_text(args.base_fname, prefix)
     locus_list = [g for g in args.locus_list.split(",") if g] \
         or list(catalog.genes)
+    only = [g for g in args.only_locus_list.split(",") if g]
+    if only:
+        # restrict typing targets while the extraction stage still sees
+        # the full database (ref args.py:328-333)
+        locus_list = [g for g in locus_list if g in only]
+
+    if not args.partial:
+        # --no-partial: drop partial alleles from every typing panel
+        for g in list(catalog.genes):
+            part = sorted(catalog.genes[g].partial)
+            if part:
+                catalog.genes[g] = catalog.genes[g].exclude_alleles(part)
 
     # novel-allele experiments: remove alleles from the typing panel but
     # keep them available as simulation truth (the reference rebuilds its
@@ -119,6 +148,10 @@ def main_one(args, debug):
     if args.bamfile:
         return run_bamfile(args, catalog, locus_list)
 
+    if not args.paired and args.read_fname_1 and not args.read_fname_2:
+        # --single-end: -1 names a single-ended file (ref args.py:190-195)
+        args.read_fname_U, args.read_fname_1 = args.read_fname_1, ""
+
     single_end = bool(args.read_fname_U) or "single-end" in debug
     opts = TypingOptions(
         family=args.base_fname,
@@ -131,12 +164,59 @@ def main_one(args, debug):
         output_allele_counts=args.output_allele_counts,
         type_primary_exons=args.type_primary_exons,
         remove_low_abundance_alleles=args.remove_low_abundance_alleles,
+        display_alleles=tuple(
+            a for a in args.display_alleles.split(",") if a),
+        linear_typing=(args.aligner == "bowtie2" or not args.graph_index),
     )
 
     if opts.simulation:
         return run_simulation(args, debug, catalog, locus_list, opts,
                               full_genes)
     return run_reads(args, catalog, locus_list, opts)
+
+
+def run_genome_regions(args):
+    """--reference-type genome: type arbitrary chrom:left-right regions of
+    a genotype genome built by `toolkit build-genome` (the reference's
+    `--base genome` region path, typing_core.py:372-377)."""
+    from ..db.genome import region_gene
+    from ..pipeline.genotype import type_reads
+
+    if not args.genotype_genome:
+        print("Error: --reference-type genome requires -x/--ref-genome "
+              "(genotype-genome prefix)", file=sys.stderr)
+        return 1
+    tokens = [t for t in args.locus_list.split(",") if t]
+    if not tokens:
+        print("Error: --reference-type genome requires --locus-list of "
+              "chrom:left-right regions", file=sys.stderr)
+        return 1
+    if not (args.read_fname_1 or args.read_fname_U):
+        print("Error: genome-region typing needs real reads (-1/-2 or -U)",
+              file=sys.stderr)
+        return 1
+    reads_1 = read_fastx(args.read_fname_U or args.read_fname_1)
+    reads_2 = read_fastx(args.read_fname_2) if args.read_fname_2 else None
+    core_id = os.path.basename(
+        (args.read_fname_U or args.read_fname_1)).split(".")[0]
+    report_base = os.path.join(
+        args.out_dir, "%s-genome.%s" % (args.output_base, core_id))
+    opts = TypingOptions(family="genome",
+                         num_editdist=args.num_editdist,
+                         allow_discordant=args.discordant or not reads_2,
+                         error_correction=args.error_correction)
+    w = ReportWriter(report_base + ".report", echo=args.verbose)
+    w.header(dbversion="genome", command=" ".join(sys.argv))
+    w.begin_aligner()
+    for token in tokens:
+        chrom, _, span = token.partition(":")
+        left, right = (int(x) for x in span.split("-"))
+        region = region_gene(args.genotype_genome, chrom, left, right)
+        res = type_reads(region, reads_1, reads_2, opts)
+        w.gene_result(res, simulation=False)
+    w.close()
+    print("Report written to %s.report" % report_base, file=sys.stderr)
+    return 0
 
 
 def run_simulation(args, debug, catalog, locus_list, opts,

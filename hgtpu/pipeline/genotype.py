@@ -17,10 +17,34 @@ from ..sim import simulate_reads
 from ..typer.engine import TypingOptions, type_gene
 
 
+def type_reads_linear(gene: GeneRef, reads_1, reads_2=None, opts=None):
+    """Linear-index typing (--aligner bowtie2 / --linear-index): exact
+    full-read matches against the concatenated allele panel feed the
+    compatibility classes straight into the EM, with no variant-graph
+    alignment (ref typing_core.py:1597-1648 consuming the -k 10 linear
+    hisat2/bowtie2 run of typing_common.py:995-1027)."""
+    from ..align.linear import LinearAligner
+    from ..typer.em import single_abundance
+    from ..typer.engine import GeneTypingResult
+
+    opts = opts or TypingOptions()
+    seqs = [s for _, s in reads_1] + [s for _, s in (reads_2 or [])]
+    la = LinearAligner(gene)
+    ranked, cmpt = la.type_linear(seqs)
+    prob = single_abundance(
+        cmpt, remove_low_abundance_allele=opts.remove_low_abundance_alleles)
+    return GeneTypingResult(
+        gene=gene.gene, num_reads=sum(n for _, n in cmpt.items()),
+        num_pairs=len(reads_1), counts=ranked, prob=prob, cmpt=cmpt,
+        exon_cmpt={}, primary_exon_cmpt={})
+
+
 def type_reads(gene: GeneRef, reads_1, reads_2=None, opts=None,
                aligner: GeneAligner = None):
     """reads_*: [(name, seq)].  Returns GeneTypingResult."""
     opts = opts or TypingOptions()
+    if opts.linear_typing:
+        return type_reads_linear(gene, reads_1, reads_2, opts)
     aligner = aligner or GeneAligner(gene, num_editdist=opts.num_editdist,
                                      leftmost=opts.family == "codis")
     by_read = defaultdict(list)
@@ -66,6 +90,12 @@ def type_family(catalog, reads_1, reads_2=None, locus_list=None, opts=None,
     from ..align.family import FamilyAligner
 
     opts = opts or TypingOptions()
+    if opts.linear_typing:
+        # linear path has no cross-gene routing stage: each gene's panel
+        # is matched exactly (multi-gene hits stay ambiguous and drop)
+        return {g: type_reads_linear(catalog.genes[g], reads_1, reads_2,
+                                     opts)
+                for g in (locus_list or list(catalog.genes))}
     fa = family_aligner or FamilyAligner(catalog,
                                          num_editdist=opts.num_editdist,
                                          leftmost=opts.family == "codis")

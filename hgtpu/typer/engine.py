@@ -45,6 +45,12 @@ class TypingOptions:
     device_counting: str = "auto"  # "auto" | "on" | "off"
     assembly: bool = False
     report_base: str = ""     # when set, assembly also renders <base>.<gene>.pdf
+    # alleles whose variant tracks are drawn in the assembly plot
+    # (--display-alleles, ref hisatgenotype_args.py:347-352)
+    display_alleles: tuple = ()
+    # exact-match linear-index path instead of the variant graph
+    # (--aligner bowtie2 / --linear-index, ref typing_core.py:1597-1648)
+    linear_typing: bool = False
     # genes whose mate pairs are disambiguated by fragment inter-distance
     # (ref: applied to CODIS D18S51, typing_core.py:1547-1552)
     choose_pairs_genes: tuple = ("D18S51",)
@@ -901,6 +907,17 @@ def _run_assembly(gene: GeneRef, typer: GeneTyper, novel: NovelVars,
         if graph.nodes2:
             panels.append(("c. Assembly with known alleles",
                            panel_from_nodes(graph, gene, graph.nodes2)))
+        shown = [a for a in typer.opts.display_alleles
+                 if a in gene.allele_names]
+        if shown:
+            # --display-alleles: one track per allele with its catalog
+            # variant positions ticked (the reference draws these allele
+            # rows in its HTML view, assembly_graph.py display_alleles)
+            panels.append(("d. Display alleles", [
+                (name, 0, len(gene.backbone) - 1,
+                 [int(gene.var_pos[i])
+                  for i in gene.allele_var_indices(name)])
+                for name in shown]))
         try:
             graph.calculate_coverage()
             draw_assembly("%s.%s.pdf" % (typer.opts.report_base, gene.gene),

@@ -127,3 +127,154 @@ def test_cli_multigene_and_codis(tmp_path):
               "--out-dir", str(tmp_path / "o2")], cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-1500:]
     assert "Passed so far: 1/1" in r.stderr
+
+
+def _tk(args, cwd="/root/repo"):
+    return subprocess.run(
+        [sys.executable, "-m", "hgtpu.cli.toolkit"] + args,
+        capture_output=True, text=True, cwd=cwd, env=ENV, timeout=600)
+
+
+def test_cli_linear_aligner(dbdir, tmp_path):
+    """--aligner bowtie2 routes typing through the linear-index path."""
+    d, ref = dbdir
+    allele = ref.allele_names[9]
+    r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=5)
+    from hgtpu.utils.io import write_fastq
+    f1, f2 = tmp_path / "l.1.fq", tmp_path / "l.2.fq"
+    write_fastq([(x.name.replace(" ", "_"), x.seq) for x in r1], str(f1))
+    write_fastq([(x.name.replace(" ", "_"), x.seq) for x in r2], str(f2))
+    out = tmp_path / "out"
+    r = _run(["--base", "hla", "--ix-dir", str(d), "--aligner", "bowtie2",
+              "-1", str(f1), "-2", str(f2), "--out-dir", str(out)],
+             cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = open(out / "assembly_graph-hla.l.report").read()
+    assert ("1 ranked %s (abundance:" % allele) in report
+
+
+def test_cli_only_locus_list(tmp_path):
+    """--only-locus-list restricts typed genes (ref args.py:328-333)."""
+    from hgtpu.db import build_catalog_from_msa
+    from hgtpu.db.catalog import export_text
+    from tests.synth import make_family
+
+    d = tmp_path / "db"
+    d.mkdir()
+    fam = make_family(genes=("A", "B"), n_alleles=8, length=900, seed=13)
+    cat = build_catalog_from_msa(
+        "hla",
+        {g: dict(names=s["names"], rows=s["rows"],
+                 ref_allele=s["ref_allele"], exons=s["exons"])
+         for g, s in fam["specs"].items()}, min_var_freq=0.0)
+    export_text(cat, str(d / "hla"))
+    out = tmp_path / "o"
+    r = _run(["--base", "hla", "--ix-dir", str(d),
+              "--only-locus-list", "B",
+              "--debug", "basic,test_size:1,set_seed:5",
+              "--simulate-interval", "8", "--out-dir", str(out)],
+             cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "Passed so far: 1/1" in r.stderr
+    report = open(out / sorted(os.listdir(out))[0]).read()
+    assert "B*" in report and "A*" not in report
+
+
+def test_toolkit_samples_platinum(dbdir, tmp_path):
+    """`toolkit samples` types a directory of extracted samples and
+    checks platinum-trio concordance (locus_samples.py:288-329)."""
+    d, ref = dbdir
+    from hgtpu.utils.io import write_fastq
+
+    rd = tmp_path / "reads"
+    rd.mkdir()
+    mom, dad = ref.allele_names[2], ref.allele_names[5]
+    child = [mom, dad]
+    for sample, alleles in (("NA12878", child), ("NA12891", [mom, mom]),
+                            ("NA12892", [dad, dad])):
+        r1, r2, _ = simulate_reads(ref, alleles, simulate_interval=6)
+        write_fastq([(x.name.replace(" ", "_"), x.seq) for x in r1],
+                    str(rd / ("%s.extracted.1.fq.gz" % sample)))
+        write_fastq([(x.name.replace(" ", "_"), x.seq) for x in r2],
+                    str(rd / ("%s.extracted.2.fq.gz" % sample)))
+    r = _tk(["samples", "--base", "hla", "--ix-dir", str(d),
+             "--read-dir", str(rd), "--platinum-check", "--pp", "2"])
+    assert r.returncode == 0, r.stderr[-2000:] + r.stdout[-500:]
+    assert "platinum-check A: concordant" in r.stdout
+    assert "NA12878\tA\t" in r.stdout
+
+
+def test_toolkit_hla_cyp_novel_detection(dbdir, tmp_path):
+    """`toolkit hla-cyp --novel_allele_detection` excludes alleles and
+    reports sensitivity/specificity of novel flagging."""
+    d, ref = dbdir
+    r = _tk(["hla-cyp", "--base", "hla", "--ix-dir", str(d),
+             "--novel_allele_detection", "--exclude-allele-list", "2",
+             "--simulate-interval", "8", "--random-seed", "4"])
+    assert r.returncode == 0, r.stderr[-2000:] + r.stdout[-500:]
+    assert "novel-allele sensitivity" in r.stdout
+
+
+def test_toolkit_hla_cyp_aligner_list(dbdir, tmp_path):
+    """--aligner-list runs each aligner variant over the test alleles."""
+    d, ref = dbdir
+    a = ref.allele_names[4]
+    r = _tk(["hla-cyp", "--base", "hla", "--ix-dir", str(d),
+             "--allele-list", a, "--simulate-interval", "6",
+             "--aligner-list", "hisat2.graph,bowtie2.linear"])
+    assert r.returncode == 0, r.stderr[-2000:] + r.stdout[-500:]
+    assert r.stdout.count("PASS") == 2
+
+
+def test_toolkit_convert_codis_min_freq(tmp_path):
+    """`toolkit convert-codis` builds a typable DB from a .dat table and
+    --min-freq drops rare alleles (convert_codis.py:413-466)."""
+    import random
+
+    rng = random.Random(7)
+    f5 = "".join(rng.choice("ACGT") for _ in range(300))
+    f3 = "".join(rng.choice("ACGT") for _ in range(300))
+    dat = tmp_path / "codis.dat"
+    dat.write_text("".join(
+        "D3S1358\t%d\t[TCTA]%d\n" % (n, n) for n in (14, 15, 16, 17)))
+    freqs = tmp_path / "freq.tsv"
+    freqs.write_text("D3S1358\t14\t0.10\nD3S1358\t15\t0.30\n"
+                     "D3S1358\t16\t0.005\nD3S1358\t17\t0.20\n")
+    d = tmp_path / "db"
+    d.mkdir()
+    r = _tk(["convert-codis", "--base", "codis", "--ix-dir", str(d),
+             "--dat", str(dat), "--freq-table", str(freqs),
+             "--min-freq", "0.01", "--flank5", f5, "--flank3", f3])
+    assert r.returncode == 0, r.stderr[-2000:]
+    from hgtpu.db.catalog import import_text
+    cat = import_text("codis", str(d / "codis"))
+    names = cat.genes["D3S1358"].allele_names
+    assert "D3S1358*16" not in names
+    assert {"D3S1358*14", "D3S1358*15", "D3S1358*17"} <= set(names)
+
+
+def test_toolkit_extract_reads_dir_mode(dbdir, tmp_path):
+    """extract-reads --read-dir scans samples, stripes by --job-range,
+    and --extract-whole skips routing."""
+    d, ref = dbdir
+    from hgtpu.utils.io import write_fastq
+
+    rd = tmp_path / "reads"
+    rd.mkdir()
+    for sample in ("s0", "s1", "s2"):
+        r1, r2, _ = simulate_reads(ref, [ref.allele_names[1]],
+                                   simulate_interval=40)
+        write_fastq([(x.name.replace(" ", "_"), x.seq) for x in r1],
+                    str(rd / ("%s-1.fq.gz" % sample)))
+        write_fastq([(x.name.replace(" ", "_"), x.seq) for x in r2],
+                    str(rd / ("%s-2.fq.gz" % sample)))
+    out = tmp_path / "o"
+    out.mkdir()
+    # stripe offset 1, stride 2 -> s1 only; extract-whole: no routing
+    r = _tk(["extract-reads", "--database-list", "hla", "--ix-dir", str(d),
+             "--read-dir", str(rd), "--job-range", "1,2",
+             "--extract-whole", "--out-dir", str(out)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = sorted(os.listdir(out))
+    assert "s1-hla-extracted-1.fq.gz" in files
+    assert not any(f.startswith(("s0", "s2")) for f in files)

@@ -105,3 +105,82 @@ def test_cli_flags_parse():
     assert args.perbase_snprate == 0.1
     assert args.skip_fragment_regions == "100-200"
     assert args.random_seed == 9
+
+
+def test_new_flag_defaults_and_polarity():
+    """Defaults/polarity of the round-2 flag additions match the
+    reference registry (hisatgenotype_args.py:33-469)."""
+    from hgtpu.cli.main import build_parser
+    args = build_parser().parse_args([])
+    assert args.aligner == "hisat2"
+    assert args.graph_index is True          # --linear-index flips off
+    assert args.num_mismatch == 0
+    assert args.reference_type == "gene"
+    assert args.partial is True              # --no-partial flips off
+    assert args.paired is True               # --single-end flips off
+    assert args.only_locus_list == ""
+    assert args.display_alleles == ""
+    assert args.genotype_genome == ""
+
+    args = build_parser().parse_args(
+        ["--aligner", "bowtie2", "--linear-index", "--no-partial",
+         "--single-end", "--only-locus-list", "A,B",
+         "--display-alleles", "A*01:01", "-x", "gg",
+         "--reference-type", "genome", "--assembly-name", "foo"])
+    assert args.aligner == "bowtie2" and not args.graph_index
+    assert not args.partial and not args.paired
+    assert args.only_locus_list == "A,B"
+    assert args.display_alleles == "A*01:01"
+    assert args.genotype_genome == "gg"
+    assert args.reference_type == "genome"
+    assert args.assembly_base == "foo"       # --assembly-name alias
+
+
+def test_reference_flag_registry_complete():
+    """Every flag name in the reference's argument registry
+    (hisatgenotype_args.py:33-469) is registered somewhere in our CLI
+    (wired to behavior or an explicit rejection)."""
+    import os
+    import re
+
+    ref_flags = {
+        "threads", "debug", "ref-genome", "base", "base-fname",
+        "locus-list", "aligner", "linear-index", "num-mismatch", "fasta",
+        "keep-alignment", "assembly", "assembly-name", "assembly-verbose",
+        "in-dir", "out-dir", "bamfile", "reference-type", "no-partial",
+        "single-end", "inter-gap", "intra-gap", "suffix", "simulation",
+        "pp", "threads-aprocess", "max-sample", "job-range",
+        "extract-whole", "whole-haplotype", "min-var-freq", "ext-seq",
+        "leftshift", "simulate-interval", "read-len", "fragment-len",
+        "best-alleles", "random-seed", "num-editdist",
+        "perbase-errorrate", "perbase-snprate", "skip-fragment-regions",
+        "verbose-level", "no-error-correction", "only-locus-list",
+        "discordant", "type-primary-exons", "keep-low-abundance-alleles",
+        "display-alleles", "commonvar", "clinvar", "region-list",
+        "platinum-check", "hla-list", "genome-list", "exclude-allele-list",
+        "reads", "allele-list", "partial", "aligner-list", "coverage",
+        "novel_allele_detection", "min-freq",
+    }
+    cli_dir = os.path.join(os.path.dirname(__file__), "..", "hgtpu", "cli")
+    src = "".join(open(os.path.join(cli_dir, f)).read()
+                  for f in os.listdir(cli_dir) if f.endswith(".py"))
+    registered = set(re.findall(r'"--([a-zA-Z0-9_-]+)"', src))
+    missing = ref_flags - registered
+    assert not missing, "unregistered reference flags: %s" % sorted(missing)
+
+
+def test_linear_typing_path(gene):
+    """--aligner bowtie2 / --linear-index: exact-match linear-index
+    typing ranks the truth #1 on error-free reads
+    (ref typing_core.py:1597-1648)."""
+    from hgtpu.pipeline.genotype import type_reads
+    from hgtpu.sim import simulate_reads
+    from hgtpu.typer.engine import TypingOptions
+
+    allele = gene.allele_names[3]
+    r1, r2, _ = simulate_reads(gene, [allele], simulate_interval=3)
+    res = type_reads(gene, [(r.name, r.seq) for r in r1],
+                     [(r.name, r.seq) for r in r2],
+                     TypingOptions(linear_typing=True))
+    assert res.prob[0][0] == allele
+    assert res.prob[0][1] >= 0.9999
