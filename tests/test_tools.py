@@ -214,3 +214,154 @@ def test_codis_microvariant_truth_100pct():
                          TypingOptions(family="codis", simulation=True))
         assert res.prob[0][0] == allele and res.prob[0][1] > 0.9999, \
             (allele, res.prob[:3])
+
+
+def test_codis_repeat_aware_merge():
+    """Repeat-aware block alignment (ref convert_codis.py:283-401):
+    a block inserted mid-structure lands between its neighbours (not
+    appended), and two distinct single-copy literals share one
+    substitution column."""
+    from hgtpu.tools.codis import codis_msa, merge_structures, \
+        parse_structure
+
+    table = [
+        ("X*1", "[TCTA]4 [TCTG]3"),
+        ("X*2", "[TCTA]4 TCA [TCTG]5"),     # TCA inserts mid-backbone
+        ("X*3", "[TCTA]2 GTA [TCTG]3"),     # GTA subs into TCA's column
+    ]
+    backbone = merge_structures([parse_structure(s) for _, s in table])
+    # exactly three columns: TCTA / {TCA,GTA} / TCTG
+    assert [sorted(u) for u, _ in backbone] == \
+        [["TCTA"], ["GTA", "TCA"], ["TCTG"]]
+    assert [sorted(c) for _, c in backbone] == \
+        [[2, 4], [0, 1], [3, 5]]
+
+    names, rows = codis_msa(table)
+    assert len({len(r) for r in rows}) == 1
+    stripped = {n: r.replace(".", "") for n, r in zip(names, rows)}
+    assert stripped["X*1"] == "TCTA" * 4 + "TCTG" * 3
+    assert stripped["X*2"] == "TCTA" * 4 + "TCA" + "TCTG" * 5
+    assert stripped["X*3"] == "TCTA" * 2 + "GTA" + "TCTG" * 3
+    # per-column layout: the TCA/GTA substitution occupies the same span
+    w_tcta = 4 * 4
+    assert rows[1][w_tcta:w_tcta + 3] == "TCA"
+    assert rows[2][w_tcta:w_tcta + 3] == "GTA"
+    assert rows[0][w_tcta:w_tcta + 3] == "..."
+
+
+def test_cyp_offset_sliding(tmp_path):
+    """checkNTloc analog (extract_cyp_data.py:184-313): the converter
+    discovers the cDNA->genomic offset by sliding, validates annotated
+    reference bases, and renumbers promoter (negative) positions at
+    offset+1."""
+    import random
+
+    from hgtpu.tools.starallele import convert_cyp_table, find_cyp_offset, \
+        parse_cyp_events
+
+    rng = random.Random(3)
+    refseq = "".join(rng.choice("ACGT") for _ in range(400))
+    true_off = 150      # cDNA +1 sits at genomic 151
+
+    def base(p):        # annotated reference base for signed cDNA pos
+        return refseq[p + (true_off if p > 0 else true_off + 1)]
+
+    rows = [
+        ("CYP9Z9*1", ""),
+        ("CYP9Z9*2", "10%s>G;-30%s>T" % (base(10), base(-30))),
+        ("CYP9Z9*3", "20_22del%s%s%s" % (base(20), base(21), base(22))),
+        ("CYP9Z9*4", "40ins TTA".replace(" ", "")),
+    ]
+    events = {n: parse_cyp_events(s) for n, s in rows}
+    op, on, fp, fn, ft = find_cyp_offset(refseq, events)
+    assert (op, on) == (true_off, true_off + 1)
+    assert fp == fn == ft == 1.0
+
+    path = tmp_path / "cyp.tsv"
+    path.write_text("".join("%s\t%s\n" % r for r in rows))
+    names, msa = convert_cyp_table(str(path), refseq)
+    by = dict(zip(names, msa))
+    assert by["CYP9Z9*1"].replace(".", "") == refseq
+    # the SNP landed at genomic 10+150
+    assert by["CYP9Z9*2"].replace(".", "")[160] == "G"
+    # deletion removed 3 bases
+    assert len(by["CYP9Z9*3"].replace(".", "")) == len(refseq) - 3
+    # insertion added 3
+    assert len(by["CYP9Z9*4"].replace(".", "")) == len(refseq) + 3
+
+    # scrambled annotations must fail NT validation
+    bad = {"X*2": parse_cyp_events("10A>G;11A>G;12A>G;13A>G")}
+    if all(refseq[10 + true_off + i] != "A" for i in range(4)):
+        import pytest
+        bad_path = tmp_path / "bad.tsv"
+        bad_path.write_text("X*2\t10A>G;11A>G;12A>G;13A>G\n")
+        with pytest.raises(ValueError):
+            convert_cyp_table(str(bad_path), refseq)
+
+
+def _genbank_record(acc, gene, seq, exons, mutate=None):
+    """Minimal GenBank flat-file record in the shape get_seqbyRef
+    consumes (extract_RBG.py:94-198): gene feature + /gene qualifier,
+    a multi-line mRNA join(...), exon features with /number, ORIGIN."""
+    gl, gr = 11, len(seq) - 10          # 1-based gene span
+    joins = ",".join("%d..%d" % (l, r) for l, r in exons)
+    head = [
+        "LOCUS       %s             %d bp    DNA" % (acc, len(seq)),
+        "FEATURES             Location/Qualifiers",
+        "     source          1..%d" % len(seq),
+        "     gene            %d..%d" % (gl, gr),
+        '                     /gene="%s"' % gene,
+        "     mRNA            join(%s," % joins.split(",")[0],
+        "                     %s)" % ",".join(joins.split(",")[1:]),
+        '                     /gene="%s"' % gene,
+    ]
+    for i, (l, r) in enumerate(exons):
+        head.append("     exon            %d..%d" % (l, r))
+        head.append('                     /number="%d"' % (i + 1))
+    head.append("ORIGIN")
+    for s in range(0, len(seq), 60):
+        chunk = seq[s:s + 60].lower()
+        head.append("%9d %s" % (
+            s + 1, " ".join(chunk[k:k + 10] for k in range(0, len(chunk),
+                                                           10))))
+    return "\n".join(head) + "\n//"
+
+
+def test_rbg_genbank_ingestion(tmp_path):
+    """Multi-record GenBank flat files parse into per-allele gene slices
+    and an MSA (extract_RBG.py:41-198, 266-436)."""
+    import random
+
+    from hgtpu.tools.rbg import convert_rbg_genbank, parse_record, \
+        split_records
+
+    rng = random.Random(9)
+    seq = "".join(rng.choice("ACGT") for _ in range(360))
+    exons = [(31, 90), (151, 240)]      # 1-based, inside the gene span
+    rec1 = _genbank_record("RBG001", "GYPA", seq, exons)
+    # allele 2: SNP at genomic 60 (0-based) and a 2bp deletion at 200
+    alt = "G" if seq[60] != "G" else "T"
+    seq2 = seq[:60] + alt + seq[61:200] + seq[202:]
+    rec2 = _genbank_record("RBG002", "GYPA", seq2, exons)
+    gb = tmp_path / "gypa.gb"
+    gb.write_text(rec1 + "\n" + rec2 + "\n")
+
+    recs = [parse_record(r) for r in split_records(gb.read_text())]
+    assert [r["accession"] for r in recs] == ["RBG001", "RBG002"]
+    assert recs[0]["seq"] == seq
+    assert recs[0]["genes"]["GYPA"] == (10, 350)
+    # exon numbers from /number, coordinates gene-relative
+    assert recs[0]["exons"]["GYPA"] == [("1", 20, 80), ("2", 140, 230)]
+
+    names, rows, ex = convert_rbg_genbank([str(gb)], "GYPA")
+    assert names == ["GYPA*RBG001", "GYPA*RBG002"]
+    assert len({len(r) for r in rows}) == 1
+    assert rows[0].replace(".", "") == seq[10:350]
+    assert rows[1].replace(".", "") == seq2[10:len(seq2) - 10]
+    # the SNP column is aligned: genomic 60 -> gene-relative 50
+    assert rows[0][50] == seq[60] and rows[1][50] == alt
+    # the deletion shows as 2 gap positions in allele 2 (an equal-cost
+    # alignment may split them), bases in the reference
+    assert rows[1][180:205].count(".") == 2
+    assert rows[0][180:205].count(".") == 0
+    assert ex == [(20, 79), (140, 229)]
