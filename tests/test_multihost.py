@@ -1,0 +1,91 @@
+"""Multi-host scaffolding: 2 real processes x 4 virtual CPU devices run
+the connected sharded typing program via jax.distributed and call the
+same genotype, bit-equal across processes and equal to single-process
+(SURVEY §5 distributed backend; BASELINE 2-host north star measured when
+hardware exists)."""
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    sys.path.insert(0, "/root/repo")
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid, port = int(sys.argv[1]), sys.argv[2]
+
+    from hgtpu.parallel.multihost import (distributed_call, global_mesh,
+                                          init_distributed, pad_reads,
+                                          process_read_shard)
+    init_distributed("localhost:" + port, 2, pid)
+    assert jax.process_count() == 2 and jax.device_count() == 8
+
+    from __graft_entry__ import _tiny_gene
+    from hgtpu.parallel.e2e import ShardedTyper
+
+    gene = _tiny_gene()
+    typer = ShardedTyper(gene, global_mesh(), read_len=64, em_iters=100)
+    truth = gene.allele_names[23]
+    seq = gene.allele_seq(truth)
+    reads = [seq[i:i + 64] for i in range(0, len(seq) - 63, 3)]
+    codes = pad_reads(typer.encode(reads), 8)
+    start, stop = process_read_shard(codes.shape[0])
+    prob, totals, n_used = distributed_call(typer, codes[start:stop])
+    top = int(np.argmax(prob))
+    print("RESULT %d %s %.10f %d %.6f" % (
+        pid, gene.allele_names[top], float(prob[top]), int(n_used),
+        float(np.asarray(totals).sum())), flush=True)
+""")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_typing():
+    port = str(_free_port())
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _WORKER, str(i), port],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)]
+    results = {}
+    logs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        logs.append(err[-2000:])
+        assert p.returncode == 0, err[-3000:]
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, name, prob, n_used, tot = line.split()
+                results[int(pid)] = (name, prob, n_used, tot)
+    assert set(results) == {0, 1}, logs
+    # identical replicated results on both processes
+    assert results[0] == results[1]
+    name, prob, n_used, _tot = results[0]
+    assert name == "T*23"
+    assert float(prob) > 0.9999
+
+    # single-process run of the same global read set matches
+    from __graft_entry__ import _tiny_gene
+    from hgtpu.parallel.e2e import ShardedTyper
+    from hgtpu.parallel.multihost import pad_reads
+    from hgtpu.parallel.sharded import make_mesh
+
+    gene = _tiny_gene()
+    typer = ShardedTyper(gene, make_mesh(8), read_len=64, em_iters=100)
+    seq = gene.allele_seq("T*23")
+    reads = [seq[i:i + 64] for i in range(0, len(seq) - 63, 3)]
+    codes = pad_reads(typer.encode(reads), 8)
+    sp_name, sp_prob, _totals, sp_used = typer.call_allele(codes)
+    assert sp_name == name
+    assert abs(sp_prob - float(prob)) < 1e-9
+    assert int(sp_used) == int(n_used)
