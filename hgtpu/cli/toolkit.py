@@ -495,8 +495,52 @@ def cmd_convert_codis(argv):
     return 0
 
 
+def cmd_extract_rbg(argv):
+    """Blood-group DB from GenBank flat files — the reference's
+    hisatgenotype_extract_RBG (extract_RBG.py:41-198 fetches NCBI
+    records per allele accession; here they come from local files)."""
+    p = argparse.ArgumentParser(prog="hgtpu extract-rbg")
+    A.args_common(p)
+    A.args_databases(p)
+    p.add_argument("--genbank", dest="genbank", required=True,
+                   help="comma-separated GenBank flat files (multi-record "
+                        "OK); record 0 per gene is the reference allele")
+    args = p.parse_args(argv)
+
+    from ..db import build_catalog_from_msa
+    from ..db.catalog import export_text
+    from ..tools.rbg import convert_rbg_genbank, parse_record, \
+        split_records
+
+    paths = [f for f in args.genbank.split(",") if f]
+    genes = set()
+    for path in paths:
+        for rec in split_records(open(path).read()):
+            genes.update(parse_record(rec)["genes"])
+    locus_list = [g for g in args.locus_list.split(",") if g]
+    if locus_list:
+        genes &= set(locus_list)
+    specs = {}
+    for gene in sorted(genes):
+        names, rows, exons = convert_rbg_genbank(paths, gene)
+        ref_len = len(rows[0].replace(".", ""))
+        specs[gene] = dict(names=names, rows=rows, ref_allele=names[0],
+                           exons=exons or [(0, ref_len - 1)])
+        print("%s: %d alleles" % (gene, len(names)), file=sys.stderr)
+    if not specs:
+        print("Error: no genes found in %s" % args.genbank,
+              file=sys.stderr)
+        return 1
+    cat = build_catalog_from_msa(args.base_fname, specs, min_var_freq=0.0)
+    export_text(cat, os.path.join(args.ix_dir, args.base_fname))
+    print("Database written to %s/%s.*" % (args.ix_dir, args.base_fname),
+          file=sys.stderr)
+    return 0
+
+
 COMMANDS = {
     "extract-vars": cmd_extract_vars,
+    "extract-rbg": cmd_extract_rbg,
     "extract-codis-data": cmd_extract_codis_data,
     "extract-reads": cmd_extract_reads,
     "locus": cmd_locus,

@@ -278,3 +278,52 @@ def test_toolkit_extract_reads_dir_mode(dbdir, tmp_path):
     files = sorted(os.listdir(out))
     assert "s1-hla-extracted-1.fq.gz" in files
     assert not any(f.startswith(("s0", "s2")) for f in files)
+
+
+def test_toolkit_extract_rbg_end_to_end(tmp_path):
+    """`toolkit extract-rbg`: GenBank flat file -> typable DB -> the CLI
+    ranks a simulated allele #1 (component #24 end-to-end)."""
+    import random
+
+    from tests.test_tools import _genbank_record
+
+    rng = random.Random(21)
+    seq = "".join(rng.choice("ACGT") for _ in range(1200))
+    exons = [(41, 400), (501, 1100)]
+    recs = [_genbank_record("RB%03d" % k, "GYPB", s, exons)
+            for k, s in enumerate(_rbg_variants(seq, rng))]
+    gb = tmp_path / "gypb.gb"
+    gb.write_text("\n".join(recs) + "\n")
+    d = tmp_path / "db"
+    d.mkdir()
+    r = _tk(["extract-rbg", "--base", "rbg", "--ix-dir", str(d),
+             "--genbank", str(gb)])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    from hgtpu.db.catalog import import_text
+    cat = import_text("rbg", str(d / "rbg"))
+    ref = cat.genes["GYPB"]
+    assert ref.n_alleles == 3 and ref.n_vars >= 4
+    allele = ref.allele_names[1]
+    r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=5)
+    from hgtpu.utils.io import write_fastq
+    f1, f2 = tmp_path / "r.1.fq", tmp_path / "r.2.fq"
+    write_fastq([(x.name.replace(" ", "_"), x.seq) for x in r1], str(f1))
+    write_fastq([(x.name.replace(" ", "_"), x.seq) for x in r2], str(f2))
+    out = tmp_path / "o"
+    r = _run(["--base", "rbg", "--ix-dir", str(d), "-1", str(f1),
+              "-2", str(f2), "--out-dir", str(out)], cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = open(out / "assembly_graph-rbg.r.report").read()
+    assert ("1 ranked %s (abundance:" % allele) in rep
+
+
+def _rbg_variants(seq, rng):
+    """Reference sequence + two alleles with scattered SNPs."""
+    out = [seq]
+    for k in (1, 2):
+        s = list(seq)
+        for p in rng.sample(range(30, len(seq) - 30), 3 + k):
+            s[p] = "ACGT"[("ACGT".index(s[p]) + k) % 4]
+        out.append("".join(s))
+    return out
