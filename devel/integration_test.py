@@ -58,17 +58,47 @@ def make_real_reads(out_dir):
     return p1, p2, allele
 
 
+EXPECTED = os.path.join(HERE, "expected")
+
+
+def normalize(text):
+    """Strip the machine-dependent provenance header (absolute command
+    path) so report content diffs exactly across checkouts."""
+    return "\n".join(
+        l for l in text.splitlines()
+        if not l.startswith("#") and "__main__.py" not in l) + "\n"
+
+
 def main(out_root=None, test_size=2):
     ensure_db()
     out_root = out_root or os.path.join(HERE, "out")
     shutil.rmtree(out_root, ignore_errors=True)
     failures = []
+    update = bool(os.environ.get("HGTPU_UPDATE_EXPECTED"))
 
     def check(name, cond, detail=""):
         status = "OK" if cond else "FAIL"
         print("  [%s] %s %s" % (status, name, detail))
         if not cond:
             failures.append(name)
+
+    def check_expected(name, path):
+        """Full-content golden diff (normalized): counts, abundance
+        digits, assembly calls — not just the grep markers."""
+        exp = os.path.join(EXPECTED, name)
+        got = normalize(open(path).read())
+        if update:
+            os.makedirs(EXPECTED, exist_ok=True)
+            open(exp, "w").write(got)
+            print("  [GEN] expected/%s" % name)
+            return
+        if not os.path.exists(exp):
+            check("expected %s present" % name, False, "(run with "
+                  "HGTPU_UPDATE_EXPECTED=1 to generate)")
+            return
+        want = open(exp).read()
+        check("expected %s" % name, got == want,
+              "" if got == want else "(content drifted)")
 
     # hg_test1: basic simulation
     out1 = os.path.join(out_root, "hg_test1_basic")
@@ -81,6 +111,10 @@ def main(out_root=None, test_size=2):
     rep = open(os.path.join(out1, "assembly_graph-hla.test-1.report")).read()
     check("count line", "*** 1 ranked" in rep and "(count:" in rep)
     check("abundance 100", "(abundance: 100.00%)" in rep)
+    check_expected("hg_test1.test-1.report",
+                   os.path.join(out1, "assembly_graph-hla.test-1.report"))
+    check_expected("hg_test1.test-2.report",
+                   os.path.join(out1, "assembly_graph-hla.test-2.report"))
 
     # hg_test2: paired simulation
     out2 = os.path.join(out_root, "hg_test2_paired")
@@ -89,6 +123,8 @@ def main(out_root=None, test_size=2):
                  "--simulate-interval", "4", "--out-dir", out2])
     print("hg_test2 paired:")
     check("pass tally", "(100.00%)" in r.stderr.splitlines()[-1])
+    check_expected("hg_test2.test-1.report",
+                   os.path.join(out2, "assembly_graph-hla.test-1.report"))
 
     # hg_test3: simulation + assembly
     out3 = os.path.join(out_root, "hg_test3_assembly")
@@ -104,6 +140,10 @@ def main(out_root=None, test_size=2):
     pdf = os.path.join(out3, "assembly_graph-hla.test-1.A.pdf")
     check("pdf trailer", os.path.exists(pdf)
           and open(pdf, "rb").read().rstrip().endswith(b"%%EOF"))
+    check_expected("hg_test3.test-1.report",
+                   os.path.join(out3, "assembly_graph-hla.test-1.report"))
+    check_expected("hg_test3.test-1.fasta",
+                   os.path.join(out3, "assembly_graph-hla.test-1.fasta"))
 
     # hg_test4/5: pre-simulated "real" reads
     reads_dir = os.path.join(out_root, "reads")
@@ -116,6 +156,8 @@ def main(out_root=None, test_size=2):
         out4, "assembly_graph-hla.NA00001.report")).read()
     check("reads aligned", "reads and" in rep4)
     check("true allele ranked", "1 ranked %s" % true_allele in rep4)
+    check_expected("hg_test4.report",
+                   os.path.join(out4, "assembly_graph-hla.NA00001.report"))
 
     out5 = os.path.join(out_root, "hg_test5_realassembly")
     run_cli(["--base", "hla", "--ix-dir", DB, "-1", p1, "-2", p2,
@@ -124,6 +166,8 @@ def main(out_root=None, test_size=2):
     rep5 = open(os.path.join(
         out5, "assembly_graph-hla.NA00001.report")).read()
     check("viterbi call", "%s : %s" % (true_allele, true_allele) in rep5)
+    check_expected("hg_test5.report",
+                   os.path.join(out5, "assembly_graph-hla.NA00001.report"))
 
     print("\n%d checks failed" % len(failures))
     return 1 if failures else 0

@@ -240,6 +240,12 @@ def args_aligner(parser):
                         help="comma-separated alleles whose variant tracks "
                              "are drawn in the assembly plot "
                              "(ref args.py:347-352)")
+    parser.add_argument("--strict-pair-distance",
+                        dest="strict_pair_distance", action="store_true",
+                        help="measure CODIS mate gaps in raw backbone "
+                             "coordinates exactly as the reference does "
+                             "(typing_core.py:686-716), disabling the "
+                             "deletion-aware correction")
 
 
 def args_assembly(parser):

@@ -167,6 +167,7 @@ def main_one(args, debug):
         display_alleles=tuple(
             a for a in args.display_alleles.split(",") if a),
         linear_typing=(args.aligner == "bowtie2" or not args.graph_index),
+        strict_pair_distance=args.strict_pair_distance,
     )
 
     if opts.simulation:

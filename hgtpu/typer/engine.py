@@ -54,6 +54,10 @@ class TypingOptions:
     # genes whose mate pairs are disambiguated by fragment inter-distance
     # (ref: applied to CODIS D18S51, typing_core.py:1547-1552)
     choose_pairs_genes: tuple = ("D18S51",)
+    # strict reference parity for the pair-distance measurement: raw
+    # backbone coordinates only (typing_core.py:686-716), disabling the
+    # deletion-aware allele-frame correction documented in NEXT.md
+    strict_pair_distance: bool = False
 
 
 @dataclasses.dataclass
@@ -666,8 +670,9 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
                     (left_hts if a.mate == "L"
                      else right_hts).update(alt_hts)
         if interdist is not None and interdist >= 0:
-            left_hts, right_hts = choose_pairs(left_hts, right_hts,
-                                               interdist, gene)
+            left_hts, right_hts = choose_pairs(
+                left_hts, right_hts, interdist,
+                None if opts.strict_pair_distance else gene)
         positive_hts = left_hts | right_hts
         if not positive_hts:
             continue

@@ -365,3 +365,35 @@ def test_rbg_genbank_ingestion(tmp_path):
     assert rows[1][180:205].count(".") == 2
     assert rows[0][180:205].count(".") == 0
     assert ex == [(20, 79), (140, 229)]
+
+
+def test_choose_pairs_strict_parity_switch():
+    """TypingOptions.strict_pair_distance reverts choose_pairs to the
+    reference's raw-backbone gap measurement (typing_core.py:686-716):
+    a catalog deletion inside the mate gap is only subtracted in the
+    (default) allele-frame mode."""
+    import numpy as np
+
+    from hgtpu.db.catalog import GeneRef, VT_DELETION
+    from hgtpu.typer.engine import choose_pairs
+
+    gene = GeneRef(
+        gene="D", backbone_name="D*BB", backbone="A" * 400,
+        allele_names=["D*1"], var_ids=["hv0"],
+        var_type=np.array([VT_DELETION], np.int8),
+        var_pos=np.array([200], np.int32),
+        var_len=np.array([50], np.int32),
+        var_data=["50"],
+        var_freq=np.array([50.0], np.float32),
+        links=np.ones((1, 1), bool),
+        exons=[(0, 399)], primary_exons=[(0, 399)], haplotypes=[])
+
+    left = {"100-150"}
+    right = {"300-350", "260-310"}
+    # allele-frame (default): the deletion inside the 150..300 gap makes
+    # the far mate the best fit (149-50=99 vs expected 100)
+    l1, r1 = choose_pairs(set(left), set(right), 100, gene)
+    assert r1 == {"300-350"}
+    # strict reference mode (gene=None): raw gap picks the near mate
+    l2, r2 = choose_pairs(set(left), set(right), 100, None)
+    assert r2 == {"260-310"}
