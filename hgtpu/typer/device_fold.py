@@ -52,7 +52,8 @@ class DeviceFold:
     def __init__(self, typer):
         self.typer = typer
         self.gene = typer.gene
-        self.dc = DeviceCounter(self.gene)
+        from .engine import shared_device_counter
+        self.dc = shared_device_counter(self.gene)
 
     def run(self, hts_sorted, novel, grouped):
         """hts_sorted: sorted unique ht strings; grouped: the engine's

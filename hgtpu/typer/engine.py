@@ -204,31 +204,64 @@ def _ht_to_ops(gene: GeneRef, novel: NovelVars, tokens):
     return ops
 
 
+def _gene_shared_state(gene: GeneRef) -> dict:
+    """Option-independent precomputed typing state, cached ON the
+    GeneRef instance (never keyed by id(): the cache dies with the
+    object, and building a new GeneRef — exclude_alleles, replace —
+    naturally starts fresh).  At IMGT scale the alts equivalence index
+    and the packed device tables cost ~1.5 s to build; typing many read
+    sets / simulation tests against one gene shares them."""
+    st = gene.__dict__.get("_typer_shared")
+    if st is None:
+        st = {}
+        gene.__dict__["_typer_shared"] = st
+    return st
+
+
+def shared_device_counter(gene: GeneRef):
+    from .device_count import DeviceCounter
+
+    st = _gene_shared_state(gene)
+    if "device_counter" not in st:
+        st["device_counter"] = DeviceCounter(gene)
+    return st["device_counter"]
+
+
 class GeneTyper:
     """Holds the per-gene precomputed state (counter, rep groups, alts)."""
 
     def __init__(self, gene: GeneRef, opts: TypingOptions = None):
         self.gene = gene
         self.opts = opts or TypingOptions()
-        self.counter = GeneCounter(gene)
-        exon_vars = gene.exonic_var_mask(gene.exons)
-        primary_vars = gene.exonic_var_mask(gene.primary_exons)
-        self.allele_rep_mask, self.allele_rep_groups = \
-            get_rep_alleles(gene, exon_vars)
-        self.primary_rep_mask, self.primary_rep_groups = \
-            get_rep_alleles(gene, primary_vars, self.allele_rep_mask)
+        st = _gene_shared_state(gene)
+        if "counter" not in st:
+            st["counter"] = GeneCounter(gene)
+            exon_vars = gene.exonic_var_mask(gene.exons)
+            primary_vars = gene.exonic_var_mask(gene.primary_exons)
+            rep = get_rep_alleles(gene, exon_vars)
+            st["rep"] = rep
+            st["primary_rep"] = get_rep_alleles(gene, primary_vars, rep[0])
+        self.counter = st["counter"]
+        self.allele_rep_mask, self.allele_rep_groups = st["rep"]
+        self.primary_rep_mask, self.primary_rep_groups = st["primary_rep"]
         if self.opts.use_alts:
-            self.alts_left, self.alts_right = get_alternatives(gene)
+            if "alts" not in st:
+                st["alts"] = get_alternatives(gene)
+                st["alts_lists"] = alts_sorted_lists(*st["alts"])
+                # key positions for the fast no-ambiguity precheck
+                st["alt_key_pos"] = np.sort(np.array(
+                    [p for p, _ in st["alts_lists"][0]]
+                    + [p for p, _ in st["alts_lists"][1]], dtype=np.int64))
+            self.alts_left, self.alts_right = st["alts"]
+            self.alts_left_list, self.alts_right_list = st["alts_lists"]
+            self._alt_key_pos = st["alt_key_pos"]
         else:
             self.alts_left, self.alts_right = {}, {}
-        self.alts_left_list, self.alts_right_list = alts_sorted_lists(
-            self.alts_left, self.alts_right)
+            self.alts_left_list, self.alts_right_list = \
+                alts_sorted_lists({}, {})
+            self._alt_key_pos = np.sort(np.array([], dtype=np.int64))
         self._device_counter = None
         self._device_fold = None
-        # key positions for the fast no-ambiguity precheck
-        self._alt_key_pos = np.sort(np.array(
-            [p for p, _ in self.alts_left_list]
-            + [p for p, _ in self.alts_right_list], dtype=np.int64))
 
     # ------------------------------------------------------------------ #
     def clean_hts_batch(self, alns, mpileup, use_ec, memo):
@@ -437,10 +470,10 @@ class GeneTyper:
         a single dispatch (hgtpu.typer.device_count), then the per-level
         masks are reassembled per ht.
         """
-        from .device_count import DeviceCounter, MAX_HT_VARS
+        from .device_count import MAX_HT_VARS
 
         if self._device_counter is None:
-            self._device_counter = DeviceCounter(self.gene)
+            self._device_counter = shared_device_counter(self.gene)
         dc = self._device_counter
         todo = [h for h in ht_strs if h not in cache]
         if not todo:

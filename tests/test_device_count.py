@@ -136,3 +136,34 @@ def test_device_fold_with_errors_identical(generef):
     assert res_dev.cmpt == res_host.cmpt
     assert res_dev.counts == res_host.counts
     assert res_dev.prob == res_host.prob
+
+
+def test_gene_shared_state_cache(generef):
+    """Per-gene typing state (counter, alts index, device tables) is
+    cached ON the GeneRef — repeat GeneTyper construction is ~free and
+    results are unchanged; a derived panel (exclude_alleles) starts a
+    fresh cache."""
+    gene = generef
+    from hgtpu.pipeline import type_reads
+    from hgtpu.sim import simulate_reads
+    from hgtpu.typer.engine import (GeneTyper, TypingOptions,
+                                    shared_device_counter)
+
+    t1 = GeneTyper(gene)
+    t2 = GeneTyper(gene)
+    assert t1.counter is t2.counter
+    assert t1.alts_left is t2.alts_left
+    assert shared_device_counter(gene) is shared_device_counter(gene)
+
+    allele = gene.allele_names[2]
+    r1, r2, _ = simulate_reads(gene, [allele], simulate_interval=6)
+    reads_1 = [(r.name, r.seq) for r in r1]
+    reads_2 = [(r.name, r.seq) for r in r2]
+    a = type_reads(gene, reads_1, reads_2, TypingOptions(simulation=True))
+    b = type_reads(gene, reads_1, reads_2, TypingOptions(simulation=True))
+    assert a.prob == b.prob and a.cmpt == b.cmpt
+
+    sub = gene.exclude_alleles([gene.allele_names[5]])
+    assert "_typer_shared" not in sub.__dict__
+    t3 = GeneTyper(sub)
+    assert t3.counter is not t1.counter
