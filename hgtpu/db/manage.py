@@ -67,20 +67,63 @@ def extract_database_if_not_exists(ix_dir, base, msf_dir=None,
     return True
 
 
-def clone_hisatgenotype_database(ix_dir):
+def _fetch_into(ix_dir, source):
+    """Pluggable acquisition: `source` may be a callable(ix_dir), a local
+    directory (copied in), or a git URL/path (cloned — file:// and local
+    .git work offline).  Returns True when it produced files."""
+    import shutil
+    import subprocess
+
+    if source is None:
+        return False
+    if callable(source):
+        source(ix_dir)
+        return True
+    if os.path.isdir(source) and not source.endswith(".git"):
+        os.makedirs(ix_dir, exist_ok=True)
+        for name in os.listdir(source):
+            src = os.path.join(source, name)
+            dst = os.path.join(ix_dir, name)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst, dirs_exist_ok=True)
+            else:
+                shutil.copy2(src, dst)
+        return True
+    # git URL (the reference's clone path, typing_common.py:526-529);
+    # file:// remotes and local bare repos work without egress
+    r = subprocess.run(["git", "clone", "--depth", "1", source, ix_dir],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError("fetch from %r failed: %s"
+                           % (source, r.stderr.strip()[-500:]))
+    return True
+
+
+def clone_hisatgenotype_database(ix_dir, source=None):
     """The reference git-clones IMGT-derived data
-    (typing_common.py:526-529).  No network egress here."""
+    (typing_common.py:526-529).  `source` (or $HGTPU_DB_SOURCE) plugs in
+    the acquisition: a directory to copy, a git URL/path to clone, or a
+    callable — so offline environments point at local mirrors."""
+    source = source or os.environ.get("HGTPU_DB_SOURCE")
+    if _fetch_into(ix_dir, source):
+        return ix_dir
     raise RuntimeError(
         "network access unavailable: place an MSF database under %s and use "
-        "extract-vars, or copy a prebuilt hgtpu/reference-format database "
-        "directory" % ix_dir)
+        "extract-vars, copy a prebuilt hgtpu/reference-format database "
+        "directory, or set HGTPU_DB_SOURCE to a local mirror" % ix_dir)
 
 
-def download_genome_and_index(ix_dir):
-    """Ref: typing_common.py:495-512 (wget GRCh38 + prebuilt index)."""
+def download_genome_and_index(ix_dir, source=None):
+    """Ref: typing_common.py:495-512 (wget GRCh38 + prebuilt index).
+    `source` (or $HGTPU_GENOME_SOURCE) plugs in a local mirror the same
+    way as clone_hisatgenotype_database."""
+    source = source or os.environ.get("HGTPU_GENOME_SOURCE")
+    if _fetch_into(ix_dir, source):
+        return ix_dir
     raise RuntimeError(
         "network access unavailable: provide a host genome FASTA via "
-        "--genome and build with `toolkit build-genome`")
+        "--genome and build with `toolkit build-genome`, or set "
+        "HGTPU_GENOME_SOURCE to a local mirror")
 
 
 def inspect(prefix, out=None):

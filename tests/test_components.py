@@ -316,3 +316,37 @@ def test_ucsc_common_import(tmp_path):
     # multi-alt single expands with .N suffixes
     assert {(v[0], v[2]) for v in vars_["1"][2:]} == {(300, "T"), (300, "G")}
     assert {v[3] for v in vars_["1"][2:]} == {"rs13", "rs13.1"}
+
+
+def test_db_fetch_hook(generef, tmp_path, monkeypatch):
+    """clone_hisatgenotype_database acquires through a pluggable source
+    (local mirror dir / $HGTPU_DB_SOURCE / callable) instead of hard
+    network egress (typing_common.py:526-529)."""
+    from hgtpu.db import manage
+
+    spec, ref = generef
+    mirror = str(tmp_path / "mirror")
+    os.makedirs(mirror)
+    export_text(Catalog(family="hla", genes={"A": ref}), mirror + "/hla")
+
+    # directory source
+    d1 = str(tmp_path / "ix1")
+    manage.clone_hisatgenotype_database(d1, source=mirror)
+    assert manage.database_exists(d1, "hla")
+
+    # env source
+    d2 = str(tmp_path / "ix2")
+    monkeypatch.setenv("HGTPU_DB_SOURCE", mirror)
+    manage.clone_hisatgenotype_database(d2)
+    assert manage.database_exists(d2, "hla")
+    monkeypatch.delenv("HGTPU_DB_SOURCE")
+
+    # callable source
+    d3 = str(tmp_path / "ix3")
+    called = []
+    manage.download_genome_and_index(d3, source=lambda p: called.append(p))
+    assert called == [d3]
+
+    # no source still raises with instructions
+    with pytest.raises(RuntimeError):
+        manage.clone_hisatgenotype_database(str(tmp_path / "ix4"))
