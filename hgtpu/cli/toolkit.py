@@ -100,6 +100,13 @@ def cmd_extract_reads(argv):
     p.add_argument("--database-list", dest="database_list", type=str,
                    default="hla")
     p.add_argument("--ix-dir", dest="ix_dir", type=str, default=".")
+    p.add_argument("-x", "--ref-genome", dest="genotype_genome", type=str,
+                   default="",
+                   help="genotype-genome prefix (toolkit build-genome): "
+                        "route by spliced-genome placement instead of "
+                        "per-family panels; with --extract-whole, bin "
+                        "every uniquely-placed read into 20-Mbp blocks "
+                        "(typing_process.py:1534-1594)")
     p.add_argument("--read-dir", dest="read_dir", type=str, default="",
                    help="directory of per-sample read files to extract "
                         "(scanned by --suffix; the reference's --in-dir, "
@@ -113,9 +120,23 @@ def cmd_extract_reads(argv):
     catalogs = {}
     for fam in args.database_list.split(","):
         catalogs[fam] = import_text(fam, os.path.join(args.ix_dir, fam))
-    # --num-mismatch>0 overrides the routing edit budget (ref args.py:102)
-    ex = ReadExtractor(catalogs,
-                       num_editdist=args.num_mismatch or 2)
+    genome_mode = bool(args.genotype_genome)
+    if genome_mode:
+        from ..db.catalog import _read_fasta
+        from ..pipeline.extract_genome import GenomeExtractor
+
+        genome = _read_fasta(args.genotype_genome + ".fa")
+        offsets = {}
+        for line in open(args.genotype_genome + ".locus"):
+            fam, bbname = line.split("\t")[:2]
+            base = int(line.split("\t")[3])
+            offsets[(fam, bbname.split("*")[0])] = base
+        ex = GenomeExtractor(genome, offsets, catalogs,
+                             max_mm=args.num_mismatch or 8)
+    else:
+        # --num-mismatch>0 overrides the routing edit budget
+        # (ref args.py:102)
+        ex = ReadExtractor(catalogs, num_editdist=args.num_mismatch or 2)
 
     if args.read_dir:
         samples = _find_read_samples(args.read_dir, args.suffix,
@@ -132,13 +153,24 @@ def cmd_extract_reads(argv):
         sample, (p1, p2) = item
         reads_1 = read_fastx(p1)
         reads_2 = read_fastx(p2) if p2 else None
-        if args.extract_whole:
-            # --extract-whole: no routing, every family gets all reads
+        lines = []
+        if genome_mode and args.extract_whole:
+            # whole-genome 20-Mbp block binning
+            # (typing_process.py:1534-1594)
+            from ..pipeline.extract_genome import write_block_fastqs
+
+            routed, blocks = ex.extract(reads_1, reads_2,
+                                        block_size=20_000_000)
+            paths = write_block_fastqs(args.out_dir, sample, blocks,
+                                       20_000_000, paired=bool(reads_2))
+            lines.append("%s: %d block files" % (sample, len(paths)))
+        elif args.extract_whole:
+            # --extract-whole without a genome: no routing, every family
+            # gets all reads
             routed = {fam: (reads_1, reads_2 or [])
                       for fam in catalogs}
         else:
             routed = ex.extract(reads_1, reads_2)
-        lines = []
         for fam, (r1, r2) in routed.items():
             out1 = os.path.join(args.out_dir, "%s-%s-extracted-1.%s"
                                 % (sample, fam, args.suffix))
@@ -554,6 +586,8 @@ COMMANDS = {
 
 
 def main(argv=None):
+    from .main import _apply_platform_env
+    _apply_platform_env()   # honor JAX_PLATFORMS despite the axon plugin
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: python -m hgtpu.cli.toolkit <command> [options]\n"

@@ -327,3 +327,64 @@ def _rbg_variants(seq, rng):
             s[p] = "ACGT"[("ACGT".index(s[p]) + k) % 4]
         out.append("".join(s))
     return out
+
+
+def test_toolkit_extract_reads_genome_mode(tmp_path):
+    """extract-reads -x routes by spliced genotype-genome placement;
+    --extract-whole bins uniquely-placed reads into 20-Mbp block files
+    (typing_process.py:1534-1594)."""
+    from hgtpu.db import build_catalog_from_msa
+    from hgtpu.db.catalog import export_text
+    from hgtpu.db.genome import build_genotype_genome
+    from hgtpu.utils.io import write_fastq
+    from tests.synth import make_family
+
+    d = tmp_path / "db"
+    d.mkdir()
+    fam = make_family(genes=("A",), n_alleles=8, length=1200, seed=61)
+    cat = build_catalog_from_msa(
+        "hla",
+        {g: dict(names=s["names"], rows=s["rows"],
+                 ref_allele=s["ref_allele"], exons=s["exons"])
+         for g, s in fam["specs"].items()}, min_var_freq=0.0)
+    for g, (left, right) in fam["loci"].items():
+        cat.genes[g].chrom = "chrS"
+        cat.genes[g].chrom_left = left
+        cat.genes[g].chrom_right = right
+    export_text(cat, str(d / "hla"))
+    gg = str(d / "gg")
+    build_genotype_genome({"chrS": fam["genome"]}, {"hla": cat}, gg)
+
+    ref = cat.genes["A"]
+    allele = ref.allele_names[2]
+    r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=30)
+    # plus unique flanking-genome reads (must NOT route to the family)
+    flank = [("bg%d" % i, fam["genome"][i * 97:i * 97 + 100])
+             for i in range(5)]
+    f1, f2 = tmp_path / "g.1.fq", tmp_path / "g.2.fq"
+    write_fastq([(x.name.replace(" ", "_"), x.seq) for x in r1] + flank,
+                str(f1))
+    write_fastq([(x.name.replace(" ", "_"), x.seq) for x in r2] + flank,
+                str(f2))
+    out = tmp_path / "o"
+    out.mkdir()
+    r = _tk(["extract-reads", "--database-list", "hla", "--ix-dir", str(d),
+             "-x", gg, "-1", str(f1), "-2", str(f2),
+             "--out-dir", str(out)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = open(out / "g-hla-extracted-1.fq.gz", "rb")
+    import gzip
+    names = [l.strip()[1:].decode() for l in gzip.open(got)
+             if l.startswith(b"@")]
+    assert len(names) >= len(r1) * 0.9
+    assert not any(n.startswith("bg") for n in names)
+
+    # whole-genome block binning
+    out2 = tmp_path / "o2"
+    out2.mkdir()
+    r = _tk(["extract-reads", "--database-list", "hla", "--ix-dir", str(d),
+             "-x", gg, "-1", str(f1), "-2", str(f2), "--extract-whole",
+             "--out-dir", str(out2)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = sorted(os.listdir(out2))
+    assert any("-chrS-0_20M-extracted-1.fq.gz" in f for f in files)
