@@ -2,22 +2,30 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-The reference publishes no throughput numbers (SURVEY.md §6); the
-baseline anchor is an estimated 1,000 reads/s for the reference's CPU
-HISAT2 + Python typing pipeline on a single-locus run (hg_test1-scale:
-622 reads in ~1 s of alignment plus several seconds of Python stream
-processing).  vs_baseline = our end-to-end reads/s divided by that anchor.
+The reference publishes no throughput numbers (SURVEY.md §6).  The
+baseline anchor is MEASURED on this host by devel/baseline_emu.py — a
+faithful pure-Python emulator of the reference's typing hot loop
+(typing_core.py:800-1543 SAM decode + add_count/add_stat set algebra +
+SQUAREM EM) run on the very same synthetic reads; the committed numbers
+live in BASELINE_MEASURED.json.  The emulator omits alignment, error
+correction and alt trimming, so it is a LOWER bound on the reference's
+cost (generous anchor).
 
-Extra fields (VERDICT r1 items 2/3):
-  hla_scale_reads_per_s — same pipeline on a 3,600-allele / 3.5 kb panel
-      (IMGT HLA-A magnitude), where compatibility counting is no longer
-      trivially small.
+Headline metric: hla_scale_typing_reads_per_s — our end-to-end
+reads/s on the 3,600-allele / 3.5 kb panel (IMGT HLA-A magnitude), the
+regime where compatibility counting dominates.  vs_baseline divides it
+by the emulator's measured scale throughput.  The toy-gene (60-allele)
+e2e number is reported alongside with its own anchor.
+
+Extra fields:
   stage_shares — per-stage share of the measured wall time (utils.trace).
   device_wall_share — fraction of wall spent dispatching / waiting on the
-      device (placement dispatch+fetch, device DP, device counting).
-  mfu_pct — dispatched placement-matmul FLOPs / wall / v5e bf16 peak.
+      device (placement dispatch+fetch, device DP, device counting+fold).
+  mfu_pct — all dispatched device FLOPs (placement matmul + counting
+      fold + banded DP) / wall / v5e bf16 peak.
 """
 import json
+import os
 import sys
 import time
 
@@ -26,7 +34,16 @@ sys.path.insert(0, "tests")
 V5E_BF16_PEAK = 197e12  # TFLOP/s, one v5e chip
 
 DEVICE_STAGES = ("place.dispatch", "place.fetch", "verify.device_dp",
-                 "type.count_masks.device")
+                 "type.count_masks.device", "type.count_fold.device")
+
+FLOP_COUNTERS = ("flops.placement", "flops.device_fold", "flops.device_dp")
+
+
+def _load_measured_baseline():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    with open(path) as f:
+        return json.load(f)
 
 
 def _note(msg):
@@ -102,27 +119,40 @@ def main():
     _note("warm-up / compile (scale)")
     _measure(big, breads_1, breads_2, big_aligner, repeats=1)
     _note("measuring (%d reads, %d alleles)" % (bn, big.n_alleles))
-    big_dt, bres, big_stages, _bc = _measure(big, breads_1, breads_2,
-                                             big_aligner)
+    big_dt, bres, big_stages, big_counters = _measure(big, breads_1,
+                                                      breads_2, big_aligner)
     assert bres.prob[0][0] == truth, "scale typing called a wrong allele"
     big_reads_per_s = bn / big_dt
 
-    # ---- derived diagnostics from the flagship run ---- #
+    # ---- derived diagnostics ---- #
+    baseline = _load_measured_baseline()
+    anchor_scale = baseline["scale"]["reads_per_s"]
+    anchor_toy = baseline["toy"]["reads_per_s"]
     stage_shares = {k: round(v["s"] / best_dt, 4)
                     for k, v in sorted(stages.items(),
                                        key=lambda kv: -kv[1]["s"])}
     device_share = sum(stages[k]["s"] for k in DEVICE_STAGES
                        if k in stages) / best_dt
-    mfu = counters.get("flops.placement", 0.0) / best_dt / V5E_BF16_PEAK
+    mfu = sum(counters.get(k, 0.0) for k in FLOP_COUNTERS) \
+        / best_dt / V5E_BF16_PEAK
+    big_mfu = sum(big_counters.get(k, 0.0) for k in FLOP_COUNTERS) \
+        / big_dt / V5E_BF16_PEAK
     big_device_share = sum(big_stages[k]["s"] for k in DEVICE_STAGES
                            if k in big_stages) / big_dt
 
     print(json.dumps({
-        "metric": "e2e_typing_reads_per_s",
-        "value": round(reads_per_s, 1),
+        "metric": "hla_scale_typing_reads_per_s",
+        "value": round(big_reads_per_s, 1),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_s / 1000.0, 3),
-        "hla_scale_reads_per_s": round(big_reads_per_s, 1),
+        "vs_baseline": round(big_reads_per_s / anchor_scale, 3),
+        "baseline_anchor": {
+            "scale_reads_per_s": anchor_scale,
+            "toy_reads_per_s": anchor_toy,
+            "source": "BASELINE_MEASURED.json (devel/baseline_emu.py; "
+                      "reference typing hot loop, alignment omitted — "
+                      "lower bound on reference cost)"},
+        "toy_e2e_reads_per_s": round(reads_per_s, 1),
+        "vs_baseline_toy": round(reads_per_s / anchor_toy, 3),
         "stage_shares": stage_shares,
         "hla_scale_stage_shares": {
             k: round(v["s"] / big_dt, 4)
@@ -131,6 +161,7 @@ def main():
         "device_wall_share": round(device_share, 4),
         "hla_scale_device_wall_share": round(big_device_share, 4),
         "mfu_pct": round(100.0 * mfu, 4),
+        "hla_scale_mfu_pct": round(100.0 * big_mfu, 4),
     }))
 
 

@@ -108,6 +108,12 @@ class BandedDPTables:
         alignment exists within `max_novel` novel edits inside the band
         (costs above the budget saturate — they can never win, and
         saturation is what lets the deletion-chain closure converge)."""
+        from ..utils.trace import TRACE
+        E, W = reads.shape
+        # per layer: ~(3 + len(del_lens)*NITER + NI) masked-min relaxations
+        # over the [E, D] plane
+        relax = 3 + len(self.del_lens) * 4 + 2
+        TRACE.count("flops.device_dp", float(E) * W * D * relax)
         return _banded_costs(self.arrays,
                              jnp.asarray(reads, jnp.int8),
                              jnp.asarray(lens, jnp.int32),

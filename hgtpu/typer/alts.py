@@ -282,6 +282,34 @@ def _trim_end(ref_seq, Vars, alts, alts_list, cmp_list, read_edge,
     spellings = set()
     anchored = False
 
+    # cumulative end tables: _ht_and_seq over a prefix/suffix slice needs
+    # only the joined variant ids and the denoted length, both of which
+    # accumulate segment-by-segment — O(n) once instead of O(n) per scan
+    # position
+    seg_id = []
+    seg_len = []
+    for seg in cmp_list:
+        typ = seg[0]
+        v = seg[3] if len(seg) > 3 else ""
+        seg_id.append(v if v not in ("", "unknown") else None)
+        seg_len.append(seg[2] if typ == "match"
+                       else (1 if typ == "mismatch" else 0))
+    end_ids_str = [None] * n   # joined ids of the end slice at i
+    end_n_ids = [0] * n
+    end_seq_len = [0] * n
+    acc_ids, acc_n, acc_len = "", 0, 0
+    rng = range(n) if leftward else reversed(range(n))
+    for i in rng:   # leftward slices are prefixes, rightward suffixes
+        if seg_id[i] is not None:
+            acc_ids = (acc_ids + "-" + seg_id[i] if acc_ids
+                       else seg_id[i]) if leftward else \
+                (seg_id[i] + "-" + acc_ids if acc_ids else seg_id[i])
+            acc_n += 1
+        acc_len += seg_len[i]
+        end_ids_str[i] = acc_ids
+        end_n_ids[i] = acc_n
+        end_seq_len[i] = acc_len
+
     for i in order:
         seg = cmp_list[i]
         typ = seg[0]
@@ -290,14 +318,15 @@ def _trim_end(ref_seq, Vars, alts, alts_list, cmp_list, read_edge,
                 and not str(vid).startswith("hv"):
             continue
         seg_lo, seg_hi = _segment_span(seg)
-        end_slice = cmp_list[:i + 1] if leftward else cmp_list[i:]
-        end_ids, end_seq = _ht_and_seq(ref_seq, end_slice)
-        if not end_ids:
+        ids_str = end_ids_str[i]
+        n_ids = end_n_ids[i]
+        seq_len = end_seq_len[i]
+        if not n_ids:
             end_str = str(read_edge)
         elif leftward:
-            end_str = "%d-%s" % (read_edge, "-".join(end_ids))
+            end_str = "%d-%s" % (read_edge, ids_str)
         else:
-            end_str = "%s-%d" % ("-".join(end_ids), read_edge)
+            end_str = "%s-%d" % (ids_str, read_edge)
 
         hit = False
         if leftward:
@@ -311,19 +340,19 @@ def _trim_end(ref_seq, Vars, alts, alts_list, cmp_list, read_edge,
                 break
             if (anchor_pos > seg_hi) if leftward else (anchor_pos < seg_lo):
                 continue
-            if end_ids and rep.find("-".join(end_ids)) == -1:
+            if n_ids and rep.find(ids_str) == -1:
                 continue
             # the equivalence must extend past the read edge: either the
             # rep ht has no extra inner variant (then its boundary must
             # reach the edge) or its first extra variant lies beyond it.
             rep_ids = rep.split("-")[:-1] if leftward else rep.split("-")[1:]
-            if len(end_ids) + 1 == len(rep_ids):
+            if n_ids + 1 == len(rep_ids):
                 bound = int(rep_ids[0]) if leftward else int(rep_ids[-1])
                 if (read_edge < bound) if leftward else (read_edge > bound):
                     continue
             else:
-                extra = rep_ids[len(rep_ids) - len(end_ids) - 1] \
-                    if leftward else rep_ids[len(end_ids)]
+                extra = rep_ids[len(rep_ids) - n_ids - 1] \
+                    if leftward else rep_ids[n_ids]
                 vt2, vp2, vd2 = Vars[extra]
                 if leftward and vt2 == "deletion":
                     vp2 = vp2 + int(vd2) - 1
@@ -341,10 +370,10 @@ def _trim_end(ref_seq, Vars, alts, alts_list, cmp_list, read_edge,
                     assert seg_lo <= alt_edge
                     off0 = alt_edge - seg_lo
                 part, cur, off = _walk_alt(Vars, toks[1:-1], alt_edge,
-                                           len(end_seq), off0, leftward)
+                                           seq_len, off0, leftward)
                 if not part:
                     continue
-                overhang = len(end_seq) - off - 1
+                overhang = seq_len - off - 1
                 if not leftward:
                     assert overhang >= 0
                 # inner catalog variants between the old and new trim

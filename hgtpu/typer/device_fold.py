@@ -63,8 +63,12 @@ class DeviceFold:
         in level order (full, exon, primary), or None when a ht exceeds
         the device variant budget (host fallback).
         """
-        from .exons import get_exon_haplotypes
+        import time as _time
 
+        from .exons import get_exon_haplotypes
+        from ..utils.trace import TRACE
+
+        _t_prep0 = _time.perf_counter()
         typer = self.typer
         gene = self.gene
         U = len(hts_sorted)
@@ -137,17 +141,31 @@ class DeviceFold:
             [gseg_np[:F] + li * G for li in levels]
             + [np.full(Fp * nlev - F * nlev, G * nlev, np.int32)])
 
+        TRACE.add("type.count_fold.prep", _time.perf_counter() - _t_prep0)
+        # dispatched-FLOP accounting for the bench's MFU: the deletion
+        # range-count matmul, the bitset AND-reduce, and the two
+        # segment-sums dominate the program's arithmetic
+        D = int(self.dc.del_links.shape[0])
+        W = int(self.dc.links_packed.shape[1])
+        TRACE.count("flops.device_fold",
+                    2.0 * Sp * D * A          # dmask @ del_links
+                    + Sp * K * W              # incl AND-reduce (u32 ops)
+                    + Sp * A                  # level segment-sum
+                    + float(Fp) * nlev * A    # group segment-sum
+                    + 3.0 * G * A * nlev)     # class extraction
+
         dc = self.dc
-        pk, tt = _fold_levels(
-            dc.links_packed, dc.nd_pos, dc.nd_prefix, dc.del_pos,
-            dc.del_right, dc.del_links, dc.var_pos_d, dc.var_right_d,
-            jnp.asarray(lefts), jnp.asarray(rights), jnp.asarray(vars_),
-            jnp.asarray(ht_seg), jnp.asarray(flat_all),
-            jnp.asarray(gseg_all), jnp.asarray(weights.astype(np.int32)),
-            jnp.asarray(include),
-            n_ht_segments=3 * U + 1, n_group_segments=G * nlev + 1,
-            n_groups=G, n_levels=nlev)
-        pk_h, tt_h = jax.device_get((pk, tt))
+        with TRACE.stage("type.count_fold.exec"):
+            pk, tt = _fold_levels(
+                dc.links_packed, dc.nd_pos, dc.nd_prefix, dc.del_pos,
+                dc.del_right, dc.del_links, dc.var_pos_d, dc.var_right_d,
+                jnp.asarray(lefts), jnp.asarray(rights), jnp.asarray(vars_),
+                jnp.asarray(ht_seg), jnp.asarray(flat_all),
+                jnp.asarray(gseg_all), jnp.asarray(weights.astype(np.int32)),
+                jnp.asarray(include),
+                n_ht_segments=3 * U + 1, n_group_segments=G * nlev + 1,
+                n_groups=G, n_levels=nlev)
+            pk_h, tt_h = jax.device_get((pk, tt))
         out = []
         for li in range(nlev):
             out.append((pk_h[li], tt_h[li]))

@@ -187,9 +187,12 @@ def error_correct(gene: GeneRef, mpileup: Mpileup, cmp_list, read_seq,
     rep = mpileup.rep
     rep_any = mpileup.rep_any
 
-    # identity fast path: for indel-free alignments every read base maps
-    # 1:1 onto [start, start+n); one vectorized support test over the span
-    # proves correction is a no-op for the vast majority of reads
+    # identity fast path: corrections fire only where a read base falls
+    # outside a non-empty representative set, and that condition is a
+    # pure gather over (backbone pos, base) pairs — one vectorized
+    # support test over every match/mismatch-covered position proves
+    # correction is a no-op for the vast majority of reads.  Indel-free
+    # alignments (the common case) need no segment walk at all.
     indel_free = True
     for e in cmp_list:
         if e[0] not in ("match", "mismatch"):
@@ -200,6 +203,29 @@ def error_correct(gene: GeneRef, mpileup: Mpileup, cmp_list, read_seq,
         n = min(len(read_codes), len(ref_seq) - start)
         ok = mpileup.rep6[mpileup._ramp[start:start + n], read_codes[:n]]
         if not (rep_any[start:start + n] & ~ok).any():
+            return cmp_list, read_seq, 0
+    else:
+        # segment-mapped twin for indel-bearing cmp lists: collect the
+        # (pos, code) pairs each match/mismatch segment covers
+        pos_parts, code_parts = [], []
+        rp = 0
+        for e in cmp_list:
+            kind, left, length = e[0], e[1], e[2]
+            if kind == "match" or kind == "mismatch":
+                n = min(length, len(read_codes) - rp, len(ref_seq) - left)
+                if n > 0:
+                    pos_parts.append(mpileup._ramp[left:left + n])
+                    code_parts.append(read_codes[rp:rp + n])
+                rp += length
+            elif kind == "insertion":
+                rp += length
+        if pos_parts:
+            pos_all = np.concatenate(pos_parts)
+            code_all = np.concatenate(code_parts)
+            ok = mpileup.rep6[pos_all, code_all]
+            if not (rep_any[pos_all] & ~ok).any():
+                return cmp_list, read_seq, 0
+        else:
             return cmp_list, read_seq, 0
     for entry in cmp_list:
         kind, left, length = entry[0], entry[1], entry[2]
