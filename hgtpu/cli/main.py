@@ -103,6 +103,31 @@ def main(argv=None):
     return rc
 
 
+def typing_options_from_args(args, debug=None):
+    """Parsed CLI args -> TypingOptions: THE flag->behavior mapping for
+    the typing path (behavioral parity pinned by
+    tests/test_options.py::test_flag_behavior_table).  Ref registry:
+    hisatgenotype_args.py:33-469."""
+    debug = debug or {}
+    single_end = bool(args.read_fname_U) or "single-end" in debug
+    return TypingOptions(
+        family=args.base_fname,
+        num_editdist=args.num_editdist,
+        allow_discordant=args.discordant or single_end,
+        simulation=not (args.read_fname_1 or args.read_fname_U),
+        error_correction=args.error_correction,
+        assembly=args.assembly,
+        best_alleles=args.best_alleles,
+        output_allele_counts=args.output_allele_counts,
+        type_primary_exons=args.type_primary_exons,
+        remove_low_abundance_alleles=args.remove_low_abundance_alleles,
+        display_alleles=tuple(
+            a for a in args.display_alleles.split(",") if a),
+        linear_typing=(args.aligner == "bowtie2" or not args.graph_index),
+        strict_pair_distance=args.strict_pair_distance,
+    )
+
+
 def main_one(args, debug):
     if args.aligner not in ("hisat2", "bowtie2"):
         print("Error: unsupported aligner '%s' (hisat2 or bowtie2)"
@@ -152,23 +177,7 @@ def main_one(args, debug):
         # --single-end: -1 names a single-ended file (ref args.py:190-195)
         args.read_fname_U, args.read_fname_1 = args.read_fname_1, ""
 
-    single_end = bool(args.read_fname_U) or "single-end" in debug
-    opts = TypingOptions(
-        family=args.base_fname,
-        num_editdist=args.num_editdist,
-        allow_discordant=args.discordant or single_end,
-        simulation=not (args.read_fname_1 or args.read_fname_U),
-        error_correction=args.error_correction,
-        assembly=args.assembly,
-        best_alleles=args.best_alleles,
-        output_allele_counts=args.output_allele_counts,
-        type_primary_exons=args.type_primary_exons,
-        remove_low_abundance_alleles=args.remove_low_abundance_alleles,
-        display_alleles=tuple(
-            a for a in args.display_alleles.split(",") if a),
-        linear_typing=(args.aligner == "bowtie2" or not args.graph_index),
-        strict_pair_distance=args.strict_pair_distance,
-    )
+    opts = typing_options_from_args(args, debug)
 
     if opts.simulation:
         return run_simulation(args, debug, catalog, locus_list, opts,
