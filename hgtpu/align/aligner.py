@@ -330,6 +330,7 @@ class GeneAligner:
                         break
         return {"n": n, "read_ids": read_ids, "mate": mate,
                 "fwd_codes": fwd_codes, "rc_codes": rc_codes,
+                "fwd_pad": fwd_pad, "rc_pad": rc_pad,
                 "results": results, "pending": pending}
 
     def _rank_entries(self, st, rank):
@@ -346,13 +347,64 @@ class GeneAligner:
                 flat_meta.append((i, o_rc, cf, len(sub)))
         if not flat_reads:
             return None
-        keep = self._lb_keep(flat_reads, flat_starts)
+        keep = self._lb_keep_meta(st, flat_meta, flat_starts)
         if not keep.all():
             kept = np.flatnonzero(keep)
             flat_reads = [flat_reads[k] for k in kept]
             flat_starts = [flat_starts[k] for k in kept]
             flat_meta = [flat_meta[k] for k in kept]
         return (flat_reads, flat_starts, flat_meta) if flat_reads else None
+
+    def _lb_keep_meta(self, st, flat_meta, flat_starts):
+        """_lb_keep without materializing per-entry read copies: every
+        proposal entry is a (clip, length) window of a chunk row, so one
+        fancy gather from the chunk's padded code matrices builds the
+        [E, W] matrix the bound scans (same result as _lb_keep on the
+        materialized subreads)."""
+        comb = st.get("comb_pad")
+        if comb is None or comb.shape[0] != 2 * st["n"]:
+            comb = np.concatenate([st["fwd_pad"], st["rc_pad"]], axis=0)
+            st["comb_pad"] = comb
+        n = st["n"]
+        E = len(flat_meta)
+        rows = np.fromiter((m[0] + (n if m[1] else 0) for m in flat_meta),
+                           np.int64, E)
+        cfs = np.fromiter((m[2] for m in flat_meta), np.int64, E)
+        lens = np.fromiter((m[3] for m in flat_meta), np.int64, E)
+        starts = np.asarray(flat_starts, dtype=np.int64)
+        w_eff, W = self._lb_window(starts, lens)
+        j = np.arange(W, dtype=np.int64)
+        col = np.minimum(cfs[:, None] + j[None, :], comb.shape[1] - 1)
+        reads_pad = comb[rows[:, None], col]
+        reads_pad[j[None, :] >= lens[:, None]] = 5   # 5 never free
+        return self._lb_core(reads_pad, starts, w_eff, W)
+
+    def _lb_window(self, starts, lens):
+        """(w_eff, W): per-entry scan window before the first catalog
+        indel, and the matrix width that covers every window."""
+        v = self.verifier
+        B = self.num_editdist
+        E = len(starts)
+        sentinel = np.int64(len(v.bb) + 4096)
+        if len(v.indel_pos):
+            qi = np.searchsorted(v.indel_pos, starts, side="right")
+            q = np.where(qi < len(v.indel_pos),
+                         v.indel_pos[np.minimum(qi, len(v.indel_pos) - 1)],
+                         sentinel)
+        else:
+            q = np.full(E, sentinel, dtype=np.int64)
+        w_eff = np.minimum(lens, np.maximum(q - starts - B, 0))
+        W = int(min(lens.max(), max(1, w_eff.max()), self._LB_TAIL))
+        return w_eff, W
+
+    def _lb_core(self, reads_pad, starts, w_eff, W):
+        j = np.arange(W, dtype=np.int32)
+        base_idx = (starts.astype(np.int32) + self._LB_PAD)[:, None] \
+            + j[None, :]
+        ok_any = self._match_ok6_dil[base_idx, reads_pad[:, :W]]
+        in_win = j[None, :] < w_eff[:, None]
+        lb = (in_win & ~ok_any).sum(axis=1)
+        return lb <= self.num_editdist
 
     def _verify_pending(self, st, start_rank):
         """Pass 2: native batch verification (threads in C++), primary
@@ -424,16 +476,34 @@ class GeneAligner:
             return
         with TRACE.stage("verify.native"):
             cost, nops, ops = self.native.verify_raw(flat_reads, flat_starts)
+        E = len(flat_meta)
         best = {}
-        for idx, (i, o_rc, cf, slen) in enumerate(flat_meta):
-            c = int(cost[idx])
-            if c < 0:
-                continue
-            better = i not in best or c < best[i][0] or (
-                self.leftmost and c == best[i][0]
-                and int(flat_starts[idx]) < int(flat_starts[best[i][1]]))
-            if better:
-                best[i] = (c, idx, o_rc, cf, slen)
+        if not self.leftmost and E > 64:
+            # vectorized per-read first-minimal-cost pick (the python
+            # dict walk below costs ~7us/entry over 10k+ entries)
+            cost_np = np.asarray(cost, dtype=np.int64)
+            reads_np = np.fromiter((m[0] for m in flat_meta), np.int64, E)
+            valid = cost_np >= 0
+            if valid.any():
+                key = cost_np * E + np.arange(E, dtype=np.int64)
+                hi = np.int64(1) << 62
+                nmax = int(reads_np.max()) + 1
+                slot = np.full(nmax, hi)
+                np.minimum.at(slot, reads_np[valid], key[valid])
+                for i in np.flatnonzero(slot < hi).tolist():
+                    idx = int(slot[i] % E)
+                    _i, o_rc, cf, slen = flat_meta[idx]
+                    best[i] = (int(slot[i] // E), idx, o_rc, cf, slen)
+        else:
+            for idx, (i, o_rc, cf, slen) in enumerate(flat_meta):
+                c = int(cost[idx])
+                if c < 0:
+                    continue
+                better = i not in best or c < best[i][0] or (
+                    self.leftmost and c == best[i][0]
+                    and int(flat_starts[idx]) < int(flat_starts[best[i][1]]))
+                if better:
+                    best[i] = (c, idx, o_rc, cf, slen)
         equal_alts = {}
         if self.leftmost:
             for idx, (i, o_rc, cf, slen) in enumerate(flat_meta):
@@ -532,29 +602,11 @@ class GeneAligner:
         E = len(flat_reads)
         if E == 0:
             return np.zeros(0, dtype=bool)
-        v = self.verifier
-        B = self.num_editdist
         starts = np.asarray(flat_starts, dtype=np.int64)
         lens = np.array([len(r) for r in flat_reads], dtype=np.int64)
-        # first catalog indel position strictly after each start
-        sentinel = np.int64(len(v.bb) + 4096)
-        if len(v.indel_pos):
-            qi = np.searchsorted(v.indel_pos, starts, side="right")
-            q = np.where(qi < len(v.indel_pos),
-                         v.indel_pos[np.minimum(qi, len(v.indel_pos) - 1)],
-                         sentinel)
-        else:
-            q = np.full(E, sentinel, dtype=np.int64)
-        w_eff = np.minimum(lens, np.maximum(q - starts - B, 0))
-        W = int(min(lens.max(), max(1, w_eff.max()), self._LB_TAIL))
+        w_eff, W = self._lb_window(starts, lens)
         reads_pad = _pad_codes_2d(flat_reads, E, W, fill=5)  # 5 never free
-        j = np.arange(W, dtype=np.int32)
-        base_idx = (starts.astype(np.int32) + self._LB_PAD)[:, None] \
-            + j[None, :]
-        ok_any = self._match_ok6_dil[base_idx, reads_pad]
-        in_win = j[None, :] < w_eff[:, None]
-        lb = (in_win & ~ok_any).sum(axis=1)
-        return lb <= self.num_editdist
+        return self._lb_core(reads_pad, starts, w_eff, W)
 
     def _fast_exact_batch(self, fwd_pad, rc_pad, lens, sf, pf, sr, pr,
                           use_rc):

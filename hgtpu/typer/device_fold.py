@@ -156,7 +156,7 @@ class DeviceFold:
 
         dc = self.dc
         with TRACE.stage("type.count_fold.exec"):
-            pk, tt = _fold_levels(
+            fs, is_first, uw, min_idx, tt = _fold_levels(
                 dc.links_packed, dc.nd_pos, dc.nd_prefix, dc.del_pos,
                 dc.del_right, dc.del_links, dc.var_pos_d, dc.var_right_d,
                 jnp.asarray(lefts), jnp.asarray(rights), jnp.asarray(vars_),
@@ -165,10 +165,29 @@ class DeviceFold:
                 jnp.asarray(include),
                 n_ht_segments=3 * U + 1, n_group_segments=G * nlev + 1,
                 n_groups=G, n_levels=nlev)
-            pk_h, tt_h = jax.device_get((pk, tt))
+            # fetch 1 (small): dedup metadata + totals; the [L*G, W] class
+            # rows stay device-resident
+            is_first_h, uw_h, min_idx_h, tt_h = jax.device_get(
+                (is_first, uw, min_idx, tt))
+            first_rows = np.flatnonzero(is_first_h)
+            Un = len(first_rows)
+            Up = _pow2(Un, lo=16)
+            idx_pad = np.zeros(Up, np.int32)
+            idx_pad[:Un] = first_rows
+            # fetch 2 (small): only the unique class rows — tiled reads
+            # share classes heavily, so this is ~G/U times less transfer
+            # than the full packed matrix
+            rows_h = np.asarray(_gather_rows(fs, jnp.asarray(idx_pad)))
         out = []
         for li in range(nlev):
-            out.append((pk_h[li], tt_h[li]))
+            # reassemble per level, restoring first-seen (group) order via
+            # the minimum original row index so cmpt_order stays identical
+            # to the host path
+            sel = np.flatnonzero((min_idx_h[:Un] // G) == li)
+            order = sel[np.argsort(min_idx_h[sel], kind="stable")]
+            out.append((rows_h[order],
+                        uw_h[order].astype(np.int64),
+                        tt_h[li]))
         return out
 
 
@@ -181,7 +200,10 @@ def _fold_levels(links_packed, nd_pos, nd_prefix, del_pos, del_right,
                  flat_rows, group_seg, weights, include_levels,
                  n_ht_segments, n_group_segments, n_groups, n_levels):
     """Fused program over all levels at once (full/exon/primary counts
-    share the gather + segment-sum; class extraction per level)."""
+    share the gather + segment-sum; class extraction per level), ending
+    with an EXACT on-device class dedup (hash sort + adjacent full-row
+    compare) so the host fetches only unique class rows + per-class
+    aggregated weights instead of the [L*G, W] matrix."""
     compat = _compat(links_packed, nd_pos, nd_prefix, del_pos, del_right,
                      del_links, var_pos, var_right, lefts, rights, vars_)
     compat = compat.astype(jnp.int32)                         # [S, A]
@@ -211,4 +233,36 @@ def _fold_levels(links_packed, nd_pos, nd_prefix, del_pos, del_right,
                          axis=0, dtype=jnp.int32)
         packed_all.append(packed)
         totals_all.append(totals)
-    return jnp.stack(packed_all), jnp.stack(totals_all)
+
+    LG = n_levels * n_groups
+    flat = jnp.concatenate(packed_all, axis=0)                # [LG, W]
+    # 30-bit row hash with the level in the top 2 bits so levels never
+    # interleave in the sort.  Collisions are HARMLESS two ways: equal
+    # rows always share a key (so they sort adjacent, up to interleaved
+    # colliders), and any falsely-split class is re-merged by the host's
+    # np.unique in add_packed_batch — correctness never depends on the
+    # hash, only transfer size does.
+    mixer = (jnp.arange(flat.shape[1], dtype=jnp.uint32)
+             * jnp.uint32(0x9E3779B9) + jnp.uint32(0x85EBCA77))
+    h = jnp.sum(flat * mixer[None, :], axis=1, dtype=jnp.uint32)
+    h = (h ^ (h >> 15)) * jnp.uint32(0x2C1B3C6D)
+    lev = jnp.repeat(jnp.arange(n_levels, dtype=jnp.uint32), n_groups)
+    key = (lev << jnp.uint32(30)) | (h >> jnp.uint32(2))
+    order = jnp.argsort(key, stable=True)
+    fs = flat[order]                                          # [LG, W]
+    key_s = key[order]
+    neq = (key_s[1:] != key_s[:-1]) | jnp.any(fs[1:] != fs[:-1], axis=1)
+    is_first = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), neq])                       # [LG]
+    uniq_rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1    # [LG]
+    w_rows = jnp.tile(weights, n_levels)[order]
+    uw = jax.ops.segment_sum(w_rows, uniq_rank, num_segments=LG)
+    # first-seen order restoration: min original row id per unique class
+    min_idx = jax.ops.segment_min(order.astype(jnp.int32), uniq_rank,
+                                  num_segments=LG)
+    return fs, is_first, uw, min_idx, jnp.stack(totals_all)
+
+
+@jax.jit
+def _gather_rows(fs, idx):
+    return fs[idx]

@@ -750,13 +750,13 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     _t_stats = TRACE.stage("type.stats")
     _t_stats.__enter__()
     if folded is not None:
-        weights = np.fromiter((g[0] for g in grouped.values()),
-                              np.int64, len(grouped))
         stats_levels = [full_stats, exon_stats, primary_stats] \
             if opts.family == "hla" else [full_stats]
         with TRACE.stage("type.stats.classes"):
-            for (packed, totals), st in zip(folded, stats_levels):
-                st.add_packed_batch(packed, weights, totals)
+            # the device fold already deduplicated classes and aggregated
+            # weights (first-seen order preserved via min original row id)
+            for (rows, uweights, totals), st in zip(folded, stats_levels):
+                st.add_packed_batch(rows, uweights, totals)
     elif grouped:
         with TRACE.stage("type.count_masks.host"):
             typer.ht_masks_batch_host(hts_sorted, novel, ht_cache)
