@@ -85,5 +85,8 @@ def distributed_call(typer, local_codes: np.ndarray):
     sharding = NamedSharding(typer.mesh, P(axis))
     global_codes = jax.make_array_from_process_local_data(
         sharding, np.ascontiguousarray(local_codes))
-    prob, totals, n_used = typer._step(*typer._tables, global_codes)
+    counted = typer._count_single(*typer._tables, global_codes)
+    prob, totals, n_used, _punt = typer._solve(counted)
+    # the punt mask stays device-sharded (process-local reads only); the
+    # replicated outputs are what every host agrees on
     return np.asarray(prob), np.asarray(totals), float(n_used)

@@ -73,7 +73,8 @@ def test_sequencing_errors_at_scale(hla_scale_ref):
 
 def test_sharded_e2e_at_scale(hla_scale_ref):
     """The connected multi-chip program handles the full-width link
-    matrix: SNP-only truth allele on the 8-device mesh."""
+    matrix with an INDEL-carrying truth allele on the 8-device mesh
+    (paired reads; the split-diagonal device spelling at IMGT width)."""
     from hgtpu.db.catalog import VT_SINGLE
     from hgtpu.parallel.e2e import ShardedTyper
     from hgtpu.parallel.sharded import make_mesh
@@ -81,10 +82,19 @@ def test_sharded_e2e_at_scale(hla_scale_ref):
     ref = hla_scale_ref
     snp = ref.var_type == VT_SINGLE
     truth = next(n for i, n in enumerate(ref.allele_names)
-                 if not ref.links[~snp, i].any() and ref.links[snp, i].any())
-    typer = ShardedTyper(ref, make_mesh(8), em_iters=300)
+                 if ref.links[~snp, i].any() and ref.links[snp, i].any())
+    typer = ShardedTyper(ref, make_mesh(8), em_iters=300, max_ht_vars=32,
+                         max_indel_cand=8)
     r1, r2, _ = simulate_reads(ref, [truth], simulate_interval=8, seed=3)
-    codes = typer.encode([r.seq for r in r1] + [r.seq for r in r2])
-    name, p_top, totals, n_used = typer.call_allele(codes)
-    assert name == truth
-    assert p_top > 0.999
+    c1 = typer.encode([r.seq for r in r1])
+    c2 = typer.encode([r.seq for r in r2])
+    prob, totals, n_used, punt = typer.call_pairs(c1, c2)
+    top = int(np.argmax(prob))
+    assert ref.allele_names[top] == truth
+    assert prob[top] > 0.999
+    # this panel's truth carries dense indels (~1 catalog indel per
+    # 15 bp); pairs crossing >=2 carried indels punt to the host engine
+    # by design — the call must still be exact from the device-resolved
+    # majority
+    assert punt.sum() <= 0.35 * len(r1)
+    assert n_used > 0.6 * len(r1)

@@ -197,8 +197,151 @@ def test_sharded_e2e_heterozygous_pair():
 
     typer = ShardedTyper(ref, make_mesh(8), em_iters=400)
     codes = _sim_codes(ref, pair, typer)
-    prob, totals, n_used = typer(codes)
+    prob, totals, n_used, _punt = typer(codes)
     top2 = np.argsort(prob)[::-1][:2]
     called = {ref.allele_names[i] for i in top2}
     assert called == set(pair), called
     assert prob[top2[0]] < 0.62 and prob[top2[1]] > 0.38
+
+
+def _indel_allele(ref):
+    """First allele carrying BOTH a catalog deletion and an insertion."""
+    from hgtpu.db.catalog import VT_DELETION, VT_INSERTION
+    d = ref.var_type == VT_DELETION
+    i = ref.var_type == VT_INSERTION
+    for a, name in enumerate(ref.allele_names):
+        if ref.links[d, a].any() and ref.links[i, a].any():
+            return name
+    raise AssertionError("no indel-bearing allele in panel")
+
+
+@pytest.fixture(scope="module")
+def indel_ref():
+    # min_var_freq above the rare-carrier fraction keeps insertion
+    # columns out of the consensus, so they surface as catalog
+    # insertion variants (as in the IMGT build, typing_process.py:68-154)
+    spec = make_gene_msa(seed=3, n_alleles=40)
+    ref, _ = build_gene_ref("A", spec["names"], spec["rows"],
+                            spec["ref_allele"], min_var_freq=8.0)
+    return ref
+
+
+def test_sharded_e2e_indel_allele(indel_ref):
+    """An indel-carrying truth allele genotypes at 100% on every mesh
+    size: the split-diagonal device spelling handles catalog deletions
+    and insertions, and the per-pair argmax class unions mate evidence
+    exactly as the host engine (reads starting at an indel boundary are
+    rescued by their mate — the same mechanism that keeps the host at
+    100%) (VERDICT r2 item 2)."""
+    from hgtpu.parallel.e2e import ShardedTyper
+    from hgtpu.sim.simulator import simulate_reads
+
+    ref = indel_ref
+    truth = _indel_allele(ref)
+    r1, r2, _ = simulate_reads(ref, [truth], simulate_interval=2,
+                               read_len=100, frag_len=250, seed=5)
+    probs = {}
+    for n_dev in (1, 2, 8):
+        typer = ShardedTyper(ref, make_mesh(n_dev))
+        c1 = typer.encode([r.seq for r in r1])
+        c2 = typer.encode([r.seq for r in r2])
+        prob, totals, n_used, punt = typer.call_pairs(c1, c2)
+        top = int(np.argmax(prob))
+        assert ref.allele_names[top] == truth, (n_dev, top, truth)
+        assert prob[top] > 0.9999, (n_dev, prob[top])
+        assert n_used > 0.8 * len(r1)
+        probs[n_dev] = prob
+    assert np.allclose(probs[1], probs[2], atol=1e-4)
+    assert np.allclose(probs[1], probs[8], atol=1e-4)
+
+
+def test_sharded_e2e_paired(indel_ref):
+    """The paired device program (mate concordance + per-pair argmax
+    class) genotypes an indel truth at 100%, and rejects pairs whose
+    mates share an orientation (the flag-0x2 concordance analog)."""
+    from hgtpu.parallel.e2e import ShardedTyper
+    from hgtpu.sim.simulator import simulate_reads
+
+    ref = indel_ref
+    truth = _indel_allele(ref)
+    typer = ShardedTyper(ref, make_mesh(8))
+    r1, r2, _ = simulate_reads(ref, [truth], simulate_interval=2,
+                               read_len=100, frag_len=250, seed=5)
+    c1 = typer.encode([r.seq for r in r1])
+    c2 = typer.encode([r.seq for r in r2])
+    prob, totals, n_used, punt = typer.call_pairs(c1, c2)
+    top = int(np.argmax(prob))
+    assert ref.allele_names[top] == truth
+    assert prob[top] > 0.9999
+    assert n_used > 0.8 * len(r1)
+
+    # same-orientation mates are discordant: nothing should count
+    _, _, n_used_disc, _ = typer.call_pairs(c1, c1)
+    assert n_used_disc == 0.0
+
+
+def test_sharded_vs_host_differential(indel_ref):
+    """Device-vs-host contract (VERDICT r2 item 3): on the same paired
+    reads the sharded program's call and abundances must match the host
+    engine (the bit-exact reference path), homozygous and heterozygous,
+    and every punted pair must overlap a catalog indel region (the only
+    read class the device hands back)."""
+    from hgtpu.db.catalog import VT_SINGLE
+    from hgtpu.parallel.e2e import ShardedTyper
+    from hgtpu.pipeline import type_reads
+    from hgtpu.sim.simulator import simulate_reads
+    from hgtpu.typer.engine import TypingOptions
+
+    ref = indel_ref
+    truth_indel = _indel_allele(ref)
+    snp = ref.var_type == VT_SINGLE
+    truth_snp = next(n for i, n in enumerate(ref.allele_names)
+                     if ref.links[snp, i].any() and n != truth_indel)
+    typer = ShardedTyper(ref, make_mesh(8))
+
+    for alleles in ([truth_indel], [truth_indel, truth_snp]):
+        r1, r2, _ = simulate_reads(ref, alleles, simulate_interval=3,
+                                   read_len=100, frag_len=250, seed=11)
+        c1 = typer.encode([r.seq for r in r1])
+        c2 = typer.encode([r.seq for r in r2])
+        dev_prob, _tot, n_used, punt = typer.call_pairs(c1, c2)
+        assert punt.sum() <= 0.05 * len(r1)
+
+        def host_prob_of(keep):
+            host = type_reads(
+                ref, [(r.name, r.seq) for i, r in enumerate(r1) if keep[i]],
+                [(r.name, r.seq) for i, r in enumerate(r2) if keep[i]],
+                TypingOptions(simulation=True))
+            out = np.zeros(ref.n_alleles)
+            for a, p in host.prob:
+                out[ref.allele_index(a)] = p
+            return out
+
+        # tight contract on the subclass the device claims: the host on
+        # exactly the non-punted pairs
+        host_prob = host_prob_of(~punt)
+        k = len(alleles)
+        host_top = set(np.argsort(-host_prob, kind="stable")[:k])
+        dev_top = set(np.argsort(-dev_prob, kind="stable")[:k])
+        assert dev_top == host_top, (alleles, dev_top, host_top)
+        assert np.abs(dev_prob - host_prob).max() < 5e-3, alleles
+        # loose sanity against the full-set host run (punted pairs are
+        # the only difference)
+        host_full = host_prob_of(np.ones(len(r1), bool))
+        assert np.abs(dev_prob - host_full).max() < 0.05, alleles
+
+        # punted pairs must overlap an indel region of a truth allele
+        indel_spans = []
+        for name in alleles:
+            for v in ref.allele_var_indices(name):
+                if ref.var_type[v] != VT_SINGLE:
+                    indel_spans.append((int(ref.var_pos[v]),
+                                        int(ref.var_right[v])))
+        for pi in np.flatnonzero(punt):
+            near = False
+            for r in (r1[pi], r2[pi]):
+                pos = int(r.name.split("_")[1]) - 1
+                for lo, hi in indel_spans:
+                    if pos - 8 <= hi and pos + 108 >= lo:
+                        near = True
+            assert near, (pi, r1[pi].name)
