@@ -113,6 +113,7 @@ def typing_options_from_args(args, debug=None):
     return TypingOptions(
         family=args.base_fname,
         num_editdist=args.num_editdist,
+        num_mismatch=args.num_mismatch,
         allow_discordant=args.discordant or single_end,
         simulation=not (args.read_fname_1 or args.read_fname_U),
         error_correction=args.error_correction,

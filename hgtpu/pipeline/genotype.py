@@ -30,7 +30,8 @@ def type_reads_linear(gene: GeneRef, reads_1, reads_2=None, opts=None):
     opts = opts or TypingOptions()
     seqs = [s for _, s in reads_1] + [s for _, s in (reads_2 or [])]
     la = LinearAligner(gene)
-    ranked, cmpt = la.type_linear(seqs)
+    ranked, cmpt = la.type_linear(
+        seqs, max_mm=opts.num_mismatch if opts.num_mismatch > 0 else None)
     prob = single_abundance(
         cmpt, remove_low_abundance_allele=opts.remove_low_abundance_alleles)
     return GeneTypingResult(

@@ -32,6 +32,9 @@ DEVICE_FOLD_MIN_A = 1024
 class TypingOptions:
     family: str = "hla"
     num_editdist: int = 2
+    # linear-path mismatch cap (--num-mismatch, args.py:176-181); 0 means
+    # the hisat2-default-equivalent per-read budget (align/linear.py)
+    num_mismatch: int = 0
     allow_discordant: bool = False
     simulation: bool = False
     # reference default is to prune (args.py:342-346 is a store_false

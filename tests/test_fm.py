@@ -94,3 +94,28 @@ def test_pallas_placement_matches_xla():
                                            jnp.asarray(reads)))
     assert a.shape == b.shape
     assert np.allclose(a, b, atol=1e-3), np.abs(a - b).max()
+
+
+def test_linear_aligner_mismatch_tolerant():
+    """The linear path is a real alignment (hisat2 -k 10 semantics,
+    typing_common.py:995-1027): with a 5% per-base error rate every
+    errored read still types and the truth ranks #1 (VERDICT r2 item 6).
+    """
+    from hgtpu.align.linear import LinearAligner
+
+    spec = make_gene_msa(seed=11, n_alleles=20, length=1500)
+    ref, _ = build_gene_ref("A", spec["names"], spec["rows"],
+                            spec["ref_allele"], min_var_freq=0.0)
+    la = LinearAligner(ref)
+    allele = ref.allele_names[8]
+    r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=6,
+                               perbase_errorrate=0.05, seed=7)
+    seqs = [r.seq for r in r1] + [r.seq for r in r2]
+    ranked, cmpt = la.type_linear(seqs)
+    assert ranked[0][0] == allele
+    # the default budget (~L/10 mismatches) recovers nearly every read;
+    # the old exact-only path lost every errored one
+    assert ranked[0][1] >= 0.95 * len(seqs)
+    # an explicit --num-mismatch 0 budget means exact-only again
+    ranked0, _ = la.type_linear(seqs, max_mm=0)
+    assert not ranked0 or ranked0[0][1] < ranked[0][1]
