@@ -111,79 +111,131 @@ class AsmNode:
         self.calculate_avg_cov()
 
     # ------------------------------------------------------------------ #
+    # Overlap scoring parameters (behavioral constants the reference's
+    # contig merge tolerates, assembly_graph.py:241-295 — protected by
+    # the bit-identity mandate):
+    #   MISMATCH_RATE       tolerated mismatch mass per overlapped base
+    #   VAR_CONFLICT_PENALTY extra weight when the two majority bases
+    #                        assert different variant identities,
+    #                        discounted by how well-covered both are
+    #   PROBE_WINDOW        +-bases around the nominal offset searched
+    #                        (absorbs indel drift between the nodes)
+    MISMATCH_RATE = 0.012
+    VAR_CONFLICT_PENALTY = 5.0
+    PROBE_WINDOW = 5
+
+    def _ungapped_profile(self):
+        """Columnar view of the ungapped sequence for the vectorized
+        overlap scan: (majors [L] str, major var ids [L] str, major
+        counts [L] f64, 2x total counts [L] f64, ACGT counts [L,4] f64,
+        ACGT presence [L,4] bool)."""
+        ung = get_ungapped_seq(self.seq)
+        L = len(ung)
+        majors = np.empty(L, object)
+        mvars = np.empty(L, object)
+        mcnt = np.empty(L, np.float64)
+        tot2 = np.empty(L, np.float64)
+        acgt = np.zeros((L, 4), np.float64)
+        has = np.zeros((L, 4), bool)
+        for i, d in enumerate(ung):
+            nt = get_major_nt(d)
+            majors[i] = nt
+            mvars[i] = d[nt][1]
+            mcnt[i] = d[nt][0]
+            tot2[i] = sum(c for c, _ in d.values()) * 2.0
+            for k, b in enumerate("ACGT"):
+                e = d.get(b)
+                if e is not None:
+                    acgt[i, k] = e[0]
+                    has[i, k] = True
+        return majors, mvars, mcnt, tot2, acgt, has
+
     def overlap_with(self, other, skipN=False):
-        """(offset, overlap, mismatch score); ref :241-295."""
+        """Best ungapped placement of `other` onto this node:
+        (offset, overlap, mismatch score), or (-1, -1, maxsize).
+
+        The scan probes offsets around the coordinate-implied one and
+        accepts the first whose weighted mismatch mass stays within
+        MISMATCH_RATE per base — the contig-merge acceptance rule of the
+        reference (assembly_graph.py:241-295).  Each probe scores the
+        whole window in one vectorized pass; because mismatch
+        contributions are non-negative, total <= budget is equivalent to
+        the reference's running-sum early exit."""
         assert self.left <= other.left
         if self.right < other.left:
             return -1, -1, sys.maxsize
-        seq = get_ungapped_seq(self.seq)
-        other_seq = get_ungapped_seq(other.seq)
+        ma, va, ca, t2a, aa, ha = self._ungapped_profile()
+        mb, vb, cb, t2b, ab, hb = other._ungapped_profile()
+        La, Lb = len(ma), len(mb)
         i_left = get_ungapped_seq_pos(self.seq, other.left - self.left)
-        for i in range(i_left - 5, i_left + 6):
-            max_mm = 0.012 * (len(seq) - i)
-            tmp_mm = 0.0
-            j = 0
-            for j in range(len(other_seq)):
-                if i + j >= len(seq) or i + j < 0:
-                    break
-                nt_dic = seq[i + j]
-                other_nt_dic = other_seq[j]
-                nt = get_major_nt(nt_dic)
-                other_nt = get_major_nt(other_nt_dic)
-                mismatch = 0.0
-                if skipN and (nt == "N" or other_nt == "N"):
-                    mismatch = 0.0
-                elif nt != other_nt:
-                    mismatch = 1.0 - match_score(nt_dic, other_nt_dic)
-                    if nt_dic[nt][1] != other_nt_dic[other_nt][1]:
-                        mismatch = 5.0
-                        adjust = min(1.0, nt_dic[nt][0] / self.get_avg_cov()) \
-                            * min(1.0,
-                                  other_nt_dic[other_nt][0] / other.get_avg_cov())
-                        mismatch = max(1.0, mismatch * adjust)
-                tmp_mm += mismatch
-                if tmp_mm > max_mm:
-                    break
+        avg_a, avg_b = self.get_avg_cov(), other.get_avg_cov()
+        for i in range(i_left - self.PROBE_WINDOW,
+                       i_left + self.PROBE_WINDOW + 1):
+            max_mm = self.MISMATCH_RATE * (La - i)
+            w = min(Lb, La - i) if i >= 0 else 0
+            if w <= 0:
+                # nothing aligns (off the front / past the end): zero
+                # mismatch mass trivially passes a positive budget
+                if 0.0 <= max_mm:
+                    return i, min(La - i, Lb), 0.0
+                continue
+            sa = slice(i, i + w)
+            mism = ma[sa] != mb[:w]
+            if skipN:
+                mism &= (ma[sa] != "N") & (mb[:w] != "N")
+            if not mism.any():
+                return i, min(La - i, Lb), 0.0
+            # shared-base agreement score: best ACGT mass carried by
+            # both columns (match_score)
+            both = ha[sa] & hb[:w]
+            agree = np.where(both, aa[sa] / t2a[sa, None]
+                             + ab[:w] / t2b[:w, None], 0.0).max(axis=1)
+            mm = np.where(mism, 1.0 - agree, 0.0)
+            # conflicting variant identity: flat penalty, discounted by
+            # coverage support of both majors, floored at 1.0
+            conflict = mism & (va[sa] != vb[:w])
+            adjust = (np.minimum(1.0, ca[sa] / avg_a)
+                      * np.minimum(1.0, cb[:w] / avg_b))
+            mm = np.where(conflict,
+                          np.maximum(1.0, self.VAR_CONFLICT_PENALTY
+                                     * adjust), mm)
+            tmp_mm = float(mm.sum())
             if tmp_mm <= max_mm:
-                return i, min(len(seq) - i, len(other_seq)), tmp_mm
+                return i, min(La - i, Lb), tmp_mm
         return -1, -1, sys.maxsize
 
     def combine_with(self, other):
-        """Merge another node into this one (ref :298-377)."""
+        """Absorb `other` (same coordinate frame, self.left <=
+        other.left): pool per-position nt counts over the overlap, gap
+        any uncovered middle with N columns, append the tail
+        (assembly_graph.py:298-377)."""
         if self.left > other.left:
             return
-        j = 0
+        absorbed = 0                 # positions of `other` already pooled
         if self.right >= other.left:
-            ins_len = 0
-            i = 0
-            for i in range(len(self.seq)):
-                nt = get_major_nt(self.seq[i])
-                if nt.startswith("I"):
+            # raw index of other.left in self.seq: backbone distance plus
+            # the insertion columns encountered on the way
+            at, ins_len = 0, 0
+            for at, nt_dic in enumerate(self.seq):
+                if get_major_nt(nt_dic).startswith("I"):
                     ins_len += 1
-                if i == other.left - self.left + ins_len:
+                if at == other.left - self.left + ins_len:
                     break
-            new_seq = self.seq[:i]
-            while i < len(self.seq) and j < len(other.seq):
-                nt_dic = self.seq[i]
-                for nt, (count, var_id) in other.seq[j].items():
-                    if nt in nt_dic:
-                        nt_dic[nt][0] += count
+            for dst, src in zip(self.seq[at:], other.seq):
+                for nt, (count, var_id) in src.items():
+                    hit = dst.get(nt)
+                    if hit is not None:
+                        hit[0] += count
                     else:
-                        nt_dic[nt] = [count, var_id]
-                new_seq.append(nt_dic)
-                i += 1
-                j += 1
-            if i < len(self.seq):
-                new_seq += self.seq[i:]
+                        dst[nt] = [count, var_id]
+                absorbed += 1
         else:
-            new_seq = self.seq[:]
-            for _k in range(other.left - self.right - 1):
-                new_seq.append({"N": [1, ""]})
-        if j < len(other.seq):
-            new_seq += deepcopy(other.seq[j:])
+            self.seq.extend({"N": [1, ""]}
+                            for _ in range(other.left - self.right - 1))
+        if absorbed < len(other.seq):
+            self.seq.extend(deepcopy(other.seq[absorbed:]))
         self.read_ids |= other.read_ids
         self.mate_ids |= other.mate_ids
-        self.seq = new_seq
         self.ins_len = sum(
             1 for nt_dic in self.seq if get_major_nt(nt_dic)[0] == "I")
         self.right = self.left + len(self.seq) - 1 - self.ins_len

@@ -78,3 +78,89 @@ def test_pdf_per_base_zoom_text(tmp_path):
     m2 = re.search(rb"stream\n(.*?)\nendstream", open(p2, "rb").read(), re.S)
     ops2 = zlib.decompress(m2.group(1)).decode("latin-1")
     assert "(A) Tj" not in ops2
+
+
+def _overlap_oracle(a, b, skipN=False):
+    """Slow scalar oracle for AsmNode.overlap_with (the acceptance rule
+    of assembly_graph.py:241-295, running-sum form) used to pin the
+    vectorized implementation."""
+    import sys
+    from hgtpu.assemble.graph import (get_major_nt, get_ungapped_seq,
+                                      get_ungapped_seq_pos, match_score)
+    assert a.left <= b.left
+    if a.right < b.left:
+        return -1, -1, sys.maxsize
+    seq = get_ungapped_seq(a.seq)
+    other_seq = get_ungapped_seq(b.seq)
+    i_left = get_ungapped_seq_pos(a.seq, b.left - a.left)
+    for i in range(i_left - 5, i_left + 6):
+        max_mm = 0.012 * (len(seq) - i)
+        tmp_mm = 0.0
+        for j in range(len(other_seq)):
+            if i + j >= len(seq) or i + j < 0:
+                break
+            d1, d2 = seq[i + j], other_seq[j]
+            nt, ont = get_major_nt(d1), get_major_nt(d2)
+            mm = 0.0
+            if skipN and (nt == "N" or ont == "N"):
+                mm = 0.0
+            elif nt != ont:
+                mm = 1.0 - match_score(d1, d2)
+                if d1[nt][1] != d2[ont][1]:
+                    adj = min(1.0, d1[nt][0] / a.get_avg_cov()) \
+                        * min(1.0, d2[ont][0] / b.get_avg_cov())
+                    mm = max(1.0, 5.0 * adj)
+            tmp_mm += mm
+            if tmp_mm > max_mm:
+                break
+        if tmp_mm <= max_mm:
+            return i, min(len(seq) - i, len(other_seq)), tmp_mm
+    return -1, -1, sys.maxsize
+
+
+def test_overlap_with_matches_oracle():
+    """The vectorized overlap scan is bit-equal to the scalar acceptance
+    rule on randomized nt-profile nodes (offset, overlap and score)."""
+    import random
+
+    from hgtpu.assemble.graph import AsmNode
+
+    rng = random.Random(41)
+
+    def make_node(nid, left, length):
+        seq = []
+        vars_ = []
+        for p in range(length):
+            r = rng.random()
+            if r < 0.06:
+                seq.append("D"); vars_.append("hvD%d" % (p % 7))
+            elif r < 0.10:
+                seq.append("I" + rng.choice("ACGT")); vars_.append("hvI")
+            else:
+                seq.append(rng.choice("ACGT"))
+                vars_.append("" if rng.random() < 0.7 else "hv%d" % (p % 5))
+        node = AsmNode(nid, left, seq, [60] * len(seq), vars_,
+                       ref_seq="", ref_vars={}, mpileup=None)
+        # thicken some columns with minority counts
+        for d in node.seq:
+            if rng.random() < 0.3:
+                alt = rng.choice("ACGT")
+                if alt in d:
+                    d[alt][0] += rng.randint(1, 3)
+                else:
+                    d[alt] = [rng.randint(1, 3), ""]
+        node.calculate_avg_cov()
+        return node
+
+    for trial in range(60):
+        la = rng.randint(40, 90)
+        a = make_node("a|L", 100, la)
+        b = make_node("b|L", 100 + rng.randint(0, la + 4),
+                      rng.randint(20, 80))
+        if a.left > b.left or a.right < b.left:
+            continue
+        for skipN in (False, True):
+            got = a.overlap_with(b, skipN)
+            want = _overlap_oracle(a, b, skipN)
+            assert got[0] == want[0] and got[1] == want[1], (trial, got, want)
+            assert abs(got[2] - want[2]) < 1e-9 or got[2] == want[2]
