@@ -155,8 +155,12 @@ class DeviceFold:
                     + 3.0 * G * A * nlev)     # class extraction
 
         dc = self.dc
+        LG = nlev * G
+        W32 = (A + 31) // 32
+        cap = min(2048, LG)   # unique classes rarely exceed this; the
+        # two-step path below covers the overflow exactly
         with TRACE.stage("type.count_fold.exec"):
-            fs, is_first, uw, min_idx, tt = _fold_levels(
+            buf, fs, is_first, uw, min_idx = _fold_levels(
                 dc.links_packed, dc.nd_pos, dc.nd_prefix, dc.del_pos,
                 dc.del_right, dc.del_links, dc.var_pos_d, dc.var_right_d,
                 jnp.asarray(lefts), jnp.asarray(rights), jnp.asarray(vars_),
@@ -164,20 +168,35 @@ class DeviceFold:
                 jnp.asarray(gseg_all), jnp.asarray(weights.astype(np.int32)),
                 jnp.asarray(include),
                 n_ht_segments=3 * U + 1, n_group_segments=G * nlev + 1,
-                n_groups=G, n_levels=nlev)
-            # fetch 1 (small): dedup metadata + totals; the [L*G, W] class
-            # rows stay device-resident
-            is_first_h, uw_h, min_idx_h, tt_h = jax.device_get(
-                (is_first, uw, min_idx, tt))
-            first_rows = np.flatnonzero(is_first_h)
-            Un = len(first_rows)
-            Up = _pow2(Un, lo=16)
-            idx_pad = np.zeros(Up, np.int32)
-            idx_pad[:Un] = first_rows
-            # fetch 2 (small): only the unique class rows — tiled reads
-            # share classes heavily, so this is ~G/U times less transfer
-            # than the full packed matrix
-            rows_h = np.asarray(_gather_rows(fs, jnp.asarray(idx_pad)))
+                n_groups=G, n_levels=nlev, n_cap=cap)
+            # single fetch: unique class rows, per-class weights, order
+            # keys, totals and the unique count packed into ONE uint32
+            # buffer — a tunneled chip pays a full round trip per fetched
+            # leaf, so one leaf beats three
+            buf_h = np.asarray(buf)
+            at = cap * W32
+            rows_h = buf_h[:at].reshape(cap, W32)
+            uw_h = buf_h[at:at + cap].astype(np.int64)
+            min_idx_h = buf_h[at + cap:at + 2 * cap].astype(np.int64)
+            at += 2 * cap
+            tt_h = buf_h[at:at + nlev * A].astype(np.int64).reshape(nlev, A)
+            Un = int(buf_h[-1])
+            if Un > cap:
+                # overflow: re-fetch through the exact two-step path
+                is_first_h, uw_f, min_idx_f = jax.device_get(
+                    (is_first, uw, min_idx))
+                first_rows = np.flatnonzero(is_first_h)
+                Un = len(first_rows)
+                Up = _pow2(Un, lo=16)
+                idx_pad = np.zeros(Up, np.int32)
+                idx_pad[:Un] = first_rows
+                rows_h = np.asarray(_gather_rows(fs, jnp.asarray(idx_pad)))
+                uw_h = uw_f[:Un].astype(np.int64)
+                min_idx_h = min_idx_f[:Un].astype(np.int64)
+            else:
+                rows_h = rows_h[:Un]
+                uw_h = uw_h[:Un]
+                min_idx_h = min_idx_h[:Un]
         out = []
         for li in range(nlev):
             # reassemble per level, restoring first-seen (group) order via
@@ -186,19 +205,21 @@ class DeviceFold:
             sel = np.flatnonzero((min_idx_h[:Un] // G) == li)
             order = sel[np.argsort(min_idx_h[sel], kind="stable")]
             out.append((rows_h[order],
-                        uw_h[order].astype(np.int64),
+                        uw_h[order],
                         tt_h[li]))
         return out
 
 
 @functools.partial(jax.jit, static_argnames=("n_ht_segments",
                                               "n_group_segments",
-                                              "n_groups", "n_levels"))
+                                              "n_groups", "n_levels",
+                                              "n_cap"))
 def _fold_levels(links_packed, nd_pos, nd_prefix, del_pos, del_right,
                  del_links, var_pos, var_right,
                  lefts, rights, vars_, ht_seg,
                  flat_rows, group_seg, weights, include_levels,
-                 n_ht_segments, n_group_segments, n_groups, n_levels):
+                 n_ht_segments, n_group_segments, n_groups, n_levels,
+                 n_cap):
     """Fused program over all levels at once (full/exon/primary counts
     share the gather + segment-sum; class extraction per level), ending
     with an EXACT on-device class dedup (hash sort + adjacent full-row
@@ -260,7 +281,22 @@ def _fold_levels(links_packed, nd_pos, nd_prefix, del_pos, del_right,
     # first-seen order restoration: min original row id per unique class
     min_idx = jax.ops.segment_min(order.astype(jnp.int32), uniq_rank,
                                   num_segments=LG)
-    return fs, is_first, uw, min_idx, jnp.stack(totals_all)
+    totals = jnp.stack(totals_all)
+
+    # single-fetch packing: the first n_cap unique rows (in unique-rank
+    # order) + per-class weights + order keys + totals + unique count as
+    # ONE uint32 buffer
+    up = jnp.nonzero(is_first, size=n_cap, fill_value=LG)[0]
+    rows_c = fs[jnp.clip(up, 0, LG - 1)]                      # [cap, W]
+    n_uniq = jnp.sum(is_first.astype(jnp.uint32))
+    buf = jnp.concatenate([
+        rows_c.reshape(-1),
+        uw[:n_cap].astype(jnp.uint32),
+        min_idx[:n_cap].astype(jnp.uint32),
+        totals.reshape(-1).astype(jnp.uint32),
+        n_uniq[None],
+    ])
+    return buf, fs, is_first, uw, min_idx
 
 
 @jax.jit

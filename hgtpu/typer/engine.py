@@ -316,6 +316,86 @@ class GeneTyper:
             toks.append(str(int(span_r[r])))
             memo[(a.pos, a.seq)] = {"-".join(toks)}
 
+    def indel_clean_hts_batch(self, alns, mpileup, use_ec, memo):
+        """Vectorized fast path for nm==0 alignments whose edit script is
+        ALL catalog ops including deletions/insertions (the indel twin of
+        clean_hts_batch).  A fully catalog, fully pileup-supported read
+        with no alt-haplotype key in its span takes none of the slow
+        path's branches (error correction is a no-op on supported bases,
+        novels/merging are no-ops with no unknowns, the trimming scan
+        cannot fire) — so the ht string falls straight out of the cmp
+        list, exactly as read_hts would produce.  Reads failing any gate
+        fall through to read_hts unchanged."""
+        from ..utils.dna import encode_seq
+
+        gene = self.gene
+        N = len(alns)
+        if N == 0:
+            return
+        # span arithmetic mirrors read_hts (cmp_list2[0][1] ..
+        # last pos + len - 1)
+        span_l = np.fromiter((a.cmp[0][1] for a in alns), np.int64, N)
+        span_r = np.fromiter(
+            (a.cmp[-1][1] + a.cmp[-1][2] - 1 for a in alns), np.int64, N)
+        key = self._alt_key_pos
+        if len(key):
+            i = np.searchsorted(key, span_l)
+            ok = (i >= len(key)) | \
+                (key[np.minimum(i, len(key) - 1)] > span_r)
+        else:
+            ok = np.ones(N, dtype=bool)
+        # misalignment heuristics (read_hts): implausible deletions and
+        # N bases inside insertions leave the read to the slow path
+        for r in np.flatnonzero(ok).tolist():
+            a = alns[r]
+            rp = 0
+            for kind, pos, length, _vi, _d in a.cmp:
+                if kind == "insertion":
+                    if "N" in a.seq[rp:rp + length]:
+                        ok[r] = False
+                        break
+                elif kind == "deletion":
+                    if (self.opts.family == "hla" and mpileup is not None
+                            and not mpileup.deletion_plausible(pos)):
+                        ok[r] = False
+                        break
+                    continue
+                rp += length
+        if use_ec and mpileup is not None and ok.any():
+            # pileup support of every aligned base, through the indel
+            # frame shifts: one flat gather over per-op match segments
+            rows, bbs, cds = [], [], []
+            for r in np.flatnonzero(ok).tolist():
+                a = alns[r]
+                codes = a.codes if a.codes is not None else encode_seq(a.seq)
+                rp = 0
+                for kind, pos, length, _vi, _d in a.cmp:
+                    if kind == "deletion":
+                        continue
+                    if kind == "insertion":
+                        rp += length
+                        continue
+                    bbs.append(np.arange(pos, pos + length, dtype=np.int64))
+                    cds.append(codes[rp:rp + length])
+                    rows.append(np.full(length, r, np.int64))
+                    rp += length
+            if rows:
+                bb = np.concatenate(bbs)
+                cd = np.concatenate(cds)
+                rw = np.concatenate(rows)
+                sup = mpileup.rep6[bb, cd]
+                bad = mpileup.rep_any[bb] & ~sup
+                ok[np.unique(rw[bad])] = False
+        var_ids = gene.var_ids
+        for r in np.flatnonzero(ok).tolist():
+            a = alns[r]
+            toks = [str(int(span_l[r]))]
+            for e in a.cmp:
+                if e[0] != "match":
+                    toks.append(var_ids[e[3]])
+            toks.append(str(int(span_r[r])))
+            memo[(a.pos, a.seq)] = {"-".join(toks)}
+
     def read_hts(self, aln, novel: NovelVars, mpileup=None):
         """One mate alignment -> set of ht strings (with alt spellings),
         or None when the read is rejected (error-correction budget or
@@ -648,9 +728,12 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     # tiled duplicates share one computation
     hts_memo = {}
 
-    # batched clean fast path: one vectorized support/alt-key test over
-    # every unique nm==0 catalog-clean alignment prefills the memo
+    # batched clean fast paths: one vectorized support/alt-key test over
+    # every unique nm==0 all-catalog alignment prefills the memo —
+    # diagonal reads (matches + catalog SNPs) and indel-crossing reads
+    # (+ catalog deletions/insertions) each through their batch
     uniq_clean = {}
+    uniq_indel = {}
     for _rid, alns in conc_alns:
         if alns is None:
             continue
@@ -658,19 +741,26 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
             if a.nm != 0:
                 continue
             k = (a.pos, a.seq)
-            if k in uniq_clean:
+            if k in uniq_clean or k in uniq_indel:
                 continue
+            catalog = True
+            has_indel = False
             for e in a.cmp:
                 if e[0] == "match":
                     continue
-                if e[0] == "mismatch" and e[3] is not None and e[3] >= 0:
-                    continue
-                break
-            else:
-                uniq_clean[k] = a
+                if e[3] is None or e[3] < 0:
+                    catalog = False
+                    break
+                if e[0] != "mismatch":
+                    has_indel = True
+            if not catalog:
+                continue
+            (uniq_indel if has_indel else uniq_clean)[k] = a
     with TRACE.stage("type.clean_fast_path"):
         typer.clean_hts_batch(list(uniq_clean.values()), mpileup,
                               opts.error_correction, hts_memo)
+        typer.indel_clean_hts_batch(list(uniq_indel.values()), mpileup,
+                                    opts.error_correction, hts_memo)
 
     def memo_hts(a):
         k = (a.pos, a.seq)

@@ -120,3 +120,49 @@ def test_insertion_allele_typing_and_assembly():
     assert res.prob[0][0] == allele
     assert res.prob[0][1] >= 0.9999
     assert res.assembly_call and res.assembly_call[0] == [allele, allele]
+
+
+def test_indel_clean_fast_path_matches_read_hts():
+    """The batched nm==0 catalog-indel fast path must produce exactly
+    read_hts' ht set for every alignment it resolves (bit-identity of
+    the typing hot loop)."""
+    from hgtpu.align import GeneAligner
+    from hgtpu.db.catalog import VT_DELETION, VT_INSERTION
+    from hgtpu.typer.engine import GeneTyper, NovelVars
+    from hgtpu.typer.mpileup import Mpileup
+    from tests.synth import make_gene_msa
+
+    spec = make_gene_msa(seed=3, n_alleles=40)
+    ref, _ = build_gene_ref("A", spec["names"], spec["rows"],
+                            spec["ref_allele"], min_var_freq=8.0)
+    d = ref.var_type == VT_DELETION
+    ins = ref.var_type == VT_INSERTION
+    truth = next(n for a, n in enumerate(ref.allele_names)
+                 if ref.links[d, a].any() and ref.links[ins, a].any())
+    r1, r2, _ = simulate_reads(ref, [truth], simulate_interval=2, seed=11)
+    al = GeneAligner(ref)
+    typer_ = GeneTyper(ref, TypingOptions(simulation=True))
+    batches = al.align_batches(
+        [([r.name for r in r1], [r.seq for r in r1], "L"),
+         ([r.name for r in r2], [r.seq for r in r2], "R")])
+    alns = [a for g in batches for a in g if a is not None]
+    mp = Mpileup(ref)
+    mp.add_alignments_bulk(alns)
+    mp.finalize()
+    uniq = {}
+    for a in alns:
+        if a.nm != 0:
+            continue
+        catalog = all(e[0] == "match" or (e[3] is not None and e[3] >= 0)
+                      for e in a.cmp)
+        indel = any(e[0] in ("deletion", "insertion") for e in a.cmp)
+        if catalog and indel:
+            uniq.setdefault((a.pos, a.seq), a)
+    assert len(uniq) > 100
+    memo = {}
+    typer_.indel_clean_hts_batch(list(uniq.values()), mp, True, memo)
+    assert len(memo) > 0.4 * len(uniq)
+    novel = NovelVars()
+    for k, a in uniq.items():
+        if k in memo:
+            assert memo[k] == typer_.read_hts(a, novel, mp), k
