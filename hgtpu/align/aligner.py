@@ -301,6 +301,11 @@ class GeneAligner:
         fast_ops = self._fast_exact_batch(
             fwd_pad, rc_pad, lens, sf, pf, sr, pr, use_rc) \
             if not self.leftmost else {}
+        if not self.leftmost:
+            rest = [i for i in range(n)
+                    if i not in fast_ops and read_ids[i] != "__pad__"]
+            fast_ops.update(self._fast_indel_batch(
+                fwd_pad, rc_pad, lens, sf, pf, sr, pr, use_rc, rest))
 
         results = [None] * n   # (cost, ops, start, clip_front, sub_len, is_rc)
         pending = []           # (read i, orientation order, read len)
@@ -641,6 +646,167 @@ class GeneAligner:
             out[r_][1].append(
                 ("mismatch", pos, 1, single_at[(pos, base)],
                  "ACGT"[base]))
+        return out
+
+    def _indel_fast_tables(self):
+        """Sorted catalog-indel arrays (+ sentinel row) for the chunk-wide
+        single-indel fast path; cached on the aligner."""
+        cached = self.__dict__.get("_indel_fast")
+        if cached is not None:
+            return cached
+        from ..db.catalog import VT_DELETION, VT_INSERTION
+
+        gene = self.gene
+        MAXI = 16
+        idx = np.flatnonzero((gene.var_type == VT_DELETION)
+                             | (gene.var_type == VT_INSERTION))
+        D = len(idx)
+        pos = np.full(D + 1, 1 << 30, np.int64)
+        ln = np.zeros(D + 1, np.int64)
+        is_ins = np.zeros(D + 1, bool)
+        ivar = np.full(D + 1, -1, np.int64)
+        iright = np.full(D + 1, 1 << 30, np.int64)
+        ins_codes = np.full((D + 1, MAXI), 7, np.int8)
+        for k, vi in enumerate(idx):
+            pos[k] = gene.var_pos[vi]
+            ivar[k] = vi
+            if gene.var_type[vi] == VT_INSERTION:
+                is_ins[k] = True
+                seq = gene.var_data[vi]
+                iright[k] = pos[k]
+                if len(seq) <= MAXI:
+                    ln[k] = len(seq)
+                    for j, b in enumerate(seq):
+                        ins_codes[k, j] = "ACGT".index(b)
+                # longer insertions keep length 0 (never spell; the DFS
+                # path handles them)
+            else:
+                ln[k] = gene.var_len[vi]
+                iright[k] = pos[k] + ln[k] - 1
+        order = np.argsort(pos[:D], kind="stable")
+        for arr in (pos, ln, is_ins, ivar, iright):
+            arr[:D] = arr[order]
+        ins_codes[:D] = ins_codes[order]
+        max_shift = int(ln.max()) if D else 0
+        self._indel_fast = (pos, ln, is_ins, ivar, iright, ins_codes,
+                            max_shift, MAXI)
+        return self._indel_fast
+
+    def _fast_indel_batch(self, fwd_pad, rc_pad, lens, sf, pf, sr, pr,
+                          use_rc, rows):
+        """Chunk-wide single-indel fast path: {row: (0, ops, start, 0, m)}
+        for reads whose best-orientation placement admits EXACTLY ONE
+        zero-novel split-diagonal spelling through one catalog
+        deletion/insertion (matches + catalog SNPs elsewhere), with no
+        other catalog indel overlapping the span.  Under those gates the
+        DFS's minimal-cost answer is unique and equals this spelling, so
+        the proposal/verify machinery is skipped (differentially pinned
+        by tests/test_aligner.py::test_fast_indel_batch_matches_verifier).
+        Everything else stays pending for the verifier."""
+        pos, ln, is_ins, ivar, iright, ins_codes, max_shift, MAXI = \
+            self._indel_fast_tables()
+        D = len(pos) - 1
+        if D == 0 or len(rows) == 0 or self.leftmost:
+            return {}
+        C = 12
+        P = len(self.gene.backbone)
+        rows = np.asarray(rows, np.int64)
+        s0 = np.where(use_rc, pr[:, 0], pf[:, 0]).astype(np.int64)[rows]
+        sc0 = np.where(use_rc, sr[:, 0], sf[:, 0])[rows]
+        m = lens[rows].astype(np.int64)
+        codes = np.where(use_rc[rows, None],
+                         rc_pad[rows], fwd_pad[rows])          # [R, L]
+        R, L = codes.shape
+
+        c0 = np.searchsorted(pos[:D], s0 - max_shift)
+        cand = np.minimum(c0[:, None] + np.arange(C)[None, :], D)
+        cand = np.where(pos[cand] <= (s0 + m + max_shift)[:, None],
+                        cand, D)                                # [R, C]
+        # enumeration completeness: the window must not hold more than C
+        # candidates, or the span guard below could miss one
+        nxt = np.minimum(c0 + C, D)
+        complete = (c0 + C >= D) | (pos[nxt] > s0 + m + max_shift)
+
+        hyp_c = np.concatenate([cand, cand], 1)                 # [R, H]
+        dl = np.where(is_ins[hyp_c], 0, ln[hyp_c])
+        il = np.where(is_ins[hyp_c], ln[hyp_c], 0)
+        s_h = np.concatenate(
+            [np.repeat(s0[:, None], C, 1),
+             (s0[:, None] - dl[:, C:] + il[:, C:])], 1)         # [R, H]
+        pv = pos[hyp_c]
+        q = pv - s_h
+        j = np.arange(L, dtype=np.int64)[None, None, :]
+        q3, il3, dl3 = q[..., None], il[..., None], dl[..., None]
+        after = j >= q3
+        in_ins = (il3 > 0) & after & (j < q3 + il3)
+        bbpos = (s_h[..., None] + j + np.where(after, dl3, 0)
+                 - np.where(j >= q3 + il3, il3, 0))             # [R, H, L]
+        gp = np.clip(bbpos + self._LB_PAD, 0, len(self._match_ok6) - 1)
+        okm = self._match_ok6[gp, codes[:, None, :]]
+        insb = ins_codes[hyp_c[..., None],
+                         np.clip(j - q3, 0, MAXI - 1)]
+        okj = np.where(in_ins, codes[:, None, :] == insb, okm)
+        in_len = j < m[:, None, None]
+        score = (okj & in_len).sum(2)                           # [R, H]
+        right = s_h + m[:, None] - 1 + dl - il
+        validh = ((s_h >= 0) & (q >= 1) & (q + il <= m[:, None] - 1)
+                  & (q <= m[:, None] - 1) & ((dl > 0) | (il > 0))
+                  & (hyp_c < D) & (right <= P - 1))
+        fullh = validh & (score == m[:, None])
+        nf = fullh.sum(1)
+        win = np.argmax(fullh, 1)
+        ar = np.arange(R)
+        claimed = hyp_c[ar, win]
+        # uniqueness over the COMPLETE candidate window pins the DFS
+        # answer: a second 0-cost path would need either another single
+        # indel (nf > 1 excludes) or a multi-indel spelling scoring full
+        # alongside ours, which requires repeat periodicity — STR loci
+        # run in leftmost mode where this path is disabled
+        acc = (nf == 1) & complete & (sc0 < m)
+        if not acc.any():
+            return {}
+
+        # ops assembly for accepted rows: catalog-SNP mismatches on the
+        # split diagonal + the indel op, in position order
+        accr = np.flatnonzero(acc)
+        gpw = gp[accr, win[accr]]                               # [A, L]
+        okw = okj[accr, win[accr]]
+        insw = in_ins[accr, win[accr]]
+        lw = (j[0] < m[accr][:, None])
+        mmw = okw & lw & ~insw & (codes[accr] != self._bb_pad[gpw])
+        single_at = self.verifier.single_at
+        out = {}
+        ops_of = {}
+        for k, r in enumerate(accr.tolist()):
+            h = int(win[r])
+            c = int(claimed[r])
+            if is_ins[c]:
+                seq = "".join("ACGT"[b] for b in
+                              ins_codes[c, : int(ln[c])])
+                iop = ("insertion", int(pv[r, h]), int(ln[c]),
+                       int(ivar[c]), seq)
+            else:
+                iop = ("deletion", int(pv[r, h]), int(ln[c]),
+                       int(ivar[c]), str(int(ln[c])))
+            ops_of[k] = ([], iop, int(q[r, h]))
+            out[int(rows[r])] = (0, None, int(s_h[r, h]), 0, int(m[r]))
+        rws, cls = np.nonzero(mmw)
+        pre = {}
+        post = {}
+        for k, jj in zip(rws.tolist(), cls.tolist()):
+            r = accr[k]
+            bpos = int(gpw[k, jj]) - self._LB_PAD
+            base = int(codes[r, jj])
+            op = ("mismatch", bpos, 1, single_at[(bpos, base)],
+                  "ACGT"[base])
+            (pre if jj < ops_of[k][2] else post).setdefault(
+                k, []).append(op)
+        for k, r in enumerate(accr.tolist()):
+            _e, iop, _q = ops_of[k]
+            ops = pre.get(k, []) + [iop] + post.get(k, [])
+            row = int(rows[r])
+            t = out[row]
+            out[row] = (t[0], ops, t[2], t[3], t[4])
         return out
 
     def _proposal_entries(self, codes, cand_pos, cand_scores, m,

@@ -570,7 +570,28 @@ def cmd_extract_rbg(argv):
     return 0
 
 
+def cmd_compare(argv):
+    """Concordance of our typing calls against an external truth table
+    (the reference's etc/compare_HLA.py harness, offline)."""
+    p = argparse.ArgumentParser(prog="hgtpu compare")
+    p.add_argument("calls", help="our typing table (sample\\tGENE*allele"
+                                 "[\\tabundance])")
+    p.add_argument("truth", help="external truth table (same format; "
+                                 "e.g. UTSW / Omixon / Platinum gold)")
+    p.add_argument("--genes", type=str, default="",
+                   help="comma-separated gene list (default: HLA core)")
+    args = p.parse_args(argv)
+
+    from ..tools.compare import HLA_GENES, compare_tables, format_report
+
+    genes = tuple(g for g in args.genes.split(",") if g) or HLA_GENES
+    print(format_report(compare_tables(args.calls, args.truth,
+                                       genes=genes)))
+    return 0
+
+
 COMMANDS = {
+    "compare": cmd_compare,
     "extract-vars": cmd_extract_vars,
     "extract-rbg": cmd_extract_rbg,
     "extract-codis-data": cmd_extract_codis_data,

@@ -75,20 +75,30 @@ class DeviceFold:
         A = gene.n_alleles
 
         # ---- sub-ht prep: full + exon + primary projections ---- #
+        # catalog-only hts project identically across runs of one gene;
+        # novel-var hts ('nv' tokens) depend on the run's registry and
+        # are never cached
+        proj_cache = self.__dict__.setdefault("_proj_cache", {})
         sub_hts = []
         ht_seg_l = []
         kmax = 1
         for u, ht_str in enumerate(hts_sorted):
-            left, right, ops = typer.count_ht(ht_str, novel)
-            packs = [(0, (left, right, ops))]
-            packs += [(1, e) for e in
-                      get_exon_haplotypes((left, right, ops), gene.exons)]
-            packs += [(2, e) for e in
-                      get_exon_haplotypes((left, right, ops),
-                                          gene.primary_exons)]
-            for level, (l, r, o) in packs:
-                kmax = max(kmax, sum(1 for op in o if op.var_idx >= 0))
-                sub_hts.append((l, r, [op.var_idx for op in o]))
+            packs = None if "nv" in ht_str else proj_cache.get(ht_str)
+            if packs is None:
+                left, right, ops = typer.count_ht(ht_str, novel)
+                packs = [(0, left, right,
+                          [op.var_idx for op in ops])]
+                packs += [(1, l, r, [op.var_idx for op in o]) for l, r, o in
+                          get_exon_haplotypes((left, right, ops),
+                                              gene.exons)]
+                packs += [(2, l, r, [op.var_idx for op in o]) for l, r, o in
+                          get_exon_haplotypes((left, right, ops),
+                                              gene.primary_exons)]
+                if "nv" not in ht_str and len(proj_cache) < 200_000:
+                    proj_cache[ht_str] = packs
+            for level, l, r, vs in packs:
+                kmax = max(kmax, sum(1 for v in vs if v >= 0))
+                sub_hts.append((l, r, vs))
                 ht_seg_l.append(level * U + u)
         if kmax > MAX_FOLD_VARS:
             return None        # pathological ht; host fallback

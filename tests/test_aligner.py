@@ -191,3 +191,45 @@ def test_fanout_clone_equiv():
     assert clone == want
     assert not hasattr(ReadAln, "__slots__")
     assert not hasattr(ReadAln, "__post_init__")
+
+
+def test_fast_indel_batch_matches_verifier():
+    """The chunk-wide single-indel fast path must return exactly the
+    alignments the proposal+DFS machinery produces: same start, cost,
+    orientation and edit script for every read, on an indel-dense gene."""
+    from hgtpu.align import GeneAligner
+    from hgtpu.db import build_gene_ref
+    from hgtpu.sim import simulate_reads
+    from tests.synth import make_gene_msa
+
+    spec = make_gene_msa(seed=3, n_alleles=40)
+    ref, _ = build_gene_ref("A", spec["names"], spec["rows"],
+                            spec["ref_allele"], min_var_freq=8.0)
+    reads, names = [], []
+    import random
+    rng = random.Random(9)
+    for a in (1, 5, 9, 13):
+        r1, r2, _ = simulate_reads(ref, [ref.allele_names[a]],
+                                   simulate_interval=5, seed=a)
+        for r in r1 + r2:
+            names.append("%d_%s" % (a, r.name))
+            seq = r.seq
+            if rng.random() < 0.2:   # sprinkle sequencing errors
+                i = rng.randrange(len(seq))
+                seq = seq[:i] + rng.choice("ACGT") + seq[i + 1:]
+            reads.append(seq)
+
+    fast = GeneAligner(ref)
+    slow = GeneAligner(ref)
+    slow._fast_indel_batch = lambda *a, **k: {}
+    out_f = fast.align_batch(names, reads, "L")
+    out_s = slow.align_batch(names, reads, "L")
+    n_checked = 0
+    for af, as_ in zip(out_f, out_s):
+        assert (af is None) == (as_ is None)
+        if af is None:
+            continue
+        assert (af.pos, af.nm, af.is_rc) == (as_.pos, as_.nm, as_.is_rc)
+        assert af.cmp == as_.cmp, (af.read_id, af.cmp, as_.cmp)
+        n_checked += 1
+    assert n_checked > 0.9 * len(reads)

@@ -397,3 +397,48 @@ def test_choose_pairs_strict_parity_switch():
     # strict reference mode (gene=None): raw gap picks the near mate
     l2, r2 = choose_pairs(set(left), set(right), 100, None)
     assert r2 == {"260-310"}
+
+
+def test_compare_hla_concordance():
+    """Offline compare_HLA harness (ref etc/compare_HLA.py:1-147):
+    level collapsing, abundance merge, homozygous doubling, top-two vs
+    any-rank tallies."""
+    from hgtpu.tools.compare import compare_tables, format_report
+
+    calls = [
+        "s1\tA*01:01:01\t0.6",
+        "s1\tA*02:05\t0.4",
+        "s2\tA*03:01\t0.9",
+        "s2\tA*11:01\t0.05",
+        # s3: truth allele present but ranked 3rd (top-ten only)
+        "s3\tA*24:02\t0.5",
+        "s3\tA*29:01\t0.3",
+        "s3\tA*26:08\t0.2",
+    ]
+    truth = [
+        "s1\tA*01:01",          # homozygous truth: counts double
+        "s2\tA*03:01",
+        "s2\tA*11:01",
+        "s3\tA*26:08",
+        "s3\tA*24:02",
+    ]
+    res = compare_tables(calls, truth, levels=(1, 2), genes=("A",))
+    gc2 = res[2]["A"]
+    # s1 homozygous match in top2 -> bucket 2; s2 both matched -> 2;
+    # s3 one in top2 (24:02) + one at rank 3 -> top2 bucket 1, top10 2
+    assert gc2.top2 == [0, 1, 2]
+    assert gc2.top10 == [0, 0, 3]
+    assert abs(gc2.pct2 - (5 / 6) * 100) < 1e-9
+    assert abs(gc2.pct10 - 100.0) < 1e-9
+    # level 1 collapses 26:08 vs 26:xx the same way; report formats
+    rep = format_report(res)
+    assert "Level: 1" in rep and "Top two" in rep
+
+
+def test_compare_hla_level_collapse_merges_abundance():
+    from hgtpu.tools.compare import read_typing_table
+
+    table = read_typing_table(
+        ["s\tA*01:01:01\t0.30", "s\tA*01:01:02\t0.45", "s\tA*02:01\t0.25"],
+        level=2)
+    assert table["s"]["A"][0] == ["01:01", 0.75]
