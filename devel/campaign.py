@@ -156,6 +156,20 @@ def hla_scale_config():
         n += bool(ok)
         if not ok:
             print("   hla-scale true=%s top=%s" % (allele, res.prob[:2]))
+    # assembly (de Bruijn + Viterbi phasing) at full panel width — the
+    # hg_test3 analog against the IMGT-magnitude DB
+    allele = ref.allele_names[123]
+    r1, r2, _ = simulate_reads(ref, [allele], simulate_interval=4, seed=1)
+    res = type_reads(ref, [(r.name, r.seq) for r in r1],
+                     [(r.name, r.seq) for r in r2],
+                     TypingOptions(simulation=True, assembly=True))
+    want += 1
+    ok = (res.assembly_call is not None
+          and res.assembly_call[0] == [allele, allele])
+    n += bool(ok)
+    if not ok:
+        print("   hla-scale-assembly true=%s call=%s"
+              % (allele, res.assembly_call))
     return n, want
 
 

@@ -98,3 +98,25 @@ def test_sharded_e2e_at_scale(hla_scale_ref):
     # majority
     assert punt.sum() <= 0.35 * len(r1)
     assert n_used > 0.6 * len(r1)
+
+
+def test_assembly_at_scale(hla_scale_ref):
+    """Guided de Bruijn + Viterbi + phasing at the full IMGT-magnitude
+    panel (the hg_test3 golden runs against the full HLA DB,
+    /root/reference/devel/pre-int_test.sh:23-36) — must call the truth
+    homozygous within a CI wall budget."""
+    import time
+
+    ref = hla_scale_ref
+    truth = ref.allele_names[123]
+    r1, r2, _ = simulate_reads(ref, [truth], simulate_interval=4, seed=1)
+    t0 = time.time()
+    res = type_reads(ref, [(r.name, r.seq) for r in r1],
+                     [(r.name, r.seq) for r in r2],
+                     TypingOptions(simulation=True, assembly=True))
+    wall = time.time() - t0
+    assert res.prob[0][0] == truth
+    assert res.assembly_call is not None
+    assert res.assembly_call[0] == [truth, truth]
+    assert res.contigs and len(res.contigs) <= 2
+    assert wall < 60.0, "scale assembly blew the wall budget: %.1f s" % wall
