@@ -19,6 +19,31 @@ from .types import ReadAln
 from .verify import GeneVerifier
 
 
+_LOCAL_TPU = None
+
+
+def _local_tpu() -> bool:
+    """True when the default backend is a TPU whose steady-state dispatch
+    round trip is local-bus fast (< 2 ms).  A tunneled dev chip measures
+    10-30 ms and loses to the host DFS verify; probed once per process."""
+    global _LOCAL_TPU
+    if _LOCAL_TPU is None:
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        if jax.default_backend() != "tpu":
+            _LOCAL_TPU = False
+        else:
+            x = jnp.zeros(8)
+            (x + 1).block_until_ready()          # warm the executable
+            t0 = time.perf_counter()
+            (x + 1).block_until_ready()
+            _LOCAL_TPU = (time.perf_counter() - t0) < 2e-3
+    return _LOCAL_TPU
+
+
 def _pad_codes_2d(code_list, n_rows, width, fill):
     """Stack variable-length int8 code arrays into [n_rows, width] with
     `fill` padding (rows beyond len(code_list) stay all-fill; codes longer
@@ -40,7 +65,7 @@ class GeneAligner:
                  top_k: int = 8, min_seed_frac: float = 0.3,
                  device_batch: int = 4096, pad_len: int = 128,
                  use_native: str = "auto", leftmost: bool = False,
-                 haplotype_paths: bool = True, device_verify: str = "off"):
+                 haplotype_paths: bool = True, device_verify: str = "auto"):
         # leftmost=True prefers the smallest-start spelling among
         # equal-cost alignments — required for STR (CODIS) loci where
         # repeat periodicity makes right-shifted plain spellings cost-0
@@ -91,7 +116,13 @@ class GeneAligner:
         # band can't represent (overflow flag) and winners whose DFS cost
         # diverges (haplotype-window constraint) fall back to the full
         # host path, so results are bit-identical to device_verify="off".
+        # "auto" turns it on only for a locally-attached TPU: behind a
+        # network tunnel each DP dispatch pays a 10-30 ms round trip that
+        # the host DFS beats (measured ~5x), so auto probes the dispatch
+        # latency once per process.
         self._dp_tables = None
+        if device_verify == "auto":
+            device_verify = "on" if _local_tpu() else "off"
         if device_verify == "on":
             from ..ops.banded_dp import BandedDPTables
             self._dp_tables = BandedDPTables(gene)
