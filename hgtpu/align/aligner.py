@@ -728,11 +728,19 @@ class GeneAligner:
         """Chunk-wide single-indel fast path: {row: (0, ops, start, 0, m)}
         for reads whose best-orientation placement admits EXACTLY ONE
         zero-novel split-diagonal spelling through one catalog
-        deletion/insertion (matches + catalog SNPs elsewhere), with no
-        other catalog indel overlapping the span.  Under those gates the
-        DFS's minimal-cost answer is unique and equals this spelling, so
-        the proposal/verify machinery is skipped (differentially pinned
-        by tests/test_aligner.py::test_fast_indel_batch_matches_verifier).
+        deletion/insertion (matches + catalog SNPs elsewhere).
+
+        Scoring is prefix-sum based: one mismatch-count plane per
+        DISTINCT diagonal shift (the gene's deletion/insertion lengths,
+        a dozen values) answers every (candidate, anchor) hypothesis
+        with two O(1) lookups — prefix clean on the anchored diagonal
+        and suffix clean on the shifted one — instead of materializing a
+        per-hypothesis position tensor.  Uniqueness over the complete
+        candidate window pins the DFS's minimal-cost answer: a second
+        0-cost path would need another single indel (excluded) or repeat
+        periodicity (STR loci run in leftmost mode, where this path is
+        disabled).  Differentially pinned by
+        tests/test_aligner.py::test_fast_indel_batch_matches_verifier.
         Everything else stays pending for the verifier."""
         pos, ln, is_ins, ivar, iright, ins_codes, max_shift, MAXI = \
             self._indel_fast_tables()
@@ -742,102 +750,167 @@ class GeneAligner:
         C = 12
         P = len(self.gene.backbone)
         rows = np.asarray(rows, np.int64)
-        s0 = np.where(use_rc, pr[:, 0], pf[:, 0]).astype(np.int64)[rows]
+        s0 = np.where(use_rc, pr[:, 0], pf[:, 0]).astype(np.int32)[rows]
         sc0 = np.where(use_rc, sr[:, 0], sf[:, 0])[rows]
-        m = lens[rows].astype(np.int64)
+        m = lens[rows].astype(np.int32)
         codes = np.where(use_rc[rows, None],
                          rc_pad[rows], fwd_pad[rows])          # [R, L]
         R, L = codes.shape
 
+        # candidate window + completeness (the guard below needs every
+        # in-window indel enumerated)
         c0 = np.searchsorted(pos[:D], s0 - max_shift)
         cand = np.minimum(c0[:, None] + np.arange(C)[None, :], D)
         cand = np.where(pos[cand] <= (s0 + m + max_shift)[:, None],
                         cand, D)                                # [R, C]
-        # enumeration completeness: the window must not hold more than C
-        # candidates, or the span guard below could miss one
         nxt = np.minimum(c0 + C, D)
         complete = (c0 + C >= D) | (pos[nxt] > s0 + m + max_shift)
 
-        hyp_c = np.concatenate([cand, cand], 1)                 # [R, H]
-        dl = np.where(is_ins[hyp_c], 0, ln[hyp_c])
-        il = np.where(is_ins[hyp_c], ln[hyp_c], 0)
-        s_h = np.concatenate(
-            [np.repeat(s0[:, None], C, 1),
-             (s0[:, None] - dl[:, C:] + il[:, C:])], 1)         # [R, H]
-        pv = pos[hyp_c]
-        q = pv - s_h
-        j = np.arange(L, dtype=np.int64)[None, None, :]
-        q3, il3, dl3 = q[..., None], il[..., None], dl[..., None]
-        after = j >= q3
-        in_ins = (il3 > 0) & after & (j < q3 + il3)
-        bbpos = (s_h[..., None] + j + np.where(after, dl3, 0)
-                 - np.where(j >= q3 + il3, il3, 0))             # [R, H, L]
-        gp = np.clip(bbpos + self._LB_PAD, 0, len(self._match_ok6) - 1)
-        okm = self._match_ok6[gp, codes[:, None, :]]
-        insb = ins_codes[hyp_c[..., None],
-                         np.clip(j - q3, 0, MAXI - 1)]
-        okj = np.where(in_ins, codes[:, None, :] == insb, okm)
-        in_len = j < m[:, None, None]
-        score = (okj & in_len).sum(2)                           # [R, H]
-        right = s_h + m[:, None] - 1 + dl - il
-        validh = ((s_h >= 0) & (q >= 1) & (q + il <= m[:, None] - 1)
-                  & (q <= m[:, None] - 1) & ((dl > 0) | (il > 0))
-                  & (hyp_c < D) & (right <= P - 1))
-        fullh = validh & (score == m[:, None])
-        nf = fullh.sum(1)
-        win = np.argmax(fullh, 1)
-        ar = np.arange(R)
-        claimed = hyp_c[ar, win]
-        # uniqueness over the COMPLETE candidate window pins the DFS
-        # answer: a second 0-cost path would need either another single
-        # indel (nf > 1 excludes) or a multi-indel spelling scoring full
-        # alongside ours, which requires repeat periodicity — STR loci
-        # run in leftmost mode where this path is disabled
+        # mismatch prefix-sums per distinct diagonal shift:
+        # PM[r, s, j] = #{j' < j < m : read base j' not free at
+        # backbone s0 + shift_s + j'}
+        shifts = sorted({0} | {int(d) for d in ln[:D] if d}
+                        | {-int(d) for d in ln[:D] if d})
+        sidx = {d: k for k, d in enumerate(shifts)}
+        sh = np.asarray(shifts, np.int32)
+        j = np.arange(L, dtype=np.int32)
+        base = (s0[:, None] + self._LB_PAD) + j[None, :]        # [R, L]
+        ok0 = np.zeros((R, len(shifts), L), bool)
+        for k, d in enumerate(shifts):
+            idx = np.clip(base + d, 0, len(self._match_ok6) - 1)
+            ok0[:, k] = self._match_ok6[idx, codes]
+        mis = (~ok0) & (j[None, None, :] < m[:, None, None])
+        PM = np.zeros((R, len(shifts), L + 1), np.int16)
+        np.cumsum(mis, axis=2, out=PM[:, :, 1:], dtype=np.int16)
+        PMm = PM[np.arange(R), :, m]                            # [R, S]
+
+        dl = np.where(is_ins[cand], 0, ln[cand]).astype(np.int32)
+        il = np.where(is_ins[cand], ln[cand], 0).astype(np.int32)
+        pv = pos[cand].astype(np.int64)
+        ar_ = np.arange(R)
+
+        def pm_at(shift_arr, q):
+            """PM[r, sidx[shift_arr[r,c]], q[r,c]] — [R, C]."""
+            si = np.searchsorted(sh, shift_arr)
+            qc = np.clip(q, 0, L)
+            return PM[ar_[:, None], si, qc]
+
+        def pm_tot(shift_arr):
+            si = np.searchsorted(sh, shift_arr)
+            return PMm[ar_[:, None], si]
+
+        zero = np.zeros_like(dl)
+        # insertion content match per candidate (read-relative junction q
+        # is the same for both anchors)
+        full_list = []
+        meta = []   # (s_h [R,C], q [R,C]) per hypothesis family
+
+        def add_family(s_h, q, pre_shift, suf_shift, suf_from, extra_ok):
+            valid = ((cand < D) & (s_h >= 0) & (q >= 1)
+                     & (suf_from <= m[:, None] - 1)
+                     & (s_h + m[:, None] - 1 + dl - il <= P - 1))
+            pre_clean = pm_at(pre_shift, q) == 0
+            suf_clean = (pm_tot(suf_shift)
+                         - pm_at(suf_shift, suf_from)) == 0
+            full_list.append(valid & pre_clean & suf_clean & extra_ok)
+            meta.append((s_h, q))
+
+        t = np.ones_like(dl, bool)
+        # deletions: suffix rides diagonal +d relative to the read start
+        is_del = (dl > 0)
+        add_family(np.broadcast_to(s0[:, None], dl.shape),
+                   (pv - s0[:, None]).astype(np.int32),
+                   zero, dl, (pv - s0[:, None]).astype(np.int32),
+                   is_del)
+        add_family(s0[:, None] - dl,
+                   (pv - s0[:, None] + dl).astype(np.int32),
+                   -dl, zero, (pv - s0[:, None] + dl).astype(np.int32),
+                   is_del)
+        # insertions: il read bases spell the inserted sequence, the
+        # suffix rides diagonal -il
+        qi = (pv - s0[:, None]).astype(np.int32)
+        ins_ok = np.ones_like(dl, bool)
+        has_ins = is_ins[cand] & (il > 0)
+        if has_ins.any():
+            k = np.arange(MAXI, dtype=np.int32)
+            rdpos = np.clip(qi[:, :, None] + k[None, None, :], 0, L - 1)
+            rb = codes[ar_[:, None, None], rdpos]               # [R,C,MAXI]
+            want = ins_codes[cand]
+            ins_ok = np.where(k[None, None, :] < il[:, :, None],
+                              rb == want, True).all(2)
+        add_family(np.broadcast_to(s0[:, None], dl.shape), qi,
+                   zero, -il, qi + il, has_ins & ins_ok)
+        qi2 = (pv - s0[:, None] - il).astype(np.int32)
+        ins_ok2 = np.ones_like(dl, bool)
+        if has_ins.any():
+            k = np.arange(MAXI, dtype=np.int32)
+            rdpos = np.clip(qi2[:, :, None] + k[None, None, :], 0, L - 1)
+            rb = codes[ar_[:, None, None], rdpos]
+            want = ins_codes[cand]
+            ins_ok2 = np.where(k[None, None, :] < il[:, :, None],
+                               rb == want, True).all(2)
+        add_family(s0[:, None] + il, qi2,
+                   il, zero, qi2 + il, has_ins & ins_ok2)
+
+        full = np.concatenate(full_list, 1)                    # [R, 4C]
+        nf = full.sum(1)
         acc = (nf == 1) & complete & (sc0 < m)
         if not acc.any():
             return {}
+        win = np.argmax(full, 1)
+        fam = win // C
+        wc = win % C
 
-        # ops assembly for accepted rows: catalog-SNP mismatches on the
-        # split diagonal + the indel op, in position order
+        # ---- ops assembly for accepted rows ---- #
         accr = np.flatnonzero(acc)
-        gpw = gp[accr, win[accr]]                               # [A, L]
-        okw = okj[accr, win[accr]]
-        insw = in_ins[accr, win[accr]]
-        lw = (j[0] < m[accr][:, None])
-        mmw = okw & lw & ~insw & (codes[accr] != self._bb_pad[gpw])
+        A = len(accr)
+        s_w = np.stack([mt[0] for mt in meta], 1)[accr, fam[accr], wc[accr]]
+        q_w = np.stack([mt[1] for mt in meta], 1)[accr, fam[accr], wc[accr]]
+        c_w = cand[accr, wc[accr]]
+        dl_w = dl[accr, wc[accr]]
+        il_w = il[accr, wc[accr]]
+        pv_w = pv[accr, wc[accr]].astype(np.int32)
+        m_w = m[accr]
+        codes_w = codes[accr]
+        # split-diagonal backbone positions of the winning spelling
+        in_pre = j[None, :] < q_w[:, None]
+        in_insr = (il_w[:, None] > 0) & ~in_pre \
+            & (j[None, :] < (q_w + il_w)[:, None])
+        bbpos = (s_w[:, None] + j[None, :]
+                 + np.where(~in_pre, dl_w[:, None], 0)
+                 - np.where(j[None, :] >= (q_w + il_w)[:, None],
+                            il_w[:, None], 0))
+        gw = np.clip(bbpos + self._LB_PAD, 0, len(self._bb_pad) - 1)
+        in_len = j[None, :] < m_w[:, None]
+        mm = (in_len & ~in_insr
+              & (codes_w != self._bb_pad[gw]))
         single_at = self.verifier.single_at
         out = {}
-        ops_of = {}
-        for k, r in enumerate(accr.tolist()):
-            h = int(win[r])
-            c = int(claimed[r])
+        ops_all = [[] for _ in range(A)]
+        rws, cls = np.nonzero(mm)
+        for k_, jj in zip(rws.tolist(), cls.tolist()):
+            bpos = int(gw[k_, jj]) - self._LB_PAD
+            base = int(codes_w[k_, jj])
+            ops_all[k_].append(
+                ("mismatch", bpos, 1, single_at[(bpos, base)],
+                 "ACGT"[base]))
+        for k_ in range(A):
+            c = int(c_w[k_])
             if is_ins[c]:
                 seq = "".join("ACGT"[b] for b in
                               ins_codes[c, : int(ln[c])])
-                iop = ("insertion", int(pv[r, h]), int(ln[c]),
+                iop = ("insertion", int(pv_w[k_]), int(ln[c]),
                        int(ivar[c]), seq)
             else:
-                iop = ("deletion", int(pv[r, h]), int(ln[c]),
+                iop = ("deletion", int(pv_w[k_]), int(ln[c]),
                        int(ivar[c]), str(int(ln[c])))
-            ops_of[k] = ([], iop, int(q[r, h]))
-            out[int(rows[r])] = (0, None, int(s_h[r, h]), 0, int(m[r]))
-        rws, cls = np.nonzero(mmw)
-        pre = {}
-        post = {}
-        for k, jj in zip(rws.tolist(), cls.tolist()):
-            r = accr[k]
-            bpos = int(gpw[k, jj]) - self._LB_PAD
-            base = int(codes[r, jj])
-            op = ("mismatch", bpos, 1, single_at[(bpos, base)],
-                  "ACGT"[base])
-            (pre if jj < ops_of[k][2] else post).setdefault(
-                k, []).append(op)
-        for k, r in enumerate(accr.tolist()):
-            _e, iop, _q = ops_of[k]
-            ops = pre.get(k, []) + [iop] + post.get(k, [])
-            row = int(rows[r])
-            t = out[row]
-            out[row] = (t[0], ops, t[2], t[3], t[4])
+            ops = ops_all[k_]
+            at = 0
+            while at < len(ops) and ops[at][1] < iop[1]:
+                at += 1
+            ops.insert(at, iop)
+            r = int(rows[accr[k_]])
+            out[r] = (0, ops, int(s_w[k_]), 0, int(m_w[k_]))
         return out
 
     def _proposal_entries(self, codes, cand_pos, cand_scores, m,
