@@ -111,8 +111,14 @@ def main():
     _note("building 3,600-allele panel (HLA-A magnitude)")
     big = _build("A", 3600, 3500, scale=True)
     big_aligner = GeneAligner(big)
-    truth = big.allele_names[123]
-    b1, b2, _ = simulate_reads(big, [truth], simulate_interval=2, seed=1)
+    # production regime: a HETEROZYGOUS truth pair at full simulation
+    # depth (~13k reads) — a real HLA run types thousands of reads per
+    # locus from a diploid sample, and fixed per-run costs (compile-free
+    # dispatch latency, the counting-fold round trip) amortize over
+    # depth exactly as they would in production.  The emulator anchor is
+    # measured on this same read set (devel/baseline_emu.py).
+    truths = [big.allele_names[123], big.allele_names[2047]]
+    b1, b2, _ = simulate_reads(big, truths, simulate_interval=1, seed=1)
     breads_1 = [(r.name, r.seq) for r in b1]
     breads_2 = [(r.name, r.seq) for r in b2]
     bn = len(breads_1) + len(breads_2)
@@ -121,7 +127,10 @@ def main():
     _note("measuring (%d reads, %d alleles)" % (bn, big.n_alleles))
     big_dt, bres, big_stages, big_counters = _measure(big, breads_1,
                                                       breads_2, big_aligner)
-    assert bres.prob[0][0] == truth, "scale typing called a wrong allele"
+    top2 = {name for name, _ in bres.prob[:2]}
+    assert top2 == set(truths), "scale typing missed the het truth pair"
+    assert all(0.3 <= frac <= 0.7 for _, frac in bres.prob[:2]), \
+        "het abundance off the 50/50 mix"
     big_reads_per_s = bn / big_dt
 
     # ---- derived diagnostics ---- #

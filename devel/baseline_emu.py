@@ -408,7 +408,10 @@ def main():
                             primary_exon_idx=spec["primary_exon_idx"],
                             min_var_freq=0.0)
     print("[emu] measuring scale (3,600 alleles / 3.5 kb)", file=sys.stderr)
-    out["scale"] = measure(big, [big.allele_names[123]], 2, seed=1,
+    # production regime: a heterozygous truth pair at full simulation
+    # depth (~13k reads) — the read set bench.py measures on
+    out["scale"] = measure(big, [big.allele_names[123],
+                                 big.allele_names[2047]], 1, seed=1,
                            repeats=1)
     print("[emu] scale: %s" % out["scale"], file=sys.stderr)
 

@@ -378,9 +378,9 @@ class GeneAligner:
                 "results": results, "pending": pending}
 
     def _rank_entries(self, st, rank):
-        """Flat proposal entries (reads, starts, meta) of the given
-        orientation rank for the still-unresolved reads, lower-bound
-        filtered; None when nothing survives."""
+        """Flat proposal entries (reads, starts, meta, lower bounds) of
+        the given orientation rank for the still-unresolved reads,
+        lower-bound filtered; None when nothing survives."""
         flat_reads, flat_starts, flat_meta = [], [], []
         for i, order, m in st["pending"]:
             o_rc, codes, cand_p, cand_s = order[rank]
@@ -391,15 +391,18 @@ class GeneAligner:
                 flat_meta.append((i, o_rc, cf, len(sub)))
         if not flat_reads:
             return None
-        keep = self._lb_keep_meta(st, flat_meta, flat_starts)
+        lbs = self._lb_values_meta(st, flat_meta, flat_starts)
+        keep = lbs <= self.num_editdist
         if not keep.all():
             kept = np.flatnonzero(keep)
             flat_reads = [flat_reads[k] for k in kept]
             flat_starts = [flat_starts[k] for k in kept]
             flat_meta = [flat_meta[k] for k in kept]
-        return (flat_reads, flat_starts, flat_meta) if flat_reads else None
+            lbs = lbs[kept]
+        return (flat_reads, flat_starts, flat_meta, lbs) \
+            if flat_reads else None
 
-    def _lb_keep_meta(self, st, flat_meta, flat_starts):
+    def _lb_values_meta(self, st, flat_meta, flat_starts):
         """_lb_keep without materializing per-entry read copies: every
         proposal entry is a (clip, length) window of a chunk row, so one
         fancy gather from the chunk's padded code matrices builds the
@@ -442,13 +445,15 @@ class GeneAligner:
         return w_eff, W
 
     def _lb_core(self, reads_pad, starts, w_eff, W):
+        """Per-entry novel-cost lower bound (int array); callers compare
+        against num_editdist to filter, or against a found cost to skip
+        provably-losing proposals (staged verify)."""
         j = np.arange(W, dtype=np.int32)
         base_idx = (starts.astype(np.int32) + self._LB_PAD)[:, None] \
             + j[None, :]
         ok_any = self._match_ok6_dil[base_idx, reads_pad[:, :W]]
         in_win = j[None, :] < w_eff[:, None]
-        lb = (in_win & ~ok_any).sum(axis=1)
-        return lb <= self.num_editdist
+        return (in_win & ~ok_any).sum(axis=1)
 
     def _verify_pending(self, st, start_rank):
         """Pass 2: native batch verification (threads in C++), primary
@@ -464,8 +469,8 @@ class GeneAligner:
             entries = self._rank_entries(st, rank)
             if entries is None:
                 continue
-            self._resolve_entries(entries[0], entries[1], entries[2],
-                                  results)
+            self._resolve_entries_staged(entries[0], entries[1],
+                                         entries[2], entries[3], results)
             st["pending"] = [po for po in st["pending"]
                              if results[po[0]] is None]
 
@@ -566,6 +571,67 @@ class GeneAligner:
                       equal_alts.get(i, ())]
             results[i] = (tup(c, idx, cf, slen), others, o_rc)
 
+    def _resolve_entries_staged(self, flat_reads, flat_starts, flat_meta,
+                                lbs, results):
+        """Exact two-stage native verify: each read's FIRST proposal
+        entry is scored first; later proposals are scored only when
+        their novel-cost lower bound could STRICTLY beat the found cost.
+        The non-leftmost pick is first-minimal (lowest entry index among
+        minimal costs), so an unverified later entry with lb >= found
+        cost can never change the result — most reads pay one DFS
+        instead of one per proposal.  Leftmost/STR mode needs every
+        equal-cost entry (alt spellings + leftmost tie-break) and stays
+        on the single-batch path."""
+        if self.leftmost:
+            return self._resolve_entries(flat_reads, flat_starts,
+                                         flat_meta, results)
+        first = {}
+        for idx, m in enumerate(flat_meta):
+            if m[0] not in first:
+                first[m[0]] = idx
+        if len(first) == len(flat_meta):
+            return self._resolve_entries(flat_reads, flat_starts,
+                                         flat_meta, results)
+        f_idx = sorted(first.values())
+        with TRACE.stage("verify.native"):
+            cost1, nops1, ops1 = self.native.verify_raw(
+                [flat_reads[k] for k in f_idx],
+                [flat_starts[k] for k in f_idx])
+        limit = {}
+        best = {}          # i -> (cost, orig idx, batch, local row)
+        for k, idx in enumerate(f_idx):
+            i = flat_meta[idx][0]
+            c = int(cost1[k])
+            limit[i] = c if c >= 0 else self.num_editdist + 1
+            if c >= 0:
+                best[i] = (c, idx, 1, k)
+        rest = [idx for idx, m in enumerate(flat_meta)
+                if idx != first[m[0]] and int(lbs[idx]) < limit[m[0]]]
+        cost2 = nops2 = ops2 = None
+        if rest:
+            with TRACE.stage("verify.native"):
+                cost2, nops2, ops2 = self.native.verify_raw(
+                    [flat_reads[k] for k in rest],
+                    [flat_starts[k] for k in rest])
+            for k, idx in enumerate(rest):
+                c = int(cost2[k])
+                if c < 0:
+                    continue
+                i = flat_meta[idx][0]
+                cur = best.get(i)
+                if cur is None or (c, idx) < (cur[0], cur[1]):
+                    best[i] = (c, idx, 2, k)
+        for i, (c, idx, batch, k) in best.items():
+            _i, o_rc, cf, slen = flat_meta[idx]
+            if batch == 1:
+                entry_ops = self.native.ops_entries(
+                    flat_reads[idx], int(nops1[k]), ops1[k])
+            else:
+                entry_ops = self.native.ops_entries(
+                    flat_reads[idx], int(nops2[k]), ops2[k])
+            results[i] = ((c, entry_ops, int(flat_starts[idx]), cf, slen),
+                          [], o_rc)
+
     def _dp_costs(self, flat_reads, flat_starts):
         """One banded-DP dispatch over proposal entries.  E is padded to
         the next power of two and W to a multiple of 32 so XLA compiles
@@ -597,7 +663,7 @@ class GeneAligner:
         or whose DFS cost diverges (haplotype-window constraint) redo
         the full proposal set, so results stay bit-identical to the
         host-only path."""
-        flat_reads, flat_starts, flat_meta = entries
+        flat_reads, flat_starts, flat_meta = entries[:3]
         results = st["results"]
         over_reads = set()
         winner = {}
@@ -654,7 +720,8 @@ class GeneAligner:
         lens = np.array([len(r) for r in flat_reads], dtype=np.int64)
         w_eff, W = self._lb_window(starts, lens)
         reads_pad = _pad_codes_2d(flat_reads, E, W, fill=5)  # 5 never free
-        return self._lb_core(reads_pad, starts, w_eff, W)
+        return self._lb_core(reads_pad, starts, w_eff, W) \
+            <= self.num_editdist
 
     def _fast_exact_batch(self, fwd_pad, rc_pad, lens, sf, pf, sr, pr,
                           use_rc):
