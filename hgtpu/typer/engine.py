@@ -207,6 +207,38 @@ def _ht_to_ops(gene: GeneRef, novel: NovelVars, tokens):
     return ops
 
 
+def _sparse_table(v, op):
+    """Sparse RMQ table: tabs[k][i] = op over v[i : i + 2**k]."""
+    tabs = [np.asarray(v)]
+    k = 1
+    while (1 << k) <= len(v):
+        w = 1 << (k - 1)
+        prev = tabs[-1]
+        tabs.append(op(prev[: len(prev) - w], prev[w:]))
+        k += 1
+    return tabs
+
+
+def _range_query(tabs, i0, i1, op, fill):
+    """Vectorized RMQ over half-open windows [i0, i1); empty -> fill."""
+    i0 = np.atleast_1d(np.asarray(i0, np.int64))
+    i1 = np.atleast_1d(np.asarray(i1, np.int64))
+    length = i1 - i0
+    res = np.full(i0.shape, fill,
+                  dtype=tabs[0].dtype if len(tabs[0]) else np.int64)
+    nz = length > 0
+    if not nz.any():
+        return res
+    lev = np.zeros(i0.shape, np.int64)
+    lev[nz] = np.floor(np.log2(length[nz])).astype(np.int64)
+    for l in np.unique(lev[nz]).tolist():
+        m = nz & (lev == l)
+        w = 1 << l
+        t = tabs[l]
+        res[m] = op(t[i0[m]], t[i1[m] - w])
+    return res
+
+
 def _gene_shared_state(gene: GeneRef) -> dict:
     """Option-independent precomputed typing state, cached ON the
     GeneRef instance (never keyed by id(): the cache dies with the
@@ -251,20 +283,54 @@ class GeneTyper:
             if "alts" not in st:
                 st["alts"] = get_alternatives(gene)
                 st["alts_lists"] = alts_sorted_lists(*st["alts"])
-                # key positions for the fast no-ambiguity precheck
-                st["alt_key_pos"] = np.sort(np.array(
-                    [p for p, _ in st["alts_lists"][0]]
-                    + [p for p, _ in st["alts_lists"][1]], dtype=np.int64))
+                # reach-based trim gate (see may_trim): anchors + the
+                # rep's far boundary per entry, as sparse RMQ tables
+                ll, rl = st["alts_lists"]
+                La = np.fromiter((p for p, _ in ll), np.int64, len(ll))
+                Lq = np.fromiter((int(h.split("-")[0]) for _, h in ll),
+                                 np.int64, len(ll))
+                Ra = np.fromiter((p for p, _ in rl), np.int64, len(rl))
+                Rq = np.fromiter((int(h.split("-")[-1]) for _, h in rl),
+                                 np.int64, len(rl))
+                st["alt_gate"] = (La, _sparse_table(Lq, np.minimum),
+                                  Ra, _sparse_table(Rq, np.maximum))
             self.alts_left, self.alts_right = st["alts"]
             self.alts_left_list, self.alts_right_list = st["alts_lists"]
-            self._alt_key_pos = st["alt_key_pos"]
+            self._alt_gate = st["alt_gate"]
         else:
             self.alts_left, self.alts_right = {}, {}
             self.alts_left_list, self.alts_right_list = \
                 alts_sorted_lists({}, {})
-            self._alt_key_pos = np.sort(np.array([], dtype=np.int64))
+            e = np.zeros(0, np.int64)
+            self._alt_gate = (e, [e], e, [e])
         self._device_counter = None
         self._device_fold = None
+
+    def may_trim(self, lo, hi):
+        """Conservative vectorized gate: can _trim_end possibly fire for
+        a read spanning [lo, hi]?  Every hit condition in the trimming
+        scan (alts._trim_end:331-360) compares a rep boundary or a rep
+        variant position against the read edge, and the rep's own span
+        edge lower-bounds all of them — so trimming on the left needs an
+        anchor inside the span whose rep reaches left of (or to) lo, and
+        symmetrically on the right.  False is exact (no trim can fire;
+        the fast paths may emit the span ht directly); True only routes
+        the read to the slow path."""
+        lo = np.atleast_1d(np.asarray(lo, np.int64))
+        hi = np.atleast_1d(np.asarray(hi, np.int64))
+        La, Lt, Ra, Rt = self._alt_gate
+        out = np.zeros(lo.shape, dtype=bool)
+        if len(La):
+            l0 = np.searchsorted(La, lo, "left")
+            l1 = np.searchsorted(La, hi, "right")
+            q = _range_query(Lt, l0, l1, np.minimum, np.int64(1) << 60)
+            out |= q <= lo
+        if len(Ra):
+            r0 = np.searchsorted(Ra, lo, "left")
+            r1 = np.searchsorted(Ra, hi, "right")
+            q = _range_query(Rt, r0, r1, np.maximum, np.int64(-1))
+            out |= q >= hi
+        return out
 
     # ------------------------------------------------------------------ #
     def clean_hts_batch(self, alns, mpileup, use_ec, memo):
@@ -281,13 +347,7 @@ class GeneTyper:
             return
         span_l = np.fromiter((a.pos for a in alns), np.int64, N)
         span_r = np.fromiter((a.right - 1 for a in alns), np.int64, N)
-        key = self._alt_key_pos
-        if len(key):
-            i = np.searchsorted(key, span_l)
-            ok = (i >= len(key)) | \
-                (key[np.minimum(i, len(key) - 1)] > span_r)
-        else:
-            ok = np.ones(N, dtype=bool)
+        ok = ~self.may_trim(span_l, span_r)
         if use_ec and mpileup is not None:
             P = len(gene.backbone)
             code_list = [a.codes if a.codes is not None
@@ -337,13 +397,7 @@ class GeneTyper:
         span_l = np.fromiter((a.cmp[0][1] for a in alns), np.int64, N)
         span_r = np.fromiter(
             (a.cmp[-1][1] + a.cmp[-1][2] - 1 for a in alns), np.int64, N)
-        key = self._alt_key_pos
-        if len(key):
-            i = np.searchsorted(key, span_l)
-            ok = (i >= len(key)) | \
-                (key[np.minimum(i, len(key) - 1)] > span_r)
-        else:
-            ok = np.ones(N, dtype=bool)
+        ok = ~self.may_trim(span_l, span_r)
         # misalignment heuristics (read_hts): implausible deletions and
         # N bases inside insertions leave the read to the slow path
         for r in np.flatnonzero(ok).tolist():
@@ -418,9 +472,7 @@ class GeneTyper:
             if clean:
                 span_l = aln.pos
                 span_r = aln.right - 1
-                i = np.searchsorted(self._alt_key_pos, span_l)
-                no_alts = (i >= len(self._alt_key_pos)
-                           or self._alt_key_pos[i] > span_r)
+                no_alts = not bool(self.may_trim(span_l, span_r)[0])
                 supported = True
                 if opts.error_correction and mpileup is not None:
                     codes = aln.codes
@@ -459,10 +511,9 @@ class GeneTyper:
         vars_tbl = VarTable(gene, novel.meta)
         span_l = cmp_list2[0][1]
         span_r = cmp_list2[-1][1] + cmp_list2[-1][2] - 1
-        # fast path: no alternative-haplotype key position inside the read
-        # span means the trimming scan cannot fire (exact equivalence)
-        i = np.searchsorted(self._alt_key_pos, span_l)
-        if i >= len(self._alt_key_pos) or self._alt_key_pos[i] > span_r:
+        # fast path: no in-span anchor whose equivalence reaches a read
+        # edge means the trimming scan cannot fire (exact, see may_trim)
+        if not self.may_trim(span_l, span_r)[0]:
             cl, cr = 0, len(cmp_list2) - 1
             left_alts, right_alts = [str(span_l)], [str(span_r)]
         else:

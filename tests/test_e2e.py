@@ -166,3 +166,47 @@ def test_indel_clean_fast_path_matches_read_hts():
     for k, a in uniq.items():
         if k in memo:
             assert memo[k] == typer_.read_hts(a, novel, mp), k
+
+
+def test_may_trim_gate_conservative():
+    """The reach-based alt-trim gate (engine.may_trim) must route every
+    read where identify_ambiguous_diffs would fire to the slow path:
+    hts computed with the gate must equal hts with the gate forced open
+    (always slow) for every unique alignment — including reads whose
+    span overlaps alt anchors whose equivalence stays interior."""
+    import numpy as np
+
+    from hgtpu.align import GeneAligner
+    from hgtpu.typer.engine import GeneTyper, NovelVars
+    from hgtpu.typer.mpileup import Mpileup
+    from tests.synth import make_gene_msa
+
+    spec = make_gene_msa(seed=3, n_alleles=40)
+    ref, _ = build_gene_ref("A", spec["names"], spec["rows"],
+                            spec["ref_allele"], min_var_freq=0.1)
+    truths = [ref.allele_names[7], ref.allele_names[3]]
+    r1, r2, _ = simulate_reads(ref, truths, simulate_interval=3, seed=11)
+    al = GeneAligner(ref)
+    batches = al.align_batches(
+        [([r.name for r in r1], [r.seq for r in r1], "L"),
+         ([r.name for r in r2], [r.seq for r in r2], "R")])
+    alns = [a for g in batches for a in g if a is not None]
+    mp = Mpileup(ref)
+    mp.add_alignments_bulk(alns)
+    mp.finalize()
+    typer_ = GeneTyper(ref, TypingOptions())
+    gated = {}
+    novel = NovelVars()
+    for a in alns:
+        gated.setdefault((a.pos, a.seq), typer_.read_hts(a, novel, mp))
+    # the gate must actually clear some alt-overlapping reads, or this
+    # test degenerates
+    spans = np.array([[p, p + len(s) - 1] for p, s in gated])
+    assert (~typer_.may_trim(spans[:, 0], spans[:, 1])).sum() > 0
+    forced = GeneTyper(ref, TypingOptions())
+    forced.may_trim = lambda lo, hi: np.ones(
+        np.atleast_1d(np.asarray(lo)).shape, bool)
+    novel2 = NovelVars()
+    for k, a in ((k, a) for a in alns
+                 for k in [(a.pos, a.seq)] if k in gated):
+        assert gated[k] == forced.read_hts(a, novel2, mp), k
