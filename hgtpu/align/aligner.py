@@ -481,32 +481,46 @@ class GeneAligner:
         fwd_codes, rc_codes = st["fwd_codes"], st["rc_codes"]
         mate = st["mate"]
         out = []
+        P = len(self.gene.backbone)
+        ops_to_cmp_list = self.verifier.ops_to_cmp_list
+
+        def build(tup, i, is_rc):
+            cost, ops, start, clip_front, sub_len = tup
+            cmp_list, right = ops_to_cmp_list(ops, start, sub_len)
+            if right > P:
+                return None
+            codes = rc_codes[i] if is_rc else fwd_codes[i]
+            if clip_front or sub_len < len(codes):
+                codes = codes[clip_front:clip_front + sub_len]
+            # classify once here so the typing engine's hot loops test
+            # two attributes instead of re-walking cmp per alignment
+            catalog = True
+            has_indel = False
+            for e in cmp_list:
+                k = e[0]
+                if k == "match":
+                    continue
+                if e[3] is None or e[3] < 0:
+                    catalog = False
+                if k != "mismatch":
+                    has_indel = True
+            return ReadAln(
+                read_id=read_ids[i], mate=mate, pos=start, right=right,
+                cmp=cmp_list, nm=cost, is_rc=is_rc,
+                seq=decode_seq(codes), codes=codes,
+                catalog=catalog, has_indel=has_indel)
+
         for i in range(n):
             if results[i] is None:
                 out.append(None)
                 continue
             primary, others, is_rc = results[i]
-
-            def build(tup):
-                cost, ops, start, clip_front, sub_len = tup
-                cmp_list, right = self.verifier.ops_to_cmp_list(
-                    ops, start, sub_len)
-                if right > len(self.gene.backbone):
-                    return None
-                codes = rc_codes[i] if is_rc else fwd_codes[i]
-                if clip_front or sub_len < len(codes):
-                    codes = codes[clip_front:clip_front + sub_len]
-                return ReadAln(
-                    read_id=read_ids[i], mate=mate, pos=start, right=right,
-                    cmp=cmp_list, nm=cost, is_rc=is_rc,
-                    seq=decode_seq(codes), codes=codes)
-
-            aln = build(primary)
+            aln = build(primary, i, is_rc)
             if aln is None:
                 out.append(None)
                 continue
             if others:
-                aln.alts = [a for a in (build(t) for t in others)
+                aln.alts = [a for a in (build(t, i, is_rc) for t in others)
                             if a is not None][:8]
             out.append(aln)
         return out

@@ -27,6 +27,10 @@ class ReadAln:
     alts: list = None       # equal-cost alternative spellings [ReadAln]
                             # (STR loci: periodic repeats make several
                             # starts exactly equivalent; all must count)
+    catalog: object = None  # every non-match op is a catalog variant
+                            # (None = not computed, e.g. SAM-parsed)
+    has_indel: object = None  # cmp holds a deletion/insertion op
+                              # (None = not computed)
 
     @property
     def mapped(self) -> bool:

@@ -417,11 +417,17 @@ class GeneTyper:
                 rp += length
         if use_ec and mpileup is not None and ok.any():
             # pileup support of every aligned base, through the indel
-            # frame shifts: one flat gather over per-op match segments
-            rows, bbs, cds = [], [], []
+            # frame shifts: one flat gather over per-op match segments.
+            # Per-segment (row, start, read-pos, length) scalars are
+            # collected in the walk; the position/code expansion happens
+            # once via repeat + offset arange (no per-segment array
+            # allocs — measured 65k np.full/arange calls at depth)
+            seg_r, seg_bb, seg_rp, seg_ln = [], [], [], []
+            cds = []
             for r in np.flatnonzero(ok).tolist():
                 a = alns[r]
                 codes = a.codes if a.codes is not None else encode_seq(a.seq)
+                cds.append(codes)
                 rp = 0
                 for kind, pos, length, _vi, _d in a.cmp:
                     if kind == "deletion":
@@ -429,14 +435,31 @@ class GeneTyper:
                     if kind == "insertion":
                         rp += length
                         continue
-                    bbs.append(np.arange(pos, pos + length, dtype=np.int64))
-                    cds.append(codes[rp:rp + length])
-                    rows.append(np.full(length, r, np.int64))
+                    seg_r.append(r)
+                    seg_bb.append(pos)
+                    seg_rp.append(rp)
+                    seg_ln.append(length)
                     rp += length
-            if rows:
-                bb = np.concatenate(bbs)
-                cd = np.concatenate(cds)
-                rw = np.concatenate(rows)
+            if seg_r:
+                S = len(seg_r)
+                ln = np.asarray(seg_ln, np.int64)
+                tot = int(ln.sum())
+                base = np.arange(tot, dtype=np.int64) \
+                    - np.repeat(np.cumsum(ln) - ln, ln)
+                bb = np.repeat(np.asarray(seg_bb, np.int64), ln) + base
+                rw = np.repeat(np.asarray(seg_r, np.int64), ln)
+                # per-read code gather: index into each read's codes at
+                # (seg read-pos + offset) via one concatenated buffer
+                lens_c = np.fromiter((len(c) for c in cds), np.int64,
+                                     len(cds))
+                starts_c = np.cumsum(lens_c) - lens_c
+                row_of = {r: k for k, r in
+                          enumerate(np.flatnonzero(ok).tolist())}
+                seg_row = np.fromiter((row_of[r] for r in seg_r),
+                                      np.int64, S)
+                cd = np.concatenate(cds)[
+                    np.repeat(starts_c[seg_row]
+                              + np.asarray(seg_rp, np.int64), ln) + base]
                 sup = mpileup.rep6[bb, cd]
                 bad = mpileup.rep_any[bb] & ~sup
                 ok[np.unique(rw[bad])] = False
@@ -794,16 +817,19 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
             k = (a.pos, a.seq)
             if k in uniq_clean or k in uniq_indel:
                 continue
-            catalog = True
-            has_indel = False
-            for e in a.cmp:
-                if e[0] == "match":
-                    continue
-                if e[3] is None or e[3] < 0:
-                    catalog = False
-                    break
-                if e[0] != "mismatch":
-                    has_indel = True
+            catalog = a.catalog
+            has_indel = a.has_indel
+            if catalog is None:        # SAM-parsed: classify here
+                catalog = True
+                has_indel = False
+                for e in a.cmp:
+                    if e[0] == "match":
+                        continue
+                    if e[3] is None or e[3] < 0:
+                        catalog = False
+                        break
+                    if e[0] != "mismatch":
+                        has_indel = True
             if not catalog:
                 continue
             (uniq_indel if has_indel else uniq_clean)[k] = a

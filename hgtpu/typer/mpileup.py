@@ -81,10 +81,15 @@ class Mpileup:
                 else encode_seq(aln.seq)
             # indel-free alignments (the common case) cover one contiguous
             # backbone span with the whole read: one segment, no walk
-            for entry in aln.cmp:
-                if entry[0] not in ("match", "mismatch"):
-                    break
-            else:
+            # (the aligner pre-classifies; SAM-parsed alns walk cmp)
+            clean = aln.has_indel is False
+            if clean is False and aln.has_indel is None:
+                for entry in aln.cmp:
+                    if entry[0] not in ("match", "mismatch"):
+                        break
+                else:
+                    clean = True
+            if clean:
                 pos = aln.cmp[0][1]
                 n = min(len(codes), P - pos)
                 if n > 0:
