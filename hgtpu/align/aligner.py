@@ -445,15 +445,30 @@ class GeneAligner:
         return w_eff, W
 
     def _lb_core(self, reads_pad, starts, w_eff, W):
-        """Per-entry novel-cost lower bound (int array); callers compare
-        against num_editdist to filter, or against a found cost to skip
-        provably-losing proposals (staged verify)."""
-        j = np.arange(W, dtype=np.int32)
-        base_idx = (starts.astype(np.int32) + self._LB_PAD)[:, None] \
-            + j[None, :]
-        ok_any = self._match_ok6_dil[base_idx, reads_pad[:, :W]]
-        in_win = j[None, :] < w_eff[:, None]
-        return (in_win & ~ok_any).sum(axis=1)
+        """Per-entry novel-cost lower bound, CAPPED at num_editdist + 1
+        (every caller only compares against costs <= the budget, so the
+        cap loses nothing).  Scans in 64-column blocks and drops entries
+        once they hit the cap — wrong-placement proposals accumulate
+        mismatches within the first block, so the full [E, W] table
+        gather is rarely paid."""
+        cap = np.int64(self.num_editdist + 1)
+        E = len(starts)
+        lb = np.zeros(E, np.int64)
+        base0 = starts.astype(np.int32) + self._LB_PAD
+        active = np.arange(E)
+        CH = 64
+        for at in range(0, W, CH):
+            w = min(CH, W - at)
+            j = np.arange(at, at + w, dtype=np.int32)
+            bi = base0[active][:, None] + j[None, :]
+            ok_any = self._match_ok6_dil[bi, reads_pad[active][:, at:at + w]]
+            in_win = j[None, :] < w_eff[active][:, None]
+            lb[active] += (in_win & ~ok_any).sum(axis=1)
+            still = (lb[active] < cap) & (w_eff[active] > at + w)
+            active = active[still]
+            if not len(active):
+                break
+        return np.minimum(lb, cap)
 
     def _verify_pending(self, st, start_rank):
         """Pass 2: native batch verification (threads in C++), primary
