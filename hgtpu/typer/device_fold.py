@@ -77,8 +77,11 @@ class DeviceFold:
         # ---- sub-ht prep: full + exon + primary projections ---- #
         # catalog-only hts project identically across runs of one gene;
         # novel-var hts ('nv' tokens) depend on the run's registry and
-        # are never cached
-        proj_cache = self.__dict__.setdefault("_proj_cache", {})
+        # are never cached.  The cache lives on the gene's shared typing
+        # state so repeat runs (and fresh GeneTyper instances) reuse it.
+        from .engine import _gene_shared_state
+        proj_cache = _gene_shared_state(self.gene).setdefault(
+            "fold_proj_cache", {})
         sub_hts = []
         ht_seg_l = []
         kmax = 1

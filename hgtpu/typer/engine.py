@@ -730,21 +730,28 @@ def _concordant(alns, opts: TypingOptions):
     """Pair concordance filter: both mates mapped, opposite orientation,
     within the fragment bound (ref: hisat2 -X 1000 + flag 0x2 check at
     typing_core.py:826-852).  Returns the usable alignments or None."""
-    alns = [a for a in alns if a is not None]
-    if not alns:
+    out = []
+    lm = rm = None
+    for a in alns:
+        if a is None:
+            continue
+        out.append(a)
+        if a.mate == "L":
+            if lm is None:
+                lm = a
+        elif rm is None:
+            rm = a
+    if not out:
         return None
     if opts.allow_discordant:
-        return alns
-    left_m = [a for a in alns if a.mate == "L"]
-    right_m = [a for a in alns if a.mate == "R"]
-    if not left_m or not right_m:
+        return out
+    if lm is None or rm is None:
         return None
-    lm, rm = left_m[0], right_m[0]
     if lm.is_rc == rm.is_rc:
         return None
     if max(lm.right, rm.right) - min(lm.pos, rm.pos) > 1000:
         return None
-    return alns
+    return out
 
 
 def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
@@ -766,7 +773,6 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     num_pairs = 0
     asm_reads = []
     ht_cache = {}
-    counted_reads = []
 
     read_alns = list(read_alns)
     # concordance is a pure function of the pair; resolve it once for both
@@ -850,16 +856,38 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
 
     _t_hts = TRACE.stage("type.read_hts")
     _t_hts.__enter__()
-    for read_id, alns in conc_alns:
-        if alns is None:
-            continue
+    # Pair-signature dedup: a read pair's positive ht set (and its
+    # num_reads contribution) is a pure function of its alignments'
+    # (mate, pos, seq, nm) tuples — the edit script, alt spellings, and
+    # error correction are all deterministic in those plus per-gene
+    # state fixed after the pileup pass.  Duplicate pairs (tiled
+    # simulation, deep resequencing) fold into one weighted evaluation.
+    # Assembly mode keeps the per-read loop (assembly needs read ids).
+    sig_groups = {}
+    if not opts.assembly:
+        for read_id, alns in conc_alns:
+            if alns is None:
+                continue
+            sig = tuple((a.mate, a.pos, a.seq, a.nm) for a in alns)
+            hit = sig_groups.get(sig)
+            if hit is None:
+                sig_groups[sig] = [read_id, alns, 1]
+            else:
+                hit[2] += 1
+        work = sig_groups.values()
+    else:
+        work = ([rid, alns, 1] for rid, alns in conc_alns
+                if alns is not None)
+    grouped = {}
+    for read_id, alns, w in work:
         left_hts = set()
         right_hts = set()
         per_mate_hts = []
+        n_counted = 0
         for a in alns:
             if a.nm > opts.num_editdist:
                 continue
-            num_reads += 1
+            n_counted += 1
             hts = memo_hts(a)
             if hts is not None:
                 (left_hts if a.mate == "L" else right_hts).update(hts)
@@ -872,6 +900,7 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
                 if alt_hts is not None:
                     (left_hts if a.mate == "L"
                      else right_hts).update(alt_hts)
+        num_reads += w * n_counted
         if interdist is not None and interdist >= 0:
             left_hts, right_hts = choose_pairs(
                 left_hts, right_hts, interdist,
@@ -879,15 +908,20 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
         positive_hts = left_hts | right_hts
         if not positive_hts:
             continue
-        num_pairs += 1
+        num_pairs += w
         if opts.assembly:
             asm_reads.append((read_id, per_mate_hts))
-        counted_reads.append(positive_hts)
+        key = frozenset(positive_hts)
+        hit = grouped.get(key)
+        if hit is None:
+            grouped[key] = [w, positive_hts]
+        else:
+            hit[0] += w
     _t_hts.__exit__(None, None, None)
 
     # batch the per-ht compatibility masks through the device counter
     unique_hts = set()
-    for hts in counted_reads:
+    for _w, hts in grouped.values():
         unique_hts |= hts
     # Device-vs-host counting: on a tunneled chip each dispatch pays a
     # 10-30 ms round trip, so small panels stay on host; at IMGT width
@@ -896,18 +930,9 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     # A=3600) and the fused device program (device_fold.DeviceFold)
     # wins, so "auto" switches to device there.
     hts_sorted = sorted(unique_hts)
-
-    # fold identical ht sets into one weighted read (first-seen class
-    # creation order is preserved because equal ht sets always map to
-    # equal class keys at every level)
-    grouped = {}
-    for positive_hts in counted_reads:
-        key = frozenset(positive_hts)
-        hit = grouped.get(key)
-        if hit is None:
-            grouped[key] = [1, positive_hts]
-        else:
-            hit[0] += 1
+    # grouped ht-set classes were folded with weights inside the loop
+    # above (first-seen class creation order preserved: equal ht sets
+    # always map to equal class keys at every level)
 
     use_device = opts.device_counting == "on" or (
         opts.device_counting == "auto"
