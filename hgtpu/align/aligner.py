@@ -874,38 +874,41 @@ class GeneAligner:
         nxt = np.minimum(c0 + C, D)
         complete = (c0 + C >= D) | (pos[nxt] > s0 + m + max_shift)
 
-        # mismatch prefix-sums per distinct diagonal shift:
-        # PM[r, s, j] = #{j' < j < m : read base j' not free at
-        # backbone s0 + shift_s + j'}
+        # Every hypothesis test below is "no novel mismatch in an
+        # interval anchored at 0 or m" on some shifted diagonal, so two
+        # [R, S] index planes — first and last novel-mismatch position
+        # per distinct shift — answer every (candidate, anchor) query
+        # without materializing [R, S, L] prefix sums.
         shifts = sorted({0} | {int(d) for d in ln[:D] if d}
                         | {-int(d) for d in ln[:D] if d})
-        sidx = {d: k for k, d in enumerate(shifts)}
         sh = np.asarray(shifts, np.int32)
+        S = len(shifts)
         j = np.arange(L, dtype=np.int32)
         base = (s0[:, None] + self._LB_PAD) + j[None, :]        # [R, L]
-        ok0 = np.zeros((R, len(shifts), L), bool)
+        first = np.empty((R, S), np.int32)   # first novel mm, m if none
+        last = np.empty((R, S), np.int32)    # last novel mm, -1 if none
         for k, d in enumerate(shifts):
             idx = np.clip(base + d, 0, len(self._match_ok6) - 1)
-            ok0[:, k] = self._match_ok6[idx, codes]
-        mis = (~ok0) & (j[None, None, :] < m[:, None, None])
-        PM = np.zeros((R, len(shifts), L + 1), np.int16)
-        np.cumsum(mis, axis=2, out=PM[:, :, 1:], dtype=np.int16)
-        PMm = PM[np.arange(R), :, m]                            # [R, S]
+            misk = ~self._match_ok6[idx, codes] & (j[None, :] < m[:, None])
+            any_ = misk.any(1)
+            first[:, k] = np.where(any_, misk.argmax(1), m)
+            last[:, k] = np.where(any_, L - 1 - misk[:, ::-1].argmax(1),
+                                  -1)
 
         dl = np.where(is_ins[cand], 0, ln[cand]).astype(np.int32)
         il = np.where(is_ins[cand], ln[cand], 0).astype(np.int32)
         pv = pos[cand].astype(np.int64)
         ar_ = np.arange(R)
 
-        def pm_at(shift_arr, q):
-            """PM[r, sidx[shift_arr[r,c]], q[r,c]] — [R, C]."""
+        def clean_prefix(shift_arr, q):
+            """No novel mismatch in [0, q) on the shifted diagonal."""
             si = np.searchsorted(sh, shift_arr)
-            qc = np.clip(q, 0, L)
-            return PM[ar_[:, None], si, qc]
+            return first[ar_[:, None], si] >= q
 
-        def pm_tot(shift_arr):
+        def clean_suffix(shift_arr, lo):
+            """No novel mismatch in [lo, m) on the shifted diagonal."""
             si = np.searchsorted(sh, shift_arr)
-            return PMm[ar_[:, None], si]
+            return last[ar_[:, None], si] < lo
 
         zero = np.zeros_like(dl)
         # insertion content match per candidate (read-relative junction q
@@ -917,9 +920,8 @@ class GeneAligner:
             valid = ((cand < D) & (s_h >= 0) & (q >= 1)
                      & (suf_from <= m[:, None] - 1)
                      & (s_h + m[:, None] - 1 + dl - il <= P - 1))
-            pre_clean = pm_at(pre_shift, q) == 0
-            suf_clean = (pm_tot(suf_shift)
-                         - pm_at(suf_shift, suf_from)) == 0
+            pre_clean = clean_prefix(pre_shift, q)
+            suf_clean = clean_suffix(suf_shift, suf_from)
             full_list.append(valid & pre_clean & suf_clean & extra_ok)
             meta.append((s_h, q))
 
