@@ -780,6 +780,23 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     conc_alns = [(read_id, _concordant(alns, opts))
                  for read_id, alns in read_alns]
 
+    # Pair-signature dedup, shared by the pileup and counting passes: a
+    # pair's pileup contribution and its positive ht set are pure
+    # functions of its alignments' (mate, pos, seq, nm) tuples, so
+    # duplicate pairs (tiled simulation, deep resequencing) fold into
+    # one weighted evaluation.  Assembly keeps per-read identity.
+    sig_groups = {}
+    if not opts.assembly:
+        for read_id, alns in conc_alns:
+            if alns is None:
+                continue
+            sig = tuple((a.mate, a.pos, a.seq, a.nm) for a in alns)
+            hit = sig_groups.get(sig)
+            if hit is None:
+                sig_groups[sig] = [read_id, alns, 1]
+            else:
+                hit[2] += 1
+
     # pass 1: pileup over all concordant alignments (no NM filter, as in
     # get_mpileup — typing_common.py:1059-1184)
     mpileup = None
@@ -788,11 +805,18 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
         with TRACE.stage("type.pileup"):
             mpileup = Mpileup(gene)
             bulk = []
-            for _read_id, alns in conc_alns:
-                if alns is None:
-                    continue
-                bulk.extend(alns)
-            mpileup.add_alignments_bulk(bulk)
+            bulk_w = []
+            if not opts.assembly:
+                for _rid, alns, w in sig_groups.values():
+                    bulk.extend(alns)
+                    bulk_w.extend([w] * len(alns))
+            else:
+                for _read_id, alns in conc_alns:
+                    if alns is None:
+                        continue
+                    bulk.extend(alns)
+                bulk_w = None
+            mpileup.add_alignments_bulk(bulk, weights=bulk_w)
             mpileup.finalize()
 
     # expected mate inter-distance for CODIS pair disambiguation
@@ -856,24 +880,7 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
 
     _t_hts = TRACE.stage("type.read_hts")
     _t_hts.__enter__()
-    # Pair-signature dedup: a read pair's positive ht set (and its
-    # num_reads contribution) is a pure function of its alignments'
-    # (mate, pos, seq, nm) tuples — the edit script, alt spellings, and
-    # error correction are all deterministic in those plus per-gene
-    # state fixed after the pileup pass.  Duplicate pairs (tiled
-    # simulation, deep resequencing) fold into one weighted evaluation.
-    # Assembly mode keeps the per-read loop (assembly needs read ids).
-    sig_groups = {}
     if not opts.assembly:
-        for read_id, alns in conc_alns:
-            if alns is None:
-                continue
-            sig = tuple((a.mate, a.pos, a.seq, a.nm) for a in alns)
-            hit = sig_groups.get(sig)
-            if hit is None:
-                sig_groups[sig] = [read_id, alns, 1]
-            else:
-                hit[2] += 1
         work = sig_groups.values()
     else:
         work = ([rid, alns, 1] for rid, alns in conc_alns

@@ -49,11 +49,13 @@ class Mpileup:
             else:  # insertion consumes read only
                 read_pos += length
 
-    def add_alignments_bulk(self, alns):
+    def add_alignments_bulk(self, alns, weights=None):
         """Accumulate many ReadAlns in one pass: base columns through a
         single bincount over flattened (pos, code) keys, deletion columns
         through a difference array — same totals as repeated
-        add_alignment calls without the per-read ufunc dispatch."""
+        add_alignment calls without the per-read ufunc dispatch.
+        `weights` (optional, aligned with alns) counts each alignment
+        that many times — the caller's pair-level dedup weight."""
         from ..utils.dna import encode_seq
 
         P = self.counts.shape[0]
@@ -67,15 +69,16 @@ class Mpileup:
         # only distinct alignments are walked; duplicates contribute via
         # integer weights in the bincount
         grouped = {}
-        for aln in alns:
+        for i, aln in enumerate(alns):
             if not aln.cmp:
                 continue
             key = (aln.pos, aln.seq)
+            wi = 1 if weights is None else weights[i]
             hit = grouped.get(key)
             if hit is None:
-                grouped[key] = [aln, 1]
+                grouped[key] = [aln, wi]
             else:
-                hit[1] += 1
+                hit[1] += wi
         for aln, w in grouped.values():
             codes = aln.codes if aln.codes is not None \
                 else encode_seq(aln.seq)
