@@ -38,3 +38,31 @@ def test_correction_rescues_reads(generef):
         perbase_errorrate=2.0,
         opts=TypingOptions(simulation=True, error_correction=True))
     assert n_on == 2
+
+
+def test_mpileup_weighted_equals_expanded(generef):
+    """add_alignments_bulk(weights=...) must equal feeding the duplicate
+    alignments expanded — the pair-dedup pileup contract."""
+    import numpy as np
+
+    from hgtpu.align import GeneAligner
+    from hgtpu.sim import simulate_reads
+    from hgtpu.typer.mpileup import Mpileup
+
+    al = GeneAligner(generef)
+    r1, r2, _ = simulate_reads(generef, [generef.allele_names[5]],
+                               simulate_interval=7, seed=2)
+    outs = al.align_batches(
+        [([r.name for r in r1], [r.seq for r in r1], "L"),
+         ([r.name for r in r2], [r.seq for r in r2], "R")])
+    alns = [a for g in outs for a in g if a is not None]
+    w = [1 + (i % 3) for i in range(len(alns))]
+    mp_w = Mpileup(generef)
+    mp_w.add_alignments_bulk(alns, weights=w)
+    mp_w.finalize()
+    expanded = [a for a, wi in zip(alns, w) for _ in range(wi)]
+    mp_e = Mpileup(generef)
+    mp_e.add_alignments_bulk(expanded)
+    mp_e.finalize()
+    assert (mp_w.counts == mp_e.counts).all()
+    assert (mp_w.rep == mp_e.rep).all()
