@@ -50,11 +50,13 @@ def _note(msg):
     print("[bench] %s" % msg, file=sys.stderr, flush=True)
 
 
-def _measure(ref, reads_1, reads_2, aligner, opts=None, repeats=3):
+def _measure(ref, reads_1, reads_2, aligner, opts=None, repeats=None):
     """Best-of-N e2e typing wall time; returns (best_dt, res, stage
     summary + counters of the best run).  The TPU tunnel adds +-40%
     dispatch-latency noise, so the fastest run is the honest hardware
-    number."""
+    number.  HGTPU_BENCH_REPEATS overrides N (default 3)."""
+    if repeats is None:
+        repeats = int(os.environ.get("HGTPU_BENCH_REPEATS", "3"))
     from hgtpu.pipeline import type_reads
     from hgtpu.utils.trace import TRACE
 
