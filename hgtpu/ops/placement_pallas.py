@@ -7,13 +7,15 @@ a tuning surface (XLA's matmul is the default; this kernel exists so the
 hot op can be hand-scheduled when profiling says so) and as the pattern
 for fusing score thresholding into the product later.
 
-Status: bit-validated against the XLA path in interpret mode
-(tests/test_fm.py); compiles and executes on the v5e (8 s cold incl.
-mosaic compile), but the tunneled dev chip's runtime became unresponsive
-when cross-comparing its output buffer against the XLA result in the
-same process — treat as an experimental backend until validated on
-locally attached hardware (see ops/compat_kernel.py for the pallas
-kernel that is hardware-validated end to end).
+Status: HARDWARE-VALIDATED on the v5e (2026-08-20,
+devel/tpu_experiments.py): output compared on the HOST against the XLA
+matmul path — bit-equal (max_err=0) at [1024, 128]x[3500] — and timing
+parity (pallas 5.7 ms vs XLA 5.9 ms per call).  XLA stays the default
+(no measured win — its matmul already saturates the MXU for this
+shape); this kernel remains the tuning surface for fusing score
+thresholding into the product.  The round-2 attempt compared buffers
+on-device and wedged the tunneled runtime; host-side comparison is the
+reliable recipe.
 """
 from __future__ import annotations
 

@@ -23,9 +23,24 @@ from .exons import get_exon_haplotypes
 
 
 # allele-panel width at which device_counting="auto" switches the
-# counting+class fold onto the device (host reduceat is memory-bound
-# there; measured on the v5e tunnel, see device_fold.py)
+# counting+class fold onto the device on CPU backends (host reduceat is
+# memory-bound there; measured on the v5e tunnel, see device_fold.py).
+# On a TPU backend the fused fold wins at EVERY panel width — measured
+# +23% end-to-end on the 60-allele toy even over a ~25 ms-RTT tunnel
+# (devel/tpu_experiments.py toy-device-fold) — so auto always takes it;
+# the CPU threshold keeps small-gene CLI runs and the test suite off
+# per-shape XLA compiles that the host fold beats.
 DEVICE_FOLD_MIN_A = 1024
+
+_TPU_BACKEND = None
+
+
+def _tpu_backend() -> bool:
+    global _TPU_BACKEND
+    if _TPU_BACKEND is None:
+        import jax
+        _TPU_BACKEND = jax.default_backend() == "tpu"
+    return _TPU_BACKEND
 
 
 @dataclasses.dataclass
@@ -943,7 +958,7 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
 
     use_device = opts.device_counting == "on" or (
         opts.device_counting == "auto"
-        and gene.n_alleles >= DEVICE_FOLD_MIN_A)
+        and (gene.n_alleles >= DEVICE_FOLD_MIN_A or _tpu_backend()))
     folded = None
     if use_device and grouped:
         with TRACE.stage("type.count_fold.device"):
