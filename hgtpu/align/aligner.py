@@ -765,24 +765,29 @@ class GeneAligner:
         valid = (s0 >= 0) & (s0 + lens <= P) & (sc0 >= lens)
         if not valid.any():
             return {}
-        codes_pad = np.where(use_rc[:, None], rc_pad, fwd_pad)
+        # the full-score gate admits ~half the chunk; gather only those
+        # rows instead of the whole [R, L] plane
+        vr = np.flatnonzero(valid)
+        s0v = s0[vr]
+        lensv = lens[vr]
+        codes_pad = np.where(use_rc[vr, None], rc_pad[vr], fwd_pad[vr])
         j = np.arange(L, dtype=np.int32)
-        idx = (s0.astype(np.int32) + self._LB_PAD)[:, None] + j[None, :]
+        idx = (s0v.astype(np.int32) + self._LB_PAD)[:, None] + j[None, :]
         np.clip(idx, 0, len(self._match_ok6) - 1, out=idx)
         free = self._match_ok6[idx, codes_pad]
-        in_len = j[None, :] < lens[:, None]
-        ok = valid & ~(in_len & ~free).any(axis=1)
-        if not ok.any():
+        in_len = j[None, :] < lensv[:, None]
+        okv = ~(in_len & ~free).any(axis=1)
+        if not okv.any():
             return {}
-        out = {int(i): (0, [], int(s0[i]), 0, int(lens[i]))
-               for i in np.flatnonzero(ok)}
-        mism = in_len & (codes_pad != self._bb_pad[idx]) & ok[:, None]
+        out = {int(vr[i]): (0, [], int(s0v[i]), 0, int(lensv[i]))
+               for i in np.flatnonzero(okv)}
+        mism = in_len & (codes_pad != self._bb_pad[idx]) & okv[:, None]
         single_at = self.verifier.single_at
         rows, cols = np.nonzero(mism)
         for r_, c_ in zip(rows.tolist(), cols.tolist()):
-            pos = int(s0[r_]) + c_
+            pos = int(s0v[r_]) + c_
             base = int(codes_pad[r_, c_])
-            out[r_][1].append(
+            out[int(vr[r_])][1].append(
                 ("mismatch", pos, 1, single_at[(pos, base)],
                  "ACGT"[base]))
         return out
