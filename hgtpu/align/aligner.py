@@ -420,11 +420,19 @@ class GeneAligner:
         lens = np.fromiter((m[3] for m in flat_meta), np.int64, E)
         starts = np.asarray(flat_starts, dtype=np.int64)
         w_eff, W = self._lb_window(starts, lens)
-        j = np.arange(W, dtype=np.int64)
-        col = np.minimum(cfs[:, None] + j[None, :], comb.shape[1] - 1)
-        reads_pad = comb[rows[:, None], col]
-        reads_pad[j[None, :] >= lens[:, None]] = 5   # 5 never free
-        return self._lb_core(reads_pad, starts, w_eff, W)
+
+        def fetch(active, at, w):
+            # gather one 64-column block for the still-active entries
+            # only: most wrong proposals die in the first block, so the
+            # full [E, W] gather is never materialized
+            jj = np.arange(at, at + w, dtype=np.int64)
+            col = np.minimum(cfs[active][:, None] + jj[None, :],
+                             comb.shape[1] - 1)
+            rp = comb[rows[active][:, None], col]
+            rp[jj[None, :] >= lens[active][:, None]] = 5   # 5 never free
+            return rp
+
+        return self._lb_core(fetch, E, starts, w_eff, W)
 
     def _lb_window(self, starts, lens):
         """(w_eff, W): per-entry scan window before the first catalog
@@ -444,15 +452,15 @@ class GeneAligner:
         W = int(min(lens.max(), max(1, w_eff.max()), self._LB_TAIL))
         return w_eff, W
 
-    def _lb_core(self, reads_pad, starts, w_eff, W):
+    def _lb_core(self, fetch, E, starts, w_eff, W):
         """Per-entry novel-cost lower bound, CAPPED at num_editdist + 1
         (every caller only compares against costs <= the budget, so the
         cap loses nothing).  Scans in 64-column blocks and drops entries
         once they hit the cap — wrong-placement proposals accumulate
         mismatches within the first block, so the full [E, W] table
-        gather is rarely paid."""
+        gather is rarely paid.  `fetch(active, at, w)` supplies the code
+        block [len(active), w] for the active entries."""
         cap = np.int64(self.num_editdist + 1)
-        E = len(starts)
         lb = np.zeros(E, np.int64)
         base0 = starts.astype(np.int32) + self._LB_PAD
         active = np.arange(E)
@@ -461,7 +469,7 @@ class GeneAligner:
             w = min(CH, W - at)
             j = np.arange(at, at + w, dtype=np.int32)
             bi = base0[active][:, None] + j[None, :]
-            ok_any = self._match_ok6_dil[bi, reads_pad[active][:, at:at + w]]
+            ok_any = self._match_ok6_dil[bi, fetch(active, at, w)]
             in_win = j[None, :] < w_eff[active][:, None]
             lb[active] += (in_win & ~ok_any).sum(axis=1)
             still = (lb[active] < cap) & (w_eff[active] > at + w)
@@ -589,11 +597,18 @@ class GeneAligner:
                 if i in best and c == best[i][0] and idx != best[i][1]:
                     equal_alts.setdefault(i, []).append(
                         (c, idx, o_rc, cf, slen))
+        # batch-materialize every needed edit script in one pass
+        need = []                     # flat entry indices, winners first
+        for i, (c, idx, o_rc, cf, slen) in best.items():
+            need.append(idx)
+            need.extend(e[1] for e in equal_alts.get(i, ()))
+        ops_by_idx = dict(zip(need, self.native.ops_entries_batch(
+            [flat_reads[k] for k in need],
+            [nops[k] for k in need],
+            [ops[k] for k in need])))
         for i, (c, idx, o_rc, cf, slen) in best.items():
             def tup(c_, idx_, cf_, slen_):
-                return (c_,
-                        self.native.ops_entries(
-                            flat_reads[idx_], int(nops[idx_]), ops[idx_]),
+                return (c_, ops_by_idx[idx_],
                         int(flat_starts[idx_]), cf_, slen_)
             others = [tup(c_, idx_, cf_, slen_)
                       for c_, idx_, _rc, cf_, slen_ in
@@ -650,14 +665,15 @@ class GeneAligner:
                 cur = best.get(i)
                 if cur is None or (c, idx) < (cur[0], cur[1]):
                     best[i] = (c, idx, 2, k)
-        for i, (c, idx, batch, k) in best.items():
+        items = list(best.items())
+        all_ops = self.native.ops_entries_batch(
+            [flat_reads[idx] for _i, (_c, idx, _b, _k) in items],
+            [(nops1[k] if batch == 1 else nops2[k])
+             for _i, (_c, _idx, batch, k) in items],
+            [(ops1[k] if batch == 1 else ops2[k])
+             for _i, (_c, _idx, batch, k) in items])
+        for (i, (c, idx, batch, k)), entry_ops in zip(items, all_ops):
             _i, o_rc, cf, slen = flat_meta[idx]
-            if batch == 1:
-                entry_ops = self.native.ops_entries(
-                    flat_reads[idx], int(nops1[k]), ops1[k])
-            else:
-                entry_ops = self.native.ops_entries(
-                    flat_reads[idx], int(nops2[k]), ops2[k])
             results[i] = ((c, entry_ops, int(flat_starts[idx]), cf, slen),
                           [], o_rc)
 
@@ -749,7 +765,11 @@ class GeneAligner:
         lens = np.array([len(r) for r in flat_reads], dtype=np.int64)
         w_eff, W = self._lb_window(starts, lens)
         reads_pad = _pad_codes_2d(flat_reads, E, W, fill=5)  # 5 never free
-        return self._lb_core(reads_pad, starts, w_eff, W) \
+
+        def fetch(active, at, w):
+            return reads_pad[active][:, at:at + w]
+
+        return self._lb_core(fetch, E, starts, w_eff, W) \
             <= self.num_editdist
 
     def _fast_exact_batch(self, fwd_pad, rc_pad, lens, sf, pf, sr, pr,
@@ -765,8 +785,12 @@ class GeneAligner:
         valid = (s0 >= 0) & (s0 + lens <= P) & (sc0 >= lens)
         if not valid.any():
             return {}
-        # the full-score gate admits ~half the chunk; gather only those
-        # rows instead of the whole [R, L] plane
+        # the placement score IS the free-base count on this diagonal
+        # (backbone_pwm and _match_ok6 encode the same backbone-or-SNP
+        # predicate, with the PWM strictly tighter on N bases), so a
+        # full score sc0 == lens already proves every base free — no
+        # per-base re-check gather is needed, only the mismatch
+        # (catalog-SNP) extraction for the admitted rows.
         vr = np.flatnonzero(valid)
         s0v = s0[vr]
         lensv = lens[vr]
@@ -774,14 +798,11 @@ class GeneAligner:
         j = np.arange(L, dtype=np.int32)
         idx = (s0v.astype(np.int32) + self._LB_PAD)[:, None] + j[None, :]
         np.clip(idx, 0, len(self._match_ok6) - 1, out=idx)
-        free = self._match_ok6[idx, codes_pad]
         in_len = j[None, :] < lensv[:, None]
-        okv = ~(in_len & ~free).any(axis=1)
-        if not okv.any():
-            return {}
-        out = {int(vr[i]): (0, [], int(s0v[i]), 0, int(lensv[i]))
-               for i in np.flatnonzero(okv)}
-        mism = in_len & (codes_pad != self._bb_pad[idx]) & okv[:, None]
+        out = {int(r): (0, [], int(s), 0, int(l))
+               for r, s, l in zip(vr.tolist(), s0v.tolist(),
+                                  lensv.tolist())}
+        mism = in_len & (codes_pad != self._bb_pad[idx])
         single_at = self.verifier.single_at
         rows, cols = np.nonzero(mism)
         for r_, c_ in zip(rows.tolist(), cols.tolist()):

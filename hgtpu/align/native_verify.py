@@ -193,19 +193,35 @@ class NativeVerifier:
     @staticmethod
     def ops_entries(read, nops, ops_row):
         """Materialize one result's ops as GeneVerifier-style tuples."""
-        entries = []
-        for k in range(nops):
-            kind_i, pos, length, var, roff = ops_row[k]
-            kind = _KINDS[kind_i]
-            if kind == "mismatch":
-                data = "ACGTN."[int(read[roff])]
-            elif kind == "deletion":
-                data = str(int(length))
-            else:
-                data = "".join("ACGTN."[int(c)]
-                               for c in read[roff:roff + length])
-            entries.append((kind, int(pos), int(length), int(var), data))
-        return entries
+        return NativeVerifier.ops_entries_batch([read], [nops],
+                                                [ops_row])[0]
+
+    @staticmethod
+    def ops_entries_batch(reads, nops, ops_rows):
+        """Materialize many results' ops at once: one concatenated
+        tolist() walk over the used rows replaces per-op numpy scalar
+        extraction (measured ~49us/entry at IMGT depth — a read crossing
+        a dozen catalog SNPs pays 5 numpy scalar reads per op)."""
+        counts = [int(k) for k in nops]
+        parts = [r[:k] for r, k in zip(ops_rows, counts) if k]
+        flat = np.concatenate(parts).tolist() if parts else []
+        out = []
+        at = 0
+        for read, k in zip(reads, counts):
+            entries = []
+            for _ in range(k):
+                kind_i, pos, length, var, roff = flat[at]
+                at += 1
+                if kind_i == 0:
+                    data = "ACGTN."[int(read[roff])]
+                elif kind_i == 1:
+                    data = str(length)
+                else:
+                    data = "".join("ACGTN."[int(c)]
+                                   for c in read[roff:roff + length])
+                entries.append((_KINDS[kind_i], pos, length, var, data))
+            out.append(entries)
+        return out
 
     def verify_flat(self, reads, starts):
         """Compatibility wrapper: (cost, ops lists or None)."""
