@@ -170,42 +170,46 @@ class GeneAligner:
         # only distinct reads go through the device + verify path; tiled
         # simulations and PCR duplicates fan back out afterwards with a
         # shallow per-read record copy
-        uniq_groups = []
-        fanout = []
-        for read_ids, seqs, mate in groups:
-            first = {}
-            inv = np.empty(len(seqs), dtype=np.int64)
-            u_ids, u_seqs = [], []
-            for i, s in enumerate(seqs):
-                j = first.get(s)
-                if j is None:
-                    j = len(u_ids)
-                    first[s] = j
-                    u_ids.append(read_ids[i])
-                    u_seqs.append(s)
-                inv[i] = j
-            uniq_groups.append((u_ids, u_seqs, mate))
-            fanout.append(inv)
-        if any(len(u[1]) < len(g[1]) for u, g in zip(uniq_groups, groups)):
+        with TRACE.stage("place.uniq"):
+            uniq_groups = []
+            fanout = []
+            for read_ids, seqs, mate in groups:
+                first = {}
+                inv = np.empty(len(seqs), dtype=np.int64)
+                u_ids, u_seqs = [], []
+                for i, s in enumerate(seqs):
+                    j = first.get(s)
+                    if j is None:
+                        j = len(u_ids)
+                        first[s] = j
+                        u_ids.append(read_ids[i])
+                        u_seqs.append(s)
+                    inv[i] = j
+                uniq_groups.append((u_ids, u_seqs, mate))
+                fanout.append(inv)
+            need_fanout = any(len(u[1]) < len(g[1])
+                              for u, g in zip(uniq_groups, groups))
+        if need_fanout:
             uniq_out = self._align_batches_impl(uniq_groups)
-            out = []
-            for (read_ids, _seqs, _mate), inv, u_res in zip(
-                    groups, fanout, uniq_out):
-                res = []
-                for i, j in enumerate(inv.tolist()):
-                    aln = u_res[j]
-                    if aln is not None and aln.read_id != read_ids[i]:
-                        # manual shallow clone: ~10x cheaper than
-                        # copy.copy / dataclasses.replace on a dataclass.
-                        # Relies on ReadAln being a plain (non-slots,
-                        # no __post_init__) dataclass — guarded by
-                        # tests/test_aligner.py::test_fanout_clone_equiv
-                        clone = object.__new__(ReadAln)
-                        clone.__dict__ = dict(aln.__dict__)
-                        clone.read_id = read_ids[i]
-                        aln = clone
-                    res.append(aln)
-                out.append(res)
+            with TRACE.stage("place.uniq"):
+                out = []
+                for (read_ids, _seqs, _mate), inv, u_res in zip(
+                        groups, fanout, uniq_out):
+                    res = []
+                    for i, j in enumerate(inv.tolist()):
+                        aln = u_res[j]
+                        if aln is not None and aln.read_id != read_ids[i]:
+                            # manual shallow clone: ~10x cheaper than
+                            # copy.copy / dataclasses.replace on a dataclass.
+                            # Relies on ReadAln being a plain (non-slots,
+                            # no __post_init__) dataclass — guarded by
+                            # tests/test_aligner.py::test_fanout_clone_equiv
+                            clone = object.__new__(ReadAln)
+                            clone.__dict__ = dict(aln.__dict__)
+                            clone.read_id = read_ids[i]
+                            aln = clone
+                        res.append(aln)
+                    out.append(res)
             return out
         return self._align_batches_impl(groups)
 
@@ -378,6 +382,10 @@ class GeneAligner:
                 "results": results, "pending": pending}
 
     def _rank_entries(self, st, rank):
+        with TRACE.stage("verify.prep"):
+            return self._rank_entries_impl(st, rank)
+
+    def _rank_entries_impl(self, st, rank):
         """Flat proposal entries (reads, starts, meta, lower bounds) of
         the given orientation rank for the still-unresolved reads,
         lower-bound filtered; None when nothing survives."""
@@ -498,6 +506,10 @@ class GeneAligner:
                              if results[po[0]] is None]
 
     def _chunk_output(self, st):
+        with TRACE.stage("place.output"):
+            return self._chunk_output_impl(st)
+
+    def _chunk_output_impl(self, st):
         n = st["n"]
         read_ids = st["read_ids"]
         results = st["results"]

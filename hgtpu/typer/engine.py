@@ -790,6 +790,8 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     ht_cache = {}
 
     read_alns = list(read_alns)
+    _t_prep = TRACE.stage("type.prep")
+    _t_prep.__enter__()
     # concordance is a pure function of the pair; resolve it once for both
     # the pileup pass and the counting pass
     conc_alns = [(read_id, _concordant(alns, opts))
@@ -811,6 +813,7 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
                 sig_groups[sig] = [read_id, alns, 1]
             else:
                 hit[2] += 1
+    _t_prep.__exit__(None, None, None)
 
     # pass 1: pileup over all concordant alignments (no NM filter, as in
     # get_mpileup — typing_common.py:1059-1184)
