@@ -12,7 +12,7 @@ import numpy as np
 
 from ..db.catalog import GeneRef
 from ..ops.placement import (backbone_pwm, encode_reads,
-                             place_with_orientation, resolve_placement)
+                             place_batch_packed, place_scan_batch)
 from ..utils.dna import decode_seq
 from ..utils.trace import TRACE
 from .types import ReadAln
@@ -73,7 +73,8 @@ class GeneAligner:
                  top_k: int = 8, min_seed_frac: float = 0.3,
                  device_batch: int = 4096, pad_len: int = 128,
                  use_native: str = "auto", leftmost: bool = False,
-                 haplotype_paths: bool = True, device_verify: str = "auto"):
+                 haplotype_paths: bool = True, device_verify: str = "auto",
+                 place_scan: str = "auto"):
         # leftmost=True prefers the smallest-start spelling among
         # equal-cost alignments — required for STR (CODIS) loci where
         # repeat periodicity makes right-shifted plain spellings cost-0
@@ -118,6 +119,28 @@ class GeneAligner:
             dil[d:] |= tbl[:-d]
             dil[:-d] |= tbl[d:]
         self._match_ok6_dil = dil
+        # fused placement+scan program (ops.placement.place_scan_batch):
+        # the fast-path planes (per-shift first/last novel mismatch, plain
+        # -diagonal mismatch positions) ride the placement dispatch and
+        # its bundled fetch instead of host [R, L] gathers.  The plane
+        # payload is ~(2S + k_mm) int16 columns per row, so "auto" takes
+        # it only where the device->host fetch is cheap (CPU backend or a
+        # locally-attached TPU); over a ~10-20 MB/s tunnel the extra
+        # fetch bytes cost more than the host gathers they replace
+        # (measured: 9,588 -> 6,311 reads/s on the scale bench).  Off in
+        # leftmost (STR) mode, where the batch fast paths are disabled.
+        import os
+        env = os.environ.get("HGTPU_PLACE_SCAN")
+        if env in ("on", "off"):
+            place_scan = env
+        if place_scan == "auto":
+            import jax
+            scan_on = jax.default_backend() != "tpu" or _local_tpu()
+        else:
+            scan_on = place_scan == "on"
+        self._use_scan = scan_on and not leftmost
+        self._SCAN_KMM = 16
+        self._scan_dev = None   # lazy (match_flat, bb_pad) device tables
         # optional device verify backend: the banded variant-aware DP
         # scores every proposal on device; the host DFS then extracts the
         # edit script for each read's winning proposal only.  Entries the
@@ -234,20 +257,20 @@ class GeneAligner:
                 with TRACE.stage("place.dispatch"):
                     chunks_placed.append((gi, chunk_ids, chunk, pad,
                                           self._place_chunk(chunk)))
-        # one device->host fetch of exactly TWO arrays: the per-chunk
-        # (scores, positions) handles are concatenated on device first —
-        # on a tunneled chip every fetched leaf pays a full round trip,
-        # so 2 transfers beat 2-per-chunk
+        # one device->host fetch of exactly ONE packed array: the
+        # per-chunk handles are concatenated on device first — on a
+        # tunneled chip every fetched leaf pays a full round trip, so 1
+        # transfer beats 1-per-chunk (and int16 packing halves the bytes)
         handles = [entry[4][2] for entry in chunks_placed]
         with TRACE.stage("place.fetch"):
-            if len(handles) > 1:
+            h0 = handles[0]
+            if len(handles) > 1 and all(
+                    h.shape[1] == h0.shape[1] and h.dtype == h0.dtype
+                    for h in handles):
                 import jax.numpy as jnp
-                s_host, p_host = jax.device_get(
-                    (jnp.concatenate([h[0] for h in handles], axis=0),
-                     jnp.concatenate([h[1] for h in handles], axis=0)))
-                sizes = np.cumsum([0] + [h[0].shape[0] for h in handles])
-                fetched = [(s_host[sizes[i]:sizes[i + 1]],
-                            p_host[sizes[i]:sizes[i + 1]])
+                buf = jax.device_get(jnp.concatenate(handles, axis=0))
+                sizes = np.cumsum([0] + [h.shape[0] for h in handles])
+                fetched = [buf[sizes[i]:sizes[i + 1]]
                            for i in range(len(handles))]
             else:
                 fetched = [jax.device_get(h) for h in handles]
@@ -290,6 +313,43 @@ class GeneAligner:
 
     _COMP = np.array([3, 2, 1, 0, 4, 5], dtype=np.int8)
 
+    @property
+    def _scan_shifts(self):
+        """Sorted distinct diagonal shifts (0 and +-each catalog indel
+        length) — shared by the device scan program and the host
+        fallback so plane columns always line up."""
+        cached = self.__dict__.get("_scan_shifts_t")
+        if cached is None:
+            pos, ln, _is_ins, _ivar, _iright, _ic, _ms, _MAXI = \
+                self._indel_fast_tables()
+            D = len(pos) - 1
+            cached = tuple(sorted({0} | {int(d) for d in ln[:D] if d}
+                                  | {-int(d) for d in ln[:D] if d}))
+            self._scan_shifts_t = cached
+        return cached
+
+    def _scan_tables(self):
+        if self._scan_dev is None:
+            import jax.numpy as jnp
+            self._scan_dev = (
+                jnp.asarray(self._match_ok6.reshape(-1)),
+                jnp.asarray(self._bb_pad))
+        return self._scan_dev
+
+    def _pwm_ext(self, m):
+        """Zero-padded device PWM for read length m (see
+        place_with_orientation for the padding rationale)."""
+        import jax.numpy as jnp
+        pwm_ext = self._ext_cache.get(m)
+        if pwm_ext is None:
+            pwm_ext = jnp.asarray(
+                np.concatenate([np.zeros((m, 5), np.float32), self.pwm,
+                                np.zeros((m, 5), np.float32)], axis=0))
+            if len(self._ext_cache) > 64:
+                self._ext_cache.clear()
+            self._ext_cache[m] = pwm_ext
+        return pwm_ext
+
     def _place_chunk(self, seqs):
         max_len = max(len(s) for s in seqs)
         max_len = ((max_len + self.pad_len - 1) // self.pad_len) * self.pad_len
@@ -307,25 +367,60 @@ class GeneAligner:
         rc[j[None, :] >= lens[:, None]] = 4
         fwd_codes = [fwd[i, : lens[i]] for i in range(n)]
         rc_codes = [rc[i, : lens[i]] for i in range(n)]
-        device_out = place_with_orientation(
-            self.pwm, fwd, rc, top_k=self.top_k, block=False,
-            ext_cache=self._ext_cache)
+        if self._use_scan:
+            import jax.numpy as jnp
+            match_flat, bb_dev = self._scan_tables()
+            both = np.concatenate([fwd, rc], axis=0)
+            lens2 = np.concatenate([lens, lens]).astype(np.int32)
+            pwm_ext = self._pwm_ext(max_len)
+            P1 = pwm_ext.shape[0] - max_len + 1
+            TRACE.count("flops.placement",
+                        2.0 * both.shape[0] * (max_len * 5) * P1)
+            device_out = place_scan_batch(
+                pwm_ext, match_flat, bb_dev, jnp.asarray(both),
+                jnp.asarray(lens2), top_k=self.top_k,
+                shifts=self._scan_shifts, k_mm=self._SCAN_KMM,
+                lb_pad=self._LB_PAD)
+        else:
+            import jax.numpy as jnp
+            both = np.concatenate([fwd, rc], axis=0)
+            pwm_ext = self._pwm_ext(max_len)
+            P1 = pwm_ext.shape[0] - max_len + 1
+            TRACE.count("flops.placement",
+                        2.0 * both.shape[0] * (max_len * 5) * P1)
+            device_out = place_batch_packed(pwm_ext, jnp.asarray(both),
+                                            top_k=self.top_k)
         return fwd_codes, rc_codes, device_out, max_len, fwd, rc, lens
 
-    def _align_chunk(self, read_ids, seqs, mate: str, placed=None):
-        if len(seqs) == 0:
-            return []
-        st = self._chunk_state(read_ids, seqs, mate, placed)
-        if (self._dp_tables is not None and not self.leftmost
-                and self.native is not None):
-            entries = self._rank_entries(st, 0)
-            if entries:
-                cost, over = self._dp_costs(entries[0], entries[1])
-                self._apply_dp(st, entries, cost, over)
-            self._verify_pending(st, 1)
-        else:
-            self._verify_pending(st, 0)
-        return self._chunk_output(st)
+    def _resolve_scan(self, device_out, n, m):
+        """Unpack the place_scan_batch buffer (fetched or device handle)
+        into (sf, pf, sr, pr, use_rc, planes); planes =
+        (first [2n, S], last [2n, S], mm_pos [2n, K], mm_cnt [2n])."""
+        buf = np.asarray(device_out).astype(np.int32, copy=False)
+        k = self.top_k
+        S = len(self._scan_shifts)
+        K = self._SCAN_KMM
+        s = buf[:, :k]
+        p = buf[:, k:2 * k] - m
+        at = 2 * k
+        first = buf[:, at:at + S]
+        last = buf[:, at + S:at + 2 * S]
+        at += 2 * S
+        mm_pos = buf[:, at:at + K]
+        mm_cnt = buf[:, at + K]
+        use_rc = s[n:, 0] > s[:n, 0]
+        return (s[:n], p[:n], s[n:], p[n:], use_rc,
+                (first, last, mm_pos, mm_cnt))
+
+    def _resolve_packed(self, device_out, n, m):
+        """Unpack the place_batch_packed buffer into
+        (sf, pf, sr, pr, use_rc)."""
+        buf = np.asarray(device_out).astype(np.int32, copy=False)
+        k = self.top_k
+        s = buf[:, :k]
+        p = buf[:, k:2 * k] - m
+        use_rc = s[n:, 0] > s[:n, 0]
+        return s[:n], p[:n], s[n:], p[n:], use_rc
 
     def _chunk_state(self, read_ids, seqs, mate: str, placed=None):
         """Pass 1 (host): resolve placement, run the exact-diagonal fast
@@ -335,20 +430,27 @@ class GeneAligner:
             placed = self._place_chunk(seqs)
         fwd_codes, rc_codes, device_out, max_len, fwd_pad, rc_pad, lens = \
             placed
-        sf, pf, sr, pr, use_rc = resolve_placement(device_out, n, max_len)
+        if self._use_scan:
+            sf, pf, sr, pr, use_rc, planes = self._resolve_scan(
+                device_out, n, max_len)
+        else:
+            sf, pf, sr, pr, use_rc = self._resolve_packed(device_out, n,
+                                                          max_len)
+            planes = None
 
         # batched exact-diagonal fast path: a full placement score means
         # every base matches the backbone or a known SNP on the plain
         # diagonal; one chunk-wide gather resolves those reads outright
         # (the spelling the DFS would prefer)
         fast_ops = self._fast_exact_batch(
-            fwd_pad, rc_pad, lens, sf, pf, sr, pr, use_rc) \
+            fwd_pad, rc_pad, lens, sf, pf, sr, pr, use_rc, planes) \
             if not self.leftmost else {}
         if not self.leftmost:
             rest = [i for i in range(n)
                     if i not in fast_ops and read_ids[i] != "__pad__"]
             fast_ops.update(self._fast_indel_batch(
-                fwd_pad, rc_pad, lens, sf, pf, sr, pr, use_rc, rest))
+                fwd_pad, rc_pad, lens, sf, pf, sr, pr, use_rc, rest,
+                planes))
 
         results = [None] * n   # (cost, ops, start, clip_front, sub_len, is_rc)
         pending = []           # (read i, orientation order, read len)
@@ -529,21 +631,26 @@ class GeneAligner:
                 codes = codes[clip_front:clip_front + sub_len]
             # classify once here so the typing engine's hot loops test
             # two attributes instead of re-walking cmp per alignment
+            # (ops holds exactly cmp's non-match entries, so classifying
+            # from it skips the match segments)
             catalog = True
             has_indel = False
-            for e in cmp_list:
-                k = e[0]
-                if k == "match":
-                    continue
-                if e[3] is None or e[3] < 0:
+            for kind, _p, _l, vidx, _d in ops:
+                if vidx is None or vidx < 0:
                     catalog = False
-                if k != "mismatch":
+                if kind != "mismatch":
                     has_indel = True
-            return ReadAln(
-                read_id=read_ids[i], mate=mate, pos=start, right=right,
-                cmp=cmp_list, nm=cost, is_rc=is_rc,
-                seq=decode_seq(codes), codes=codes,
-                catalog=catalog, has_indel=has_indel)
+            # direct construction: ReadAln is a plain dataclass and the
+            # 12-kwarg __init__ is measurable at chunk scale (same trick
+            # as the fan-out clone, guarded by test_fanout_clone_equiv)
+            aln = object.__new__(ReadAln)
+            aln.__dict__ = {
+                "read_id": read_ids[i], "mate": mate, "pos": start,
+                "right": right, "cmp": cmp_list, "nm": cost,
+                "is_rc": is_rc, "seq": decode_seq(codes), "qual": "",
+                "codes": codes, "alts": None, "catalog": catalog,
+                "has_indel": has_indel}
+            return aln
 
         for i in range(n):
             if results[i] is None:
@@ -785,11 +892,16 @@ class GeneAligner:
             <= self.num_editdist
 
     def _fast_exact_batch(self, fwd_pad, rc_pad, lens, sf, pf, sr, pr,
-                          use_rc):
+                          use_rc, planes=None):
         """Chunk-wide _fast_exact: {row: (0, ops, start, 0, m)} for reads
         whose best-orientation top candidate attains the full placement
         score and whose every base is backbone- or catalog-SNP-free on
-        the plain diagonal."""
+        the plain diagonal.
+
+        With `planes` (the fused device scan, place_scan_batch) the
+        mismatch positions were already extracted on the TPU on the
+        placement dispatch; the host [R, L] compare runs only for rows
+        whose mismatch count overflowed the device's k_mm slots."""
         P = len(self.gene.backbone)
         L = fwd_pad.shape[1]
         s0 = np.where(use_rc, pr[:, 0], pf[:, 0]).astype(np.int64)
@@ -806,16 +918,40 @@ class GeneAligner:
         vr = np.flatnonzero(valid)
         s0v = s0[vr]
         lensv = lens[vr]
+        out = {int(r): (0, [], int(s), 0, int(l))
+               for r, s, l in zip(vr.tolist(), s0v.tolist(),
+                                  lensv.tolist())}
+        single_at = self.verifier.single_at
+        n = len(use_rc)
+        if planes is not None:
+            _first, _last, mm_pos, mm_cnt = planes
+            prow = vr + np.where(use_rc[vr], n, 0)
+            easy = mm_cnt[prow] <= mm_pos.shape[1]
+            er = vr[easy]
+            if len(er):
+                codes_e = np.where(use_rc[er, None], rc_pad[er],
+                                   fwd_pad[er])
+                pj = mm_pos[prow[easy]]                # [E, K] asc, -1 pad
+                rws, cls = np.nonzero(pj >= 0)
+                s0e = s0v[easy]
+                for r_, c_ in zip(rws.tolist(), cls.tolist()):
+                    jj = int(pj[r_, c_])
+                    pos = int(s0e[r_]) + jj
+                    base = int(codes_e[r_, jj])
+                    out[int(er[r_])][1].append(
+                        ("mismatch", pos, 1, single_at[(pos, base)],
+                         "ACGT"[base]))
+            vr = vr[~easy]                             # host fallback rows
+            if not len(vr):
+                return out
+            s0v = s0v[~easy]
+            lensv = lensv[~easy]
         codes_pad = np.where(use_rc[vr, None], rc_pad[vr], fwd_pad[vr])
         j = np.arange(L, dtype=np.int32)
         idx = (s0v.astype(np.int32) + self._LB_PAD)[:, None] + j[None, :]
         np.clip(idx, 0, len(self._match_ok6) - 1, out=idx)
         in_len = j[None, :] < lensv[:, None]
-        out = {int(r): (0, [], int(s), 0, int(l))
-               for r, s, l in zip(vr.tolist(), s0v.tolist(),
-                                  lensv.tolist())}
         mism = in_len & (codes_pad != self._bb_pad[idx])
-        single_at = self.verifier.single_at
         rows, cols = np.nonzero(mism)
         for r_, c_ in zip(rows.tolist(), cols.tolist()):
             pos = int(s0v[r_]) + c_
@@ -870,7 +1006,7 @@ class GeneAligner:
         return self._indel_fast
 
     def _fast_indel_batch(self, fwd_pad, rc_pad, lens, sf, pf, sr, pr,
-                          use_rc, rows):
+                          use_rc, rows, planes=None):
         """Chunk-wide single-indel fast path: {row: (0, ops, start, 0, m)}
         for reads whose best-orientation placement admits EXACTLY ONE
         zero-novel split-diagonal spelling through one catalog
@@ -916,27 +1052,56 @@ class GeneAligner:
         # interval anchored at 0 or m" on some shifted diagonal, so two
         # [R, S] index planes — first and last novel-mismatch position
         # per distinct shift — answer every (candidate, anchor) query
-        # without materializing [R, S, L] prefix sums.
-        shifts = sorted({0} | {int(d) for d in ln[:D] if d}
-                        | {-int(d) for d in ln[:D] if d})
+        # without materializing [R, S, L] prefix sums.  With `planes`
+        # the device scan already computed them on the placement
+        # dispatch (same shift order: _scan_shifts feeds both).
+        shifts = list(self._scan_shifts)
         sh = np.asarray(shifts, np.int32)
         S = len(shifts)
         j = np.arange(L, dtype=np.int32)
-        base = (s0[:, None] + self._LB_PAD) + j[None, :]        # [R, L]
-        first = np.empty((R, S), np.int32)   # first novel mm, m if none
-        last = np.empty((R, S), np.int32)    # last novel mm, -1 if none
-        for k, d in enumerate(shifts):
-            idx = np.clip(base + d, 0, len(self._match_ok6) - 1)
-            misk = ~self._match_ok6[idx, codes] & (j[None, :] < m[:, None])
-            any_ = misk.any(1)
-            first[:, k] = np.where(any_, misk.argmax(1), m)
-            last[:, k] = np.where(any_, L - 1 - misk[:, ::-1].argmax(1),
-                                  -1)
-
         dl = np.where(is_ins[cand], 0, ln[cand]).astype(np.int32)
         il = np.where(is_ins[cand], ln[cand], 0).astype(np.int32)
         pv = pos[cand].astype(np.int64)
         ar_ = np.arange(R)
+        if planes is not None:
+            first_all, last_all = planes[0], planes[1]
+            prow = rows + np.where(use_rc[rows],
+                                   np.int64(len(use_rc)), 0)
+            first = first_all[prow].astype(np.int32)            # [R, S]
+            last = last_all[prow].astype(np.int32)              # [R, S]
+        else:
+            # sparse planes: each (row, shift) slot is gathered only when
+            # some hypothesis below queries it — family 1/2 query the
+            # +-deletion-length diagonals of in-window deletions, family
+            # 3/4 the -+insertion-length diagonals of in-window
+            # insertions, and every row with any candidate queries shift
+            # 0.  Unqueried slots keep a poisoned default (first=-1,
+            # last=L: "mismatch everywhere"), so if the needed-mask ever
+            # under-covered, hypotheses would FAIL (reads fall to the
+            # exact DFS) rather than accept a wrong spelling.
+            has_cand = cand < D
+            isdel_q = has_cand & (dl > 0)
+            isins_q = has_cand & (il > 0)
+            needed = np.zeros((R, S), bool)
+            needed[:, np.searchsorted(sh, 0)] = has_cand.any(1)
+            for qmask, shv in ((isdel_q, dl), (isdel_q, -dl),
+                               (isins_q, il), (isins_q, -il)):
+                rr, cc = np.nonzero(qmask)
+                needed[rr, np.searchsorted(sh, shv[rr, cc])] = True
+            first = np.full((R, S), -1, np.int32)
+            last = np.full((R, S), L, np.int32)
+            for k, d in enumerate(shifts):
+                rk = np.flatnonzero(needed[:, k])
+                if not len(rk):
+                    continue
+                base_k = (s0[rk, None] + self._LB_PAD) + j[None, :]
+                idx = np.clip(base_k + d, 0, len(self._match_ok6) - 1)
+                misk = ~self._match_ok6[idx, codes[rk]] \
+                    & (j[None, :] < m[rk, None])
+                any_ = misk.any(1)
+                first[rk, k] = np.where(any_, misk.argmax(1), m[rk])
+                last[rk, k] = np.where(any_,
+                                       L - 1 - misk[:, ::-1].argmax(1), -1)
 
         def clean_prefix(shift_arr, q):
             """No novel mismatch in [0, q) on the shifted diagonal."""

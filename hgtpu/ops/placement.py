@@ -89,6 +89,99 @@ def place_batch(pwm_ext: jax.Array, reads: jax.Array, top_k: int = 4):
     return top_scores, top_pos
 
 
+def _fetch_dtype(pwm_ext, m):
+    """int16 when every packed value (scores <= m, window indices < P1,
+    read offsets <= m) fits; int32 for very long backbones."""
+    P1 = pwm_ext.shape[0] - m + 1
+    return jnp.int16 if max(P1, m) + 2 < 32767 else jnp.int32
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def place_batch_packed(pwm_ext: jax.Array, reads: jax.Array,
+                       top_k: int = 4):
+    """place_batch with (scores, positions) packed into ONE integer
+    array [N, 2*top_k] — a tunneled device->host fetch pays per leaf
+    and per byte, so one int16 leaf beats two f32/int32 leaves.
+    Scores are exact small integers (sums of 1.0 matches in f32)."""
+    n, m = reads.shape
+    top_scores, top_pos = jax.lax.top_k(correlate_scores(pwm_ext, reads),
+                                        top_k)
+    dt = _fetch_dtype(pwm_ext, m)
+    return jnp.concatenate([top_scores.astype(dt), top_pos.astype(dt)],
+                           axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "shifts", "k_mm",
+                                             "lb_pad"))
+def place_scan_batch(pwm_ext: jax.Array, match_flat: jax.Array,
+                     bb_pad: jax.Array, reads: jax.Array, lens: jax.Array,
+                     top_k: int, shifts: tuple, k_mm: int, lb_pad: int):
+    """Placement + the fast-path scan planes, fused in one program.
+
+    On top of place_batch's diagonal scores this computes, per row, on
+    the row's TOP-1 diagonal:
+      * first/last novel-mismatch read index per shifted diagonal
+        (`shifts`, the gene's catalog indel lengths) — exactly the
+        planes GeneAligner._fast_indel_batch builds on the host, moved
+        onto the device so they ride the placement dispatch/fetch;
+      * the first `k_mm` mismatch-vs-backbone read positions and the
+        total count on the plain diagonal — what _fast_exact_batch's
+        [R, L] compare extracts.
+
+    match_flat: flattened [T * 6] bool free-base table (row-major
+      match_ok6: backbone match or catalog SNP), T = P + 2*lb_pad + tail.
+    bb_pad:     [T] int8 backbone codes padded like match_ok6 (sentinel 6).
+    lens:       [N] int32 real read lengths (pad code 4 scores 0 but the
+      planes must ignore bases past the read end).
+
+    Returns ONE packed integer array [N, X] (int16 when the backbone
+    fits, see _fetch_dtype) with columns
+      [scores(top_k) | top_pos(top_k) | first(S) | last(S)
+       | mm_pos(k_mm) | mm_cnt]
+    so a tunneled fetch pays one leaf, never six.
+    """
+    n, m = reads.shape
+    scores = correlate_scores(pwm_ext, reads)
+    top_scores, top_pos = jax.lax.top_k(scores, top_k)
+
+    T = bb_pad.shape[0]
+    start = top_pos[:, 0] - m                          # window -> read start
+    j = jnp.arange(m, dtype=jnp.int32)
+    base = (start[:, None] + lb_pad) + j[None, :]      # [N, m]
+    in_len = j[None, :] < lens[:, None]
+    codes = reads.astype(jnp.int32)
+
+    firsts, lasts = [], []
+    for d in shifts:
+        idx = jnp.clip(base + d, 0, T - 1)
+        ok = match_flat[idx * 6 + codes]
+        mis = ~ok & in_len
+        any_ = mis.any(axis=1)
+        firsts.append(jnp.where(any_, jnp.argmax(mis, axis=1),
+                                lens).astype(jnp.int32))
+        lasts.append(jnp.where(any_,
+                               m - 1 - jnp.argmax(mis[:, ::-1], axis=1),
+                               -1).astype(jnp.int32))
+    first = jnp.stack(firsts, axis=1)                  # [N, S]
+    last = jnp.stack(lasts, axis=1)                    # [N, S]
+
+    idx0 = jnp.clip(base, 0, T - 1)
+    mm = (codes != bb_pad[idx0].astype(jnp.int32)) & in_len
+    sentinel = jnp.int32(-(m + 1))
+    vals = jnp.where(mm, -j[None, :], sentinel)
+    negpos, _ = jax.lax.top_k(vals, k_mm)              # ascending j order
+    mm_pos = jnp.where(negpos == sentinel, -1, -negpos)
+    mm_cnt = mm.sum(axis=1, dtype=jnp.int32)
+
+    dt = _fetch_dtype(pwm_ext, m)
+    # mm_cnt can reach m (< 32767) and every other column is a score,
+    # window index, or read offset — all within the packed dtype
+    return jnp.concatenate(
+        [top_scores.astype(dt), top_pos.astype(dt), first.astype(dt),
+         last.astype(dt), mm_pos.astype(dt), mm_cnt[:, None].astype(dt)],
+        axis=1)
+
+
 def place_with_orientation(pwm, fwd: np.ndarray, rc: np.ndarray,
                            top_k: int = 4, block: bool = True,
                            ext_cache=None):

@@ -233,3 +233,47 @@ def test_fast_indel_batch_matches_verifier():
         assert af.cmp == as_.cmp, (af.read_id, af.cmp, as_.cmp)
         n_checked += 1
     assert n_checked > 0.9 * len(reads)
+
+
+def test_place_scan_matches_host_planes():
+    """The fused device scan (place_scan_batch planes + mismatch slots)
+    and the host sparse-plane fallback must produce identical alignments
+    — same placement, cost, orientation, edit script and alt set — on an
+    indel-dense gene with sprinkled errors."""
+    from hgtpu.align import GeneAligner
+    from hgtpu.db import build_gene_ref
+    from hgtpu.sim import simulate_reads
+    from tests.synth import make_gene_msa
+
+    spec = make_gene_msa(seed=7, n_alleles=40)
+    ref, _ = build_gene_ref("A", spec["names"], spec["rows"],
+                            spec["ref_allele"], min_var_freq=8.0)
+    reads, names = [], []
+    import random
+    rng = random.Random(3)
+    for a in (0, 4, 11, 17):
+        r1, r2, _ = simulate_reads(ref, [ref.allele_names[a]],
+                                   simulate_interval=5, seed=a + 1)
+        for r in r1 + r2:
+            names.append("%d_%s" % (a, r.name))
+            seq = r.seq
+            if rng.random() < 0.25:
+                i = rng.randrange(len(seq))
+                seq = seq[:i] + rng.choice("ACGT") + seq[i + 1:]
+            reads.append(seq)
+
+    scan = GeneAligner(ref, place_scan="on")
+    host = GeneAligner(ref, place_scan="off")
+    assert scan._use_scan and not host._use_scan
+    out_a = scan.align_batch(names, reads, "L")
+    out_b = host.align_batch(names, reads, "L")
+    n_mapped = 0
+    for aa, ab in zip(out_a, out_b):
+        assert (aa is None) == (ab is None)
+        if aa is None:
+            continue
+        assert (aa.pos, aa.right, aa.nm, aa.is_rc) == \
+            (ab.pos, ab.right, ab.nm, ab.is_rc)
+        assert aa.cmp == ab.cmp, (aa.read_id, aa.cmp, ab.cmp)
+        n_mapped += 1
+    assert n_mapped > 0.9 * len(reads)
