@@ -15,7 +15,7 @@ from ..ops.placement import (backbone_pwm, encode_reads,
                              place_batch_packed, place_scan_batch)
 from ..utils.dna import decode_seq
 from ..utils.trace import TRACE
-from .types import ReadAln
+from .types import ReadAln, _UID as _aln_uid
 from .verify import GeneVerifier
 
 
@@ -291,10 +291,11 @@ class GeneAligner:
         if (self._dp_tables is not None and not self.leftmost
                 and self.native is not None):
             per_chunk = [self._rank_entries(st, 0) for _g, _p, st in states]
-            sizes = [len(e[0]) if e else 0 for e in per_chunk]
+            sizes = [len(e[2]) if e else 0 for e in per_chunk]
             if sum(sizes):
                 cost, over = self._dp_costs(
-                    [r for e in per_chunk if e for r in e[0]],
+                    [r for e in per_chunk if e
+                     for r in e[0](range(len(e[2])))],
                     [s for e in per_chunk if e for s in e[1]])
                 at = 0
                 for e, n, (_gi, _pad, st) in zip(per_chunk, sizes, states):
@@ -488,29 +489,76 @@ class GeneAligner:
             return self._rank_entries_impl(st, rank)
 
     def _rank_entries_impl(self, st, rank):
-        """Flat proposal entries (reads, starts, meta, lower bounds) of
-        the given orientation rank for the still-unresolved reads,
-        lower-bound filtered; None when nothing survives."""
-        flat_reads, flat_starts, flat_meta = [], [], []
+        """Flat proposal entries of the given orientation rank for the
+        still-unresolved reads, lower-bound filtered; None when nothing
+        survives.  Returns (get_codes, flat_starts, flat_meta, lbs) —
+        per-entry read codes are NOT materialized here: the staged
+        verifier touches only each read's first proposal plus the rare
+        lower-bound survivors, so slicing all E subreads up front paid
+        ~E list/array allocations for entries that are never verified.
+        get_codes(idxs) materializes exactly the requested entries."""
+        flat_starts, flat_meta = [], []
         for i, order, m in st["pending"]:
             o_rc, codes, cand_p, cand_s = order[rank]
-            for sub, s, cf in self._proposal_entries(
-                    codes, cand_p, cand_s, m):
-                flat_reads.append(sub)
+            for s, cf, ln in self._proposal_meta(cand_p, cand_s, m):
                 flat_starts.append(s)
-                flat_meta.append((i, o_rc, cf, len(sub)))
-        if not flat_reads:
+                flat_meta.append((i, o_rc, cf, ln))
+        if not flat_meta:
             return None
         lbs = self._lb_values_meta(st, flat_meta, flat_starts)
         keep = lbs <= self.num_editdist
         if not keep.all():
             kept = np.flatnonzero(keep)
-            flat_reads = [flat_reads[k] for k in kept]
             flat_starts = [flat_starts[k] for k in kept]
             flat_meta = [flat_meta[k] for k in kept]
             lbs = lbs[kept]
-        return (flat_reads, flat_starts, flat_meta, lbs) \
-            if flat_reads else None
+        if not flat_meta:
+            return None
+        fwd_codes, rc_codes = st["fwd_codes"], st["rc_codes"]
+
+        def get_codes(idxs):
+            out = []
+            for k in idxs:
+                i, o_rc, cf, ln = flat_meta[k]
+                c = rc_codes[i] if o_rc else fwd_codes[i]
+                out.append(c[cf:cf + ln])
+            return out
+
+        return get_codes, flat_starts, flat_meta, lbs
+
+    def _proposal_meta(self, cand_pos, cand_scores, m,
+                       max_clip_frac=0.35):
+        """_proposal_entries without materializing subreads: ordered
+        (start, clip_front, sub_len) tuples (same dedup + clip rules)."""
+        out = []
+        min_score = m * self.min_seed_frac
+        P = len(self.gene.backbone)
+        max_clip = int(m * max_clip_frac)
+        tried = set()
+        for k in range(len(cand_pos)):
+            if cand_scores[k] < min_score:
+                break
+            for start in self._start_proposals(int(cand_pos[k]), m):
+                clip_front = 0
+                ln = m
+                s = start
+                if s < 0:
+                    clip_front = -s
+                    if clip_front > max_clip:
+                        continue
+                    ln -= clip_front
+                    s = 0
+                overhang = s + ln - P
+                if overhang > 0:
+                    if overhang > max_clip:
+                        continue
+                    ln -= overhang
+                key = (s, clip_front, ln)
+                if ln < m - max_clip or key in tried:
+                    continue
+                tried.add(key)
+                out.append(key)
+        return out
 
     def _lb_values_meta(self, st, flat_meta, flat_starts):
         """_lb_keep without materializing per-entry read copies: every
@@ -649,7 +697,7 @@ class GeneAligner:
                 "right": right, "cmp": cmp_list, "nm": cost,
                 "is_rc": is_rc, "seq": decode_seq(codes), "qual": "",
                 "codes": codes, "alts": None, "catalog": catalog,
-                "has_indel": has_indel}
+                "has_indel": has_indel, "uid": next(_aln_uid)}
             return aln
 
         for i in range(n):
@@ -734,7 +782,7 @@ class GeneAligner:
                       equal_alts.get(i, ())]
             results[i] = (tup(c, idx, cf, slen), others, o_rc)
 
-    def _resolve_entries_staged(self, flat_reads, flat_starts, flat_meta,
+    def _resolve_entries_staged(self, get_codes, flat_starts, flat_meta,
                                 lbs, results):
         """Exact two-stage native verify: each read's FIRST proposal
         entry is scored first; later proposals are scored only when
@@ -744,22 +792,24 @@ class GeneAligner:
         cost can never change the result — most reads pay one DFS
         instead of one per proposal.  Leftmost/STR mode needs every
         equal-cost entry (alt spellings + leftmost tie-break) and stays
-        on the single-batch path."""
+        on the single-batch path.  `get_codes(idxs)` materializes entry
+        subreads on demand (see _rank_entries_impl) — only the entries
+        actually verified are ever sliced."""
         if self.leftmost:
-            return self._resolve_entries(flat_reads, flat_starts,
-                                         flat_meta, results)
+            return self._resolve_entries(get_codes(range(len(flat_meta))),
+                                         flat_starts, flat_meta, results)
         first = {}
         for idx, m in enumerate(flat_meta):
             if m[0] not in first:
                 first[m[0]] = idx
         if len(first) == len(flat_meta):
-            return self._resolve_entries(flat_reads, flat_starts,
-                                         flat_meta, results)
+            return self._resolve_entries(get_codes(range(len(flat_meta))),
+                                         flat_starts, flat_meta, results)
         f_idx = sorted(first.values())
+        reads1 = get_codes(f_idx)
         with TRACE.stage("verify.native"):
             cost1, nops1, ops1 = self.native.verify_raw(
-                [flat_reads[k] for k in f_idx],
-                [flat_starts[k] for k in f_idx])
+                reads1, [flat_starts[k] for k in f_idx])
         limit = {}
         best = {}          # i -> (cost, orig idx, batch, local row)
         for k, idx in enumerate(f_idx):
@@ -771,11 +821,12 @@ class GeneAligner:
         rest = [idx for idx, m in enumerate(flat_meta)
                 if idx != first[m[0]] and int(lbs[idx]) < limit[m[0]]]
         cost2 = nops2 = ops2 = None
+        reads2 = []
         if rest:
+            reads2 = get_codes(rest)
             with TRACE.stage("verify.native"):
                 cost2, nops2, ops2 = self.native.verify_raw(
-                    [flat_reads[k] for k in rest],
-                    [flat_starts[k] for k in rest])
+                    reads2, [flat_starts[k] for k in rest])
             for k, idx in enumerate(rest):
                 c = int(cost2[k])
                 if c < 0:
@@ -786,7 +837,8 @@ class GeneAligner:
                     best[i] = (c, idx, 2, k)
         items = list(best.items())
         all_ops = self.native.ops_entries_batch(
-            [flat_reads[idx] for _i, (_c, idx, _b, _k) in items],
+            [(reads1[k] if batch == 1 else reads2[k])
+             for _i, (_c, _idx, batch, k) in items],
             [(nops1[k] if batch == 1 else nops2[k])
              for _i, (_c, _idx, batch, k) in items],
             [(ops1[k] if batch == 1 else ops2[k])
@@ -827,7 +879,7 @@ class GeneAligner:
         or whose DFS cost diverges (haplotype-window constraint) redo
         the full proposal set, so results stay bit-identical to the
         host-only path."""
-        flat_reads, flat_starts, flat_meta = entries[:3]
+        get_codes, flat_starts, flat_meta = entries[:3]
         results = st["results"]
         over_reads = set()
         winner = {}
@@ -840,17 +892,17 @@ class GeneAligner:
                 continue
             if i not in winner or c < winner[i][0]:
                 winner[i] = (c, idx)
-        sel_r, sel_s, sel_m = [], [], []
+        sel_k, sel_s, sel_m = [], [], []
         dp_expect = {}
         for i, (c, idx) in winner.items():
             if i in over_reads:
                 continue
-            sel_r.append(flat_reads[idx])
+            sel_k.append(idx)
             sel_s.append(flat_starts[idx])
             sel_m.append(flat_meta[idx])
             dp_expect[i] = c
-        if sel_r:
-            self._resolve_entries(sel_r, sel_s, sel_m, results)
+        if sel_k:
+            self._resolve_entries(get_codes(sel_k), sel_s, sel_m, results)
         redo = set(over_reads)
         for i, c_dp in dp_expect.items():
             r = results[i]
@@ -858,7 +910,7 @@ class GeneAligner:
                 redo.add(i)
         if redo:
             rk = [k for k, m_ in enumerate(flat_meta) if m_[0] in redo]
-            self._resolve_entries([flat_reads[k] for k in rk],
+            self._resolve_entries(get_codes(rk),
                                   [flat_starts[k] for k in rk],
                                   [flat_meta[k] for k in rk], results,
                                   clear=redo)

@@ -10,6 +10,21 @@ for an unknown/novel difference.
 from __future__ import annotations
 
 import dataclasses
+import itertools
+
+# process-wide serial for unique aligned records: fan-out clones of one
+# unique read share the uid, so hot dicts key on one int instead of
+# hashing the (pos, seq) string pair per lookup.  NEVER id()-based
+# (stale-id reuse after GC); a monotone counter cannot collide.
+_UID = itertools.count()
+
+
+def aln_key(aln):
+    """Dict key identifying an alignment by content: the aligner's uid
+    when stamped (pos/seq/nm/cmp are functions of it), else the
+    (pos, seq) pair (SAM-parsed records)."""
+    u = aln.uid
+    return u if u >= 0 else (aln.pos, aln.seq)
 
 
 @dataclasses.dataclass
@@ -31,6 +46,7 @@ class ReadAln:
                             # (None = not computed, e.g. SAM-parsed)
     has_indel: object = None  # cmp holds a deletion/insertion op
                               # (None = not computed)
+    uid: int = -1           # unique-aligned-record serial (see aln_key)
 
     @property
     def mapped(self) -> bool:

@@ -13,6 +13,7 @@ import dataclasses
 
 import numpy as np
 
+from ..align.types import aln_key
 from ..db.catalog import GeneRef
 from ..utils.trace import TRACE
 from .alts import (VarTable, alts_sorted_lists, get_alternatives,
@@ -389,7 +390,7 @@ class GeneTyper:
                 if e[0] == "mismatch":
                     toks.append(var_ids[e[3]])
             toks.append(str(int(span_r[r])))
-            memo[(a.pos, a.seq)] = {"-".join(toks)}
+            memo[aln_key(a)] = {"-".join(toks)}
 
     def indel_clean_hts_batch(self, alns, mpileup, use_ec, memo):
         """Vectorized fast path for nm==0 alignments whose edit script is
@@ -486,7 +487,7 @@ class GeneTyper:
                 if e[0] != "match":
                     toks.append(var_ids[e[3]])
             toks.append(str(int(span_r[r])))
-            memo[(a.pos, a.seq)] = {"-".join(toks)}
+            memo[aln_key(a)] = {"-".join(toks)}
 
     def read_hts(self, aln, novel: NovelVars, mpileup=None):
         """One mate alignment -> set of ht strings (with alt spellings),
@@ -807,7 +808,8 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
         for read_id, alns in conc_alns:
             if alns is None:
                 continue
-            sig = tuple((a.mate, a.pos, a.seq, a.nm) for a in alns)
+            sig = tuple((a.mate, a.uid) if a.uid >= 0
+                        else (a.mate, a.pos, a.seq, a.nm) for a in alns)
             hit = sig_groups.get(sig)
             if hit is None:
                 sig_groups[sig] = [read_id, alns, 1]
@@ -862,7 +864,7 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
         for a in alns:
             if a.nm != 0:
                 continue
-            k = (a.pos, a.seq)
+            k = aln_key(a)
             if k in uniq_clean or k in uniq_indel:
                 continue
             catalog = a.catalog
@@ -888,7 +890,7 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
                                     opts.error_correction, hts_memo)
 
     def memo_hts(a):
-        k = (a.pos, a.seq)
+        k = aln_key(a)
         hit = hts_memo.get(k, False)
         if hit is not False:
             return hit

@@ -68,11 +68,13 @@ class Mpileup:
         # aligner's cmp list is a deterministic function of those two, so
         # only distinct alignments are walked; duplicates contribute via
         # integer weights in the bincount
+        from ..align.types import aln_key
+
         grouped = {}
         for i, aln in enumerate(alns):
             if not aln.cmp:
                 continue
-            key = (aln.pos, aln.seq)
+            key = aln_key(aln)
             wi = 1 if weights is None else weights[i]
             hit = grouped.get(key)
             if hit is None:
