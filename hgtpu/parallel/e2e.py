@@ -514,21 +514,20 @@ class ShardedTyper:
 
     # ------------------------------------------------------------------ #
     def _exon_winners(self, exon_prob: np.ndarray):
-        """Expandable exon-stage winners (type_gene, typer/engine.py:
-        850-859; ref typing_core.py:1750-1765): ranked alleles down to
-        the 10th-or-<3% cutoff whose rep group has >1 member."""
+        """Expandable exon-stage winners: the shared staging policy
+        (typer/staging.expansion_winners — same constants and selection
+        rule as the host engine) over the device EM's abundance vector.
+        Zero-probability alleles never appear in the host's ranked list
+        (single_abundance emits positives only), so they are filtered
+        before ranking here too."""
+        from ..typer.staging import expansion_winners
+
         order = np.argsort(-exon_prob, kind="stable")
+        ranked = [(int(i), float(exon_prob[i])) for i in order
+                  if exon_prob[i] > 0.0]
+        idx_set, prob_sum = expansion_winners(ranked, self._rep_groups)
         sel = np.zeros(self.A, bool)
-        prob_sum = 0.0
-        for prob_i, idx in enumerate(order):
-            p = float(exon_prob[idx])
-            if p <= 0.0 or (prob_i >= 10 and p < 0.03):
-                break
-            group = self._rep_groups.get(int(idx))
-            if not group or len(group) <= 1:
-                continue
-            prob_sum += p
-            sel[group] = True
+        sel[sorted(idx_set)] = True
         return sel, prob_sum
 
     def _solve(self, counted):

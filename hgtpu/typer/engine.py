@@ -19,7 +19,6 @@ from ..utils.trace import TRACE
 from .alts import (VarTable, alts_sorted_lists, get_alternatives,
                    identify_ambiguous_diffs)
 from .counting import GeneCounter, HtOp, StatAccumulator
-from .em import single_abundance
 from .exons import get_exon_haplotypes
 
 
@@ -1028,77 +1027,10 @@ def type_gene(gene: GeneRef, read_alns, opts: TypingOptions = None,
     exon_cmpt = exon_stats.cmpt_names()
     primary_cmpt = primary_stats.cmpt_names()
 
-    if opts.family == "hla":
-        name2idx = {n: i for i, n in enumerate(gene.allele_names)}
-
-        def restrict(cmpt, alleles):
-            out = {}
-            for cls, value in cmpt.items():
-                kept = [a for a in cls.split("-") if a in alleles]
-                if kept:
-                    k = "-".join(kept)
-                    out[k] = out.get(k, 0) + value
-            return out
-
-        if opts.type_primary_exons and primary_cmpt:
-            # stage 0 (ref: the type_primary_exons branch,
-            # typing_core.py:1684-1730): primary-exon reps first, then
-            # expand winning groups into the exon-level EM
-            primary_prob = single_abundance(primary_cmpt)
-            px_alleles = set()
-            px_sum = 0.0
-            for allele, prob in primary_prob:
-                group = typer.primary_rep_groups.get(
-                    name2idx[allele], [])
-                if len(group) <= 1:
-                    continue
-                px_sum += prob
-                px_alleles |= {gene.allele_names[i] for i in group}
-            if px_alleles:
-                sub = single_abundance(
-                    restrict(exon_cmpt, px_alleles),
-                    opts.remove_low_abundance_alleles)
-                merged = {a: p for a, p in primary_prob
-                          if a not in px_alleles}
-                for a, p in sub:
-                    merged[a] = p * px_sum
-                exon_prob = sorted(([a, p] for a, p in merged.items()),
-                                   key=lambda x: x[1], reverse=True)
-            else:
-                exon_prob = primary_prob
-        else:
-            exon_prob = single_abundance(exon_cmpt,
-                                         opts.remove_low_abundance_alleles)
-        exon_alleles = set()
-        exon_prob_sum = 0.0
-        for prob_i, (allele, prob) in enumerate(exon_prob):
-            if prob_i >= 10 and prob < 0.03:
-                break
-            group = typer.allele_rep_groups.get(name2idx[allele], [])
-            if len(group) <= 1:
-                continue
-            exon_prob_sum += prob
-            exon_alleles |= {gene.allele_names[i] for i in group}
-
-        if exon_alleles:
-            # full-length stage always prunes in the reference
-            # (typing_core.py:1767-1769) — unless the user kept low-
-            # abundance alleles explicitly
-            full_prob = single_abundance(
-                restrict(full_cmpt, exon_alleles),
-                opts.remove_low_abundance_alleles, lengths)
-            combined = {a: p for a, p in exon_prob if a not in exon_alleles}
-            for a, p in full_prob:
-                combined[a] = p * exon_prob_sum
-            prob = sorted(([a, p] for a, p in combined.items()),
-                          key=lambda x: x[1], reverse=True)
-        else:
-            prob = exon_prob
-    else:
-        if len(full_cmpt) <= 1:
-            prob = [[list(full_cmpt.keys())[0], 1.0]] if full_cmpt else []
-        else:
-            prob = single_abundance(full_cmpt)
+    from .staging import staged_abundance
+    prob = staged_abundance(gene, opts, full_cmpt, exon_cmpt, primary_cmpt,
+                            typer.allele_rep_groups,
+                            typer.primary_rep_groups, lengths)
 
     _t_em.__exit__(None, None, None)
 
