@@ -7,10 +7,10 @@ with reads streamed through SAM text between stages.  Here the same flow
 is ONE device program over a `jax.sharding.Mesh`: reads are sharded over
 the "dp" axis, every reference table (backbone PWM, SNP lookup, indel
 catalog, link bitsets) is replicated, and the only cross-chip traffic is
-`psum` of per-allele evidence over ICI — once for the totals and three
-times per SQUAREM iteration (the M-step numerators), exactly the
-collective structure the reference approximates with multiprocessing +
-file merges (hisatgenotype:613-665).
+`psum` of per-allele evidence over ICI — once for the pileup, once for
+the totals and three times per SQUAREM iteration (the M-step
+numerators), exactly the collective structure the reference approximates
+with multiprocessing + file merges (hisatgenotype:613-665).
 
 Stages, all inside a single shard_map region so XLA can fuse and overlap:
 
@@ -32,14 +32,28 @@ Stages, all inside a single shard_map region so XLA can fuse and overlap:
                   ties) yields the read's variant list, exactly the
                   haplotype the host engine derives from the aligner's
                   edit script (typer/engine.py read_hts).
-3. verify gate  — reads whose novel-edit count exceeds the edit budget
+2b. pileup gate — (production programs) a device mpileup: every placed
+                  read's winner spelling scatter-adds its bases (and
+                  claimed-deletion span) into a [P, 6] count table,
+                  psum-merged over the mesh; the representative-base
+                  rule (cov >= 20, >= 20% or >= 7 —
+                  typing_common.py:1124-1134) then re-gates the winner's
+                  per-base classification exactly as the host's
+                  error_correct (typing_core.py:119-243): an unsupported
+                  base is corrected toward the pileup (to the backbone:
+                  neutral; to a catalog alt: that variant; ambiguous:
+                  neutral), counted against the correction budget
+                  max(1, editdist).
+3. verify gate  — reads whose novel-edit count exceeds the edit budget,
+                  whose correction count exceeds the correction budget,
                   or whose score falls below the placement floor are
                   zero-weighted (the NM <= num_editdist filter,
-                  typing_core.py:966-973).  Reads the device cannot
-                  spell are flagged in the returned punt mask so the
-                  host engine (the bit-exact reference path) can rescue
-                  them — reads crossing two or more indels are the only
-                  in-gene class left behind.
+                  typing_core.py:966-973, and the error_correct
+                  rejection).  Reads the device cannot spell are flagged
+                  in the returned punt mask so the host engine (the
+                  bit-exact reference path) can rescue them — reads
+                  crossing two or more indels are the only in-gene class
+                  left behind.
 4. pairing      — in paired mode, mate concordance (opposite
                   orientation, fragment span <= 1000 — the hisat2
                   -X 1000 / flag 0x2 check, typing_core.py:826-852) and
@@ -50,7 +64,14 @@ Stages, all inside a single shard_map region so XLA can fuse and overlap:
 5. counting     — per-read haplotype -> allele compatibility bitsets via
                   the link matrix (typer/device_count.py, the add_count
                   set algebra of typing_core.py:626-677); psum of
-                  per-allele class totals over the mesh.
+                  per-allele class totals over the mesh.  The production
+                  programs additionally dedup the per-pair equivalence
+                  classes ON DEVICE (hash sort + adjacent compare, as
+                  typer/device_fold.py) and export packed unique class
+                  rows at the full / exon(/primary-exon) levels plus the
+                  pileup and the punt mask in ONE fetch buffer — the
+                  host merges them with rescued punt reads and runs the
+                  reference's staged EM (typer/staging.py).
 6. EM           — data-parallel SQUAREM (Varadhan & Roland 2008, as the
                   reference's single_abundance, typing_common.py:
                   1282-1410): E-step on the local read shard (an
@@ -132,6 +153,13 @@ def _indel_tables(gene: GeneRef):
     return pos, ln, is_ins, ivar, ins_enc
 
 
+def _pow2(n, lo=64):
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
 class ShardedTyper:
     """One gene's typing pipeline compiled over a device mesh.
 
@@ -139,21 +167,32 @@ class ShardedTyper:
     with an [N, read_len] int8 code batch (pad code 4); returns
     (prob [A], totals [A], n_used, punt [N]) with prob/totals identical
     on every chip (psum-merged).  Paired: `call_pairs(r1, r2)` with two
-    [Npair, read_len] mate batches."""
+    [Npair, read_len] mate batches.
+
+    The production front door is `count_classes(r1[, r2])`: the
+    pileup-gated program that exports packed per-level equivalence
+    classes + totals + pileup + punt mask in one fetch, for the host to
+    merge with rescued reads and run the reference's staged EM
+    (parallel/production.py).
+    """
 
     def __init__(self, gene: GeneRef, mesh: Mesh, read_len: int = 100,
                  max_novel: int = 2, em_iters: int = 1000,
                  min_score_frac: float = 0.9, axis: str = "dp",
                  max_ht_vars: int = 16, family: str = "hla",
-                 max_indel_cand: int = MAX_INDEL_CAND):
+                 max_indel_cand: int = MAX_INDEL_CAND,
+                 with_primary: bool = False, class_cap: int = 2048):
         self.gene = gene
         self.mesh = mesh
         self.read_len = read_len
         self.axis = axis
         self.family = family
+        self.max_novel = max_novel
         self.n_devices = int(np.prod(mesh.devices.shape))
-        ipos_np, ilen_np, _, _, _ = _indel_tables(gene)
+        ipos_np, ilen_np, iins_np, _, _ = _indel_tables(gene)
         max_shift = int(ilen_np.max()) if len(ilen_np) else 0
+        del_lens = ilen_np[(iins_np == 0)]
+        del_cap = int(del_lens.max()) if len(del_lens) else 0
         pad = read_len + max_shift
         pwm = backbone_pwm(gene)
         pwm_ext = np.concatenate(
@@ -174,17 +213,23 @@ class ShardedTyper:
         sentinel = gene.n_vars
         A = gene.n_alleles
         self.A = A
+        P_bb = len(gene.backbone)
+        self.P_bb = P_bb
         D = len(ind_pos) - 1
         lens = gene.allele_lengths()
         inv_len_d = jnp.asarray(np.array(
             [1.0 / lens[a] for a in gene.allele_names], np.float32))
         K = max_ht_vars
+        corr_cap = max(1, max_novel)   # error_correct rejection budget
+        is_hla = family == "hla"
 
         # hierarchical exon staging state (typing_core.py:1679-1789):
         # representative alleles grouped by identical exonic variant
         # sets, exon intervals for on-device ht clipping
-        staged = family == "hla" and bool(gene.exons) and A > 1
+        staged = is_hla and bool(gene.exons) and A > 1
         self._staged = staged
+        self._rep_mask_np = np.zeros(A, bool)
+        self._primary_mask_np = np.zeros(A, bool)
         if staged:
             from ..typer.engine import get_rep_alleles
             exon_vars = gene.exonic_var_mask(gene.exons)
@@ -192,20 +237,47 @@ class ShardedTyper:
             staged = bool(rep_mask.any())
             self._staged = staged
             self._rep_mask = jnp.asarray(rep_mask)
+            self._rep_mask_np = rep_mask
             self._rep_groups = rep_groups
+            if with_primary and gene.primary_exons:
+                primary_vars = gene.exonic_var_mask(gene.primary_exons)
+                pmask, pgroups = get_rep_alleles(gene, primary_vars,
+                                                 rep_mask)
+                self._primary_mask_np = pmask
+                self._primary_groups = pgroups
+        self._with_primary = (with_primary and self._staged
+                              and self._primary_mask_np.any())
         n_exons = len(gene.exons)
         ex_l = jnp.asarray(np.array(
             [e[0] for e in gene.exons] or [0], np.int32))
         ex_r = jnp.asarray(np.array(
             [e[1] for e in gene.exons] or [-1], np.int32))
+        n_pexons = len(gene.primary_exons)
+        px_l = jnp.asarray(np.array(
+            [e[0] for e in gene.primary_exons] or [0], np.int32))
+        px_r = jnp.asarray(np.array(
+            [e[1] for e in gene.primary_exons] or [-1], np.int32))
         var_isdel_d = jnp.asarray(np.concatenate(
             [gene.var_type == VT_DELETION, [False]]))
         self._ones = jnp.ones(A, bool)
 
-        def mate_pipeline(tabs, reads):
-            """Stages 1-3 for one mate batch; returns per-read
-            (class mask [n, A+pad], pass gate, orientation, span left,
-            span right, needs_host)."""
+        # production class levels: full always; exon / primary-exon when
+        # the staged hierarchy applies (host StatAccumulator include
+        # masks, typer/engine.type_gene)
+        self._levels = [("full", np.ones(A, bool))]
+        if self._staged:
+            self._levels.append(("exon", self._rep_mask_np))
+        if self._with_primary:
+            self._levels.append(("primary", self._primary_mask_np))
+        NLEV = len(self._levels)
+        include_np = np.stack([m for _, m in self._levels])
+        include_d = jnp.asarray(include_np)
+
+        def mate_spell(tabs, reads):
+            """Stages 1-2 for one mate batch, PRE-gating: placement,
+            hypothesis scoring, winner/tie per-base planes.  Returns a
+            dict of per-read arrays consumed by `mate_counts` (counting)
+            and `pile_contrib` (the device mpileup)."""
             (pwm_ext, bb_ext, snp_alt, snp_var, ind_pos, ind_len,
              ind_ins, ind_var, ins_enc, links_packed, nd_pos, nd_prefix,
              del_pos, del_right, del_links, var_pos_d, var_right_d) = tabs
@@ -297,77 +369,214 @@ class ShardedTyper:
                     return jnp.take_along_axis(a, w[:, None, None], 1)[:, 0]
                 return jnp.take_along_axis(a, w[:, None], 1)[:, 0]
 
-            win = top_i[:, 0]
-            score_w = take(score, win)
-            n_novel_w = take(n_novel, win)
-            n_valid_w = take(n_valid, win)
-
-            def ht_of(w):
-                """(lefts, rights, vars) of hypothesis column w [n]."""
-                var_w = take(var_j, w)                            # [n, W]
-                ivar_w = ind_var[take(hyp_c, w)]                  # [n]
-                span = jnp.where(take(in_ins, w),
+            def planes_of(w):
+                """Per-base planes of hypothesis column w [n]."""
+                gp_w = take(gp, w)
+                in_ins_w = take(in_ins, w)
+                valid_w = take(valid, w)
+                span = jnp.where(in_ins_w,
                                  take(jnp.broadcast_to(
                                      pv[..., None], gp.shape), w),
                                  take(bbpos, w))
-                valid_w = take(valid, w)
                 l = jnp.min(jnp.where(valid_w, span, 1 << 30), 1)
                 r = jnp.max(jnp.where(valid_w, span, -1), 1)
+                return dict(
+                    gp=gp_w, in_ins=in_ins_w, valid=valid_w,
+                    var=take(var_j, w), match=take(match, w),
+                    l=l, r=r, ivar=ind_var[take(hyp_c, w)],
+                    pv=take(pv, w), dl=take(dl, w))
+
+            win = top_i[:, 0]
+            return dict(
+                oriented=oriented, use_r=use_r, cand=cand, tie2=tie2,
+                score_w=take(score, win), n_novel_w=take(n_novel, win),
+                n_valid_w=take(n_valid, win),
+                W=planes_of(win), T=planes_of(top_i[:, 1]))
+
+        def pile_contrib(sp, include):
+            """Device mpileup contribution of one mate batch's winner
+            spellings (get_mpileup, typing_common.py:1059-1184): aligned
+            bases into the A/C/G/T columns, the claimed catalog
+            deletion's span into the D column.  `include` [n] bool: the
+            pair-concordance + placement-sanity gate (the host pileup
+            sees concordant alignments with no NM filter).  Returns a
+            flat [P_bb * 6] int32 per-shard count vector (caller psums).
+            """
+            h = sp["W"]
+            gp, c = h["gp"], sp["oriented"]
+            pos_ok = (h["valid"] & ~h["in_ins"]
+                      & (gp < P_bb) & include[:, None])
+            idx = jnp.clip(gp, 0, P_bb - 1) * 6 + jnp.clip(c, 0, 3)
+            pile = jnp.zeros(P_bb * 6, jnp.int32).at[
+                idx.reshape(-1)].add(pos_ok.reshape(-1).astype(jnp.int32))
+            if del_cap > 0:
+                claims = (h["dl"] > 0) & include
+                k = jnp.arange(del_cap, dtype=jnp.int32)
+                didx = jnp.clip(h["pv"], 0, P_bb - 1)[:, None] + k[None, :]
+                dmask = (claims[:, None] & (k[None, :] < h["dl"][:, None])
+                         & (didx < P_bb))
+                pile = pile.at[jnp.clip(didx, 0, P_bb - 1).reshape(-1) * 6
+                               + 5].add(dmask.reshape(-1).astype(jnp.int32))
+            return pile
+
+        def rep_of(pile_flat):
+            """Representative-base tables from the psum'd pileup
+            (Mpileup.finalize; ref thresholds typing_common.py:1124-1134):
+            keep [P, 4] bool, rep_any [P], single-rep base [P]."""
+            pile = pile_flat.reshape(P_bb, 6)
+            total = pile.sum(1)
+            acgt = pile[:, :4]
+            keep = ((total >= 20)[:, None]
+                    & ((acgt * 5 >= total[:, None]) | (acgt >= 7)))
+            nrep = keep.sum(1)
+            bsingle = jnp.argmax(keep, 1).astype(jnp.int8)
+            return keep, nrep, bsingle, pile
+
+        def gate_hyp(tabs, sp, h, rep):
+            """Pileup re-gating of one hypothesis's per-base
+            classification — the device twin of error_correct
+            (typing_core.py:119-243).  Returns (gated var plane [n, W],
+            corrections counted [n], supported-novel count [n])."""
+            (pwm_ext, bb_ext, snp_alt, snp_var) = tabs[:4]
+            keep, nrep, bsingle, _pile = rep
+            gp, c = h["gp"], sp["oriented"]
+            pos_ok = h["valid"] & ~h["in_ins"]
+            gpc = jnp.clip(gp, 0, P_bb - 1)
+            in_bb = gp < P_bb
+            sup = keep[gpc, jnp.clip(c, 0, 3)]
+            ra = keep[gpc].any(-1) & in_bb
+            flagged = pos_ok & ra & ~sup
+            single = nrep[gpc] == 1
+            b = bsingle[gpc]
+            # correction target: the single representative base — to the
+            # backbone (neutral), a catalog alt (that variant), or N /
+            # multi-rep (neutral unknown)
+            corr_var = jnp.full(gp.shape, sentinel, jnp.int32)
+            for k in range(MAX_SNP_ALTS):
+                hit = flagged & single & (snp_alt[gpc, k] == b)
+                corr_var = jnp.where(hit, snp_var[gpc, k], corr_var)
+            var_new = jnp.where(flagged, corr_var, h["var"])
+            # reference num_correction bookkeeping: every flagged base in
+            # a match run counts; a flagged mismatch counts only when
+            # corrected back to the backbone base
+            # (typing_core.py:119-243 match vs mismatch branches)
+            corr_counted = flagged & (
+                h["match"] | (single & (b == bb_ext[gpc])))
+            known_new = var_new < sentinel
+            novel_new = pos_ok & ~h["match"] & ~known_new & ~flagged
+            return (var_new,
+                    jnp.sum(corr_counted, 1, dtype=jnp.int32),
+                    jnp.sum(novel_new, 1, dtype=jnp.int32))
+
+        def clip_ht_w(var_pos_d, var_right_d, l, r, vars_, k,
+                      win_l, win_r, n_win):
+            """Intersect an ht with its k-th overlapping window from
+            (win_l, win_r) (get_exon_haplotypes, typer/exons.py; ref
+            typing_core.py exon clipping).  Non-overlapping windows
+            degenerate to the all-compatible uniform row, which shifts
+            every allele's count equally and leaves the argmax class
+            unchanged — so no masking is needed downstream."""
+            first = jnp.searchsorted(win_r, l)
+            wi = jnp.minimum(first + k, max(n_win - 1, 0))
+            el, er = win_l[wi], win_r[wi]
+            ok = (first + k < n_win) & (el <= r) & (er >= l)
+            lc = jnp.where(ok, jnp.maximum(l, el), 1 << 30)
+            rc = jnp.where(ok, jnp.minimum(r, er), -1)
+            vp = var_pos_d[vars_]
+            vr = var_right_d[vars_]
+            isd = var_isdel_d[vars_]
+            keep = jnp.where(
+                isd,
+                (vp - 1 >= lc[:, None]) & (vr + 1 <= rc[:, None]),
+                (vp >= lc[:, None]) & (vp <= rc[:, None]))
+            vc = jnp.where(ok[:, None] & keep, vars_, sentinel)
+            return lc, rc, vc
+
+        def mate_counts(tabs, sp, rep, want_px):
+            """Stages 2b-3 + counting masks for one spelled mate batch.
+            rep None disables the pileup gate (the legacy programs).
+            Returns (cnt, cnt_ex, cnt_px, passed, needs_host)."""
+            (links_packed, nd_pos, nd_prefix, del_pos, del_right,
+             del_links, var_pos_d, var_right_d) = tabs[9:]
+            n = sp["oriented"].shape[0]
+            Wh, Th = sp["W"], sp["T"]
+            tie2 = sp["tie2"]
+            score_w = sp["score_w"]
+            n_novel_w = sp["n_novel_w"]
+            n_valid_w = sp["n_valid_w"]
+            if rep is None:
+                varW, varT = Wh["var"], Th["var"]
+                n_corr = jnp.zeros(n, jnp.int32)
+                novel_resid = n_novel_w
+            else:
+                varW, n_corrW, novelW = gate_hyp(tabs, sp, Wh, rep)
+                varT, _, _ = gate_hyp(tabs, sp, Th, rep)
+                n_corr = n_corrW
+                novel_resid = novelW
+
+            def ht_of(h, var_pl):
                 vars_ = jnp.sort(jnp.concatenate(
-                    [var_w, ivar_w[:, None]], 1), 1)[:, :K]
-                return l, r, vars_, ivar_w
+                    [var_pl, h["ivar"][:, None]], 1), 1)[:, :K]
+                return h["l"], h["r"], vars_
 
-            l1, r1, v1, iv1 = ht_of(win)
-            l2, r2, v2, iv2 = ht_of(top_i[:, 1])
-
-            def clip_ht(l, r, vars_, k):
-                """Intersect an ht with its k-th overlapping exon window
-                (get_exon_haplotypes, typer/exons.py; ref typing_core.py
-                exon clipping).  Non-overlapping windows degenerate to
-                the all-compatible uniform row, which shifts every
-                allele's count equally and leaves the argmax class
-                unchanged — so no masking is needed downstream."""
-                first = jnp.searchsorted(ex_r, l)
-                wi = jnp.minimum(first + k, max(n_exons - 1, 0))
-                el, er = ex_l[wi], ex_r[wi]
-                ok = (first + k < n_exons) & (el <= r) & (er >= l)
-                lc = jnp.where(ok, jnp.maximum(l, el), 1 << 30)
-                rc = jnp.where(ok, jnp.minimum(r, er), -1)
-                vp = var_pos_d[vars_]
-                vr = var_right_d[vars_]
-                isd = var_isdel_d[vars_]
-                keep = jnp.where(
-                    isd,
-                    (vp - 1 >= lc[:, None]) & (vr + 1 <= rc[:, None]),
-                    (vp >= lc[:, None]) & (vp <= rc[:, None]))
-                vc = jnp.where(ok[:, None] & keep, vars_, sentinel)
-                return lc, rc, vc
+            l1, r1, v1 = ht_of(Wh, varW)
+            l2, r2, v2 = ht_of(Th, varT)
 
             # -- 3. verify gate ------------------------------------------ #
             nv = n_valid_w.astype(jnp.float32)
             passed = ((n_novel_w <= max_novel) & (n_valid_w > 0)
-                      & (score_w >= min_score_frac * nv))
+                      & (score_w >= min_score_frac * nv)
+                      & (n_corr <= corr_cap))
+            if rep is not None and is_hla:
+                # deletion-plausibility misalignment heuristic
+                # (typing_core.py:1064-1077): claimed deletion with
+                # del_count * 6 < nt_count rejects the mate, exactly as
+                # the host read_hts returns None
+                _k, _nr, _bs, pile = rep
+                pvc = jnp.clip(Wh["pv"], 0, P_bb - 1)
+                delp_ok = pile[pvc, 5] * 6 >= pile[pvc, :5].sum(1)
+                passed = passed & ((Wh["dl"] == 0) | delp_ok)
             # residual novel edits next to a catalog indel the spelling
             # does not claim: the read may cross a second indel (the
             # host engine spells multi-indel chains; the device does
-            # not) — punt it (typer/engine.py read_hts is the rescue)
-            claimed = ((ind_var[cand] == iv1[:, None])
-                       | (tie2[:, None] & (ind_var[cand] == iv2[:, None])))
+            # not) — punt it (typer/engine.py read_hts is the rescue).
+            # Under the pileup gate, corrected bases also signal the
+            # unclaimed-indel frame shift (they read as unsupported),
+            # so corrections count toward the ambiguity trigger.
+            cand = sp["cand"]
+            (ind_pos_t, ind_var_t) = (tabs[4], tabs[7])
+            claimed = ((ind_var_t[cand] == Wh["ivar"][:, None])
+                       | (tie2[:, None]
+                          & (ind_var_t[cand] == Th["ivar"][:, None])))
             in_span = ((cand < D)
-                       & (ind_pos[cand] >= l1[:, None] - max_shift)
-                       & (ind_pos[cand] <= r1[:, None]))
-            ambiguous = jnp.any(in_span & ~claimed, 1) & (n_novel_w > 0)
+                       & (ind_pos_t[cand] >= l1[:, None] - max_shift)
+                       & (ind_pos_t[cand] <= r1[:, None]))
+            ambiguous = (jnp.any(in_span & ~claimed, 1)
+                         & ((novel_resid + n_corr) > 0))
             needs_host = (~passed | ambiguous) & (n_valid_w > 0)
             passed = passed & ~ambiguous
 
             # -- 5. per-read compatibility masks (winner + tied alt, at
             # the full level plus up to 2 exon-clipped windows for the
-            # hierarchical exon stage) -- #
+            # hierarchical exon stage, + 2 primary-exon windows for the
+            # primary level) -- #
             groups = [(l1, r1, v1), (l2, r2, v2)]
             if staged:
                 for k in (0, 1):
-                    groups.append(clip_ht(l1, r1, v1, k))
-                    groups.append(clip_ht(l2, r2, v2, k))
+                    groups.append(clip_ht_w(var_pos_d, var_right_d,
+                                            l1, r1, v1, k, ex_l, ex_r,
+                                            n_exons))
+                    groups.append(clip_ht_w(var_pos_d, var_right_d,
+                                            l2, r2, v2, k, ex_l, ex_r,
+                                            n_exons))
+            if want_px:
+                for k in (0, 1):
+                    groups.append(clip_ht_w(var_pos_d, var_right_d,
+                                            l1, r1, v1, k, px_l, px_r,
+                                            n_pexons))
+                    groups.append(clip_ht_w(var_pos_d, var_right_d,
+                                            l2, r2, v2, k, px_l, px_r,
+                                            n_pexons))
             masks = _compat(links_packed, nd_pos, nd_prefix, del_pos,
                             del_right, del_links, var_pos_d, var_right_d,
                             jnp.concatenate([g[0] for g in groups]),
@@ -376,12 +585,28 @@ class ShardedTyper:
             m = [masks[i * n:(i + 1) * n].astype(jnp.int32)
                  for i in range(len(groups))]
             cnt = m[0] + m[1] * tie2[:, None]
+            at = 2
             if staged:
-                cnt_ex = (m[2] + m[3]
-                          + (m[4] + m[5]) * tie2[:, None])
+                cnt_ex = (m[at] + m[at + 2]
+                          + (m[at + 1] + m[at + 3]) * tie2[:, None])
+                at += 4
             else:
                 cnt_ex = cnt
-            return cnt, cnt_ex, passed, use_r, l1, r1, needs_host
+            if want_px:
+                cnt_px = (m[at] + m[at + 2]
+                          + (m[at + 1] + m[at + 3]) * tie2[:, None])
+            else:
+                cnt_px = cnt
+            return cnt, cnt_ex, cnt_px, passed, needs_host
+
+        def mate_pipeline(tabs, reads):
+            """Legacy single-dispatch path (ungated), kept bit-identical
+            for the pure-device EM programs and their tests."""
+            sp = mate_spell(tabs, reads)
+            cnt, cnt_ex, _, passed, needs_host = mate_counts(
+                tabs, sp, None, False)
+            return (cnt, cnt_ex, passed, sp["use_r"], sp["W"]["l"],
+                    sp["W"]["r"], needs_host)
 
         def finish(cnt, cnt_ex, w, punt):
             """Stage-5 epilogue: weighted full-level class totals.
@@ -415,6 +640,166 @@ class ShardedTyper:
             cnt_ex = ce1 * ok1[:, None] + ce2 * ok2[:, None]
             punt = conc & (nh1 | nh2)
             return finish(cnt, cnt_ex, used.astype(jnp.float32), punt)
+
+        # ------------------------------------------------------------- #
+        # production class-packing programs (pileup-gated)
+        # ------------------------------------------------------------- #
+        W32 = (A + 31) // 32
+        self._W32 = W32
+        self._class_cap = class_cap
+        self._NLEV = NLEV
+
+        def pack_classes(cnts, w_used, punt, n_reads_m, n_loc):
+            """On-device class dedup + single-buffer packing (the
+            device_fold._fold_levels scheme, typer/device_fold.py):
+            per level, the argmax-count class row of every used pair is
+            bit-packed along A; rows of all levels hash-sort together
+            (level in the top 2 key bits) and adjacent-compare dedup
+            yields unique rows + aggregated weights.  Output: one uint32
+            buffer [BUF] per shard + full-resolution leaves for the rare
+            cap overflow."""
+            wi = w_used.astype(jnp.int32)
+            bitw = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+            pad_A = W32 * 32 - A
+            packed_all, totals_all = [], []
+            for li in range(NLEV):
+                inc = include_d[li]
+                mx = jnp.max(jnp.where(inc[None, :], cnts[li], -1), 1)
+                cur = ((cnts[li] == mx[:, None]) & inc[None, :]
+                       & (wi > 0)[:, None])
+                cur_pad = jnp.pad(cur, ((0, 0), (0, pad_A)))
+                packed = jnp.sum(
+                    cur_pad.reshape(n_loc, W32, 32).astype(jnp.uint32)
+                    * bitw[None, None, :], axis=2, dtype=jnp.uint32)
+                totals = jax.lax.psum(
+                    jnp.sum(cur.astype(jnp.int32) * wi[:, None], 0), axis)
+                packed_all.append(packed)
+                totals_all.append(totals)
+            LG = NLEV * n_loc
+            flat = jnp.concatenate(packed_all, 0)              # [LG, W32]
+            mixer = (jnp.arange(W32, dtype=jnp.uint32)
+                     * jnp.uint32(0x9E3779B9) + jnp.uint32(0x85EBCA77))
+            h = jnp.sum(flat * mixer[None, :], axis=1, dtype=jnp.uint32)
+            h = (h ^ (h >> 15)) * jnp.uint32(0x2C1B3C6D)
+            lev = jnp.repeat(jnp.arange(NLEV, dtype=jnp.uint32), n_loc)
+            key = (lev << jnp.uint32(30)) | (h >> jnp.uint32(2))
+            order = jnp.argsort(key, stable=True)
+            fs = flat[order]
+            key_s = key[order]
+            neq = (key_s[1:] != key_s[:-1]) \
+                | jnp.any(fs[1:] != fs[:-1], axis=1)
+            is_first = jnp.concatenate([jnp.ones(1, bool), neq])
+            uniq_rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+            w_rows = jnp.tile(wi, NLEV)[order]
+            uw = jax.ops.segment_sum(w_rows, uniq_rank, num_segments=LG)
+            min_idx = jax.ops.segment_min(order.astype(jnp.int32),
+                                          uniq_rank, num_segments=LG)
+            cap = min(class_cap, LG)
+            up = jnp.nonzero(is_first, size=cap, fill_value=LG)[0]
+            rows_c = fs[jnp.clip(up, 0, LG - 1)]
+            n_uniq = jnp.sum(is_first.astype(jnp.uint32))
+            # punt mask bit-packed 32 reads per word
+            npw = (n_loc + 31) // 32
+            punt_pad = jnp.pad(punt.astype(jnp.uint32),
+                               (0, npw * 32 - n_loc))
+            punt_words = jnp.sum(
+                punt_pad.reshape(npw, 32) * bitw[None, :], axis=1,
+                dtype=jnp.uint32)
+            counters = jnp.stack([
+                n_uniq,
+                n_reads_m.astype(jnp.uint32),
+                jnp.sum(wi).astype(jnp.uint32),
+                jnp.sum(punt.astype(jnp.uint32))])
+            return (rows_c, uw[:cap], min_idx[:cap],
+                    jnp.stack(totals_all), punt_words, counters,
+                    fs, is_first, uw, min_idx)
+
+        def assemble_buf(pile_flat, packed):
+            (rows_c, uw_c, min_c, totals, punt_words, counters,
+             fs, is_first, uw, min_idx) = packed
+            buf = jnp.concatenate([
+                rows_c.reshape(-1),
+                uw_c.astype(jnp.uint32),
+                min_c.astype(jnp.uint32),
+                totals.reshape(-1).astype(jnp.uint32),
+                pile_flat.astype(jnp.uint32),
+                punt_words,
+                counters,
+            ])
+            return buf, fs, is_first, uw, min_idx
+
+        def classes_single(*args):
+            tabs, reads = args[:n_tables], args[n_tables]
+            sp = mate_spell(tabs, reads)
+            n_loc = reads.shape[0]
+            place_ok = ((sp["n_valid_w"] > 0)
+                        & (sp["score_w"] >= min_score_frac
+                           * sp["n_valid_w"].astype(jnp.float32)))
+            pile = jax.lax.psum(pile_contrib(sp, place_ok), axis)
+            rep = rep_of(pile)
+            cnt, cnt_ex, cnt_px, passed, needs_host = mate_counts(
+                tabs, sp, rep, self._with_primary)
+            w_used = passed & ~needs_host
+            # punted reads are re-counted by the host rescue; count here
+            # only what the device keeps (the host counts mates with
+            # nm <= editdist, type_gene's n_counted)
+            n_reads_m = jnp.sum(
+                ((sp["n_novel_w"] <= max_novel) & (sp["n_valid_w"] > 0)
+                 & ~needs_host).astype(jnp.int32))
+            cnts = [cnt * w_used[:, None].astype(jnp.int32)]
+            if NLEV > 1:
+                cnts.append(cnt_ex * w_used[:, None].astype(jnp.int32))
+            if NLEV > 2:
+                cnts.append(cnt_px * w_used[:, None].astype(jnp.int32))
+            return assemble_buf(pile, pack_classes(
+                cnts, w_used, needs_host, n_reads_m, n_loc))
+
+        def classes_pairs(*args):
+            tabs, r1, r2 = args[:n_tables], args[n_tables], \
+                args[n_tables + 1]
+            sp1 = mate_spell(tabs, r1)
+            sp2 = mate_spell(tabs, r2)
+            n_loc = r1.shape[0]
+            # -- 4. concordance before the pileup: the host pileup sees
+            # concordant pairs only (type_gene pass 1 over conc_alns) -- #
+            l1, rr1 = sp1["W"]["l"], sp1["W"]["r"]
+            l2, rr2 = sp2["W"]["l"], sp2["W"]["r"]
+            span = (jnp.maximum(rr1, rr2) - jnp.minimum(l1, l2))
+            conc = (sp1["use_r"] != sp2["use_r"]) & (span <= MAX_FRAG)
+
+            def place_ok(sp):
+                return ((sp["n_valid_w"] > 0)
+                        & (sp["score_w"] >= min_score_frac
+                           * sp["n_valid_w"].astype(jnp.float32)))
+
+            inc1 = conc & place_ok(sp1)
+            inc2 = conc & place_ok(sp2)
+            pile = jax.lax.psum(
+                pile_contrib(sp1, inc1) + pile_contrib(sp2, inc2), axis)
+            rep = rep_of(pile)
+            c1, ce1, cp1, ok1, nh1 = mate_counts(tabs, sp1, rep,
+                                                 self._with_primary)
+            c2, ce2, cp2, ok2, nh2 = mate_counts(tabs, sp2, rep,
+                                                 self._with_primary)
+            punt = conc & (nh1 | nh2)
+            used = conc & (ok1 | ok2) & ~punt
+            o1 = ok1 & used
+            o2 = ok2 & used
+            cnt = c1 * o1[:, None] + c2 * o2[:, None]
+            cnt_ex = ce1 * o1[:, None] + ce2 * o2[:, None]
+            cnt_px = cp1 * o1[:, None] + cp2 * o2[:, None]
+            # punted pairs are re-counted by the host rescue
+            n_reads_m = jnp.sum(((conc & ~punt)[:, None] & jnp.stack([
+                (sp1["n_novel_w"] <= max_novel) & (sp1["n_valid_w"] > 0),
+                (sp2["n_novel_w"] <= max_novel) & (sp2["n_valid_w"] > 0),
+            ], 1)).astype(jnp.int32))
+            cnts = [cnt]
+            if NLEV > 1:
+                cnts.append(cnt_ex)
+            if NLEV > 2:
+                cnts.append(cnt_px)
+            return assemble_buf(pile, pack_classes(
+                cnts, used, punt, n_reads_m, n_loc))
 
         # -- 6. staged SQUAREM EM over the device-resident class shard -- #
         def em_shard(remove_low, use_len, cnt, w, include, restrict):
@@ -484,6 +869,13 @@ class ShardedTyper:
         self._count_pairs = jax.jit(shard_map(
             shard_pairs, mesh, in_specs=specs_t + (P(axis), P(axis)),
             out_specs=outs, check_rep=False))
+        cls_outs = (P(axis), P(axis), P(axis), P(axis), P(axis))
+        self._classes_single = jax.jit(shard_map(
+            classes_single, mesh, in_specs=specs_t + (P(axis),),
+            out_specs=cls_outs, check_rep=False))
+        self._classes_pairs = jax.jit(shard_map(
+            classes_pairs, mesh, in_specs=specs_t + (P(axis), P(axis)),
+            out_specs=cls_outs, check_rep=False))
         self._em_steps = {
             key: jax.jit(shard_map(
                 functools.partial(em_shard, *key), mesh,
@@ -505,31 +897,124 @@ class ShardedTyper:
     def encode(self, seqs):
         return encode_reads(seqs, self.read_len)
 
-    def _pad(self, codes):
+    def _pad(self, codes, bucket=False):
         n, d = codes.shape[0], self.n_devices
-        if n % d:
-            pad = np.full((d - n % d, codes.shape[1]), 4, np.int8)
+        target = n
+        if bucket:
+            # eighth-of-octave bucketing bounds compiled program shapes
+            # to ~8 per size octave at <= 12.5% padding overhead (pad
+            # rows are code 4 = all-N: n_valid 0, weight 0, no punt)
+            step = max(_pow2(max(n, 1), lo=256) // 8, 32)
+            target = ((max(n, 1) + step - 1) // step) * step
+        target = ((target + d - 1) // d) * d
+        if n < target:
+            pad = np.full((target - n, codes.shape[1]), 4, np.int8)
             codes = np.concatenate([codes, pad])
         return codes
 
     # ------------------------------------------------------------------ #
-    def _exon_winners(self, exon_prob: np.ndarray):
-        """Expandable exon-stage winners: the shared staging policy
-        (typer/staging.expansion_winners — same constants and selection
-        rule as the host engine) over the device EM's abundance vector.
-        Zero-probability alleles never appear in the host's ranked list
-        (single_abundance emits positives only), so they are filtered
-        before ranking here too."""
-        from ..typer.staging import expansion_winners
+    # production front door: packed classes + pileup + punt (one fetch)
+    # ------------------------------------------------------------------ #
+    def count_classes(self, r1_codes: np.ndarray, r2_codes=None,
+                      bucket: bool = True):
+        """Run the pileup-gated class program and fetch its single
+        buffer.  Returns a dict:
+          levels: {"full"|"exon"|"primary":
+                      (rows uint32 [U, W32], weights int64 [U],
+                       totals int64 [A])}
+          pileup: int32 [P, 6]      (the device mpileup, psum-merged)
+          punt:   bool [n]          (reads/pairs for the host rescue)
+          n_reads, n_pairs: int     (report accounting)
+        """
+        n = r1_codes.shape[0]
+        p1 = self._pad(r1_codes, bucket)
+        if r2_codes is None:
+            out = self._classes_single(*self._tables, jnp.asarray(p1))
+        else:
+            p2 = self._pad(r2_codes, bucket)
+            out = self._classes_pairs(*self._tables, jnp.asarray(p1),
+                                      jnp.asarray(p2))
+        buf = np.asarray(out[0])
+        ndev = self.n_devices
+        n_pad = p1.shape[0]
+        n_loc = n_pad // ndev
+        NLEV, W32, A = self._NLEV, self._W32, self.A
+        cap = min(self._class_cap, NLEV * n_loc)
+        npw = (n_loc + 31) // 32
+        BUF = cap * W32 + 2 * cap + NLEV * A + self.P_bb * 6 + npw + 4
+        buf = buf.reshape(ndev, BUF)
 
-        order = np.argsort(-exon_prob, kind="stable")
-        ranked = [(int(i), float(exon_prob[i])) for i in order
-                  if exon_prob[i] > 0.0]
-        idx_set, prob_sum = expansion_winners(ranked, self._rep_groups)
-        sel = np.zeros(self.A, bool)
-        sel[sorted(idx_set)] = True
-        return sel, prob_sum
+        rows_parts, uw_parts, ord_parts = [], [], []
+        punt = np.zeros(n_pad, bool)
+        n_reads = 0
+        n_pairs = 0
+        totals = None
+        pileup = None
+        overflow_fetch = None
+        for s in range(ndev):
+            b = buf[s]
+            at = cap * W32
+            rows_s = b[:at].reshape(cap, W32)
+            uw_s = b[at:at + cap].astype(np.int64)
+            min_s = b[at + cap:at + 2 * cap].astype(np.int64)
+            at += 2 * cap
+            tt = b[at:at + NLEV * A].astype(np.int64).reshape(NLEV, A)
+            at += NLEV * A
+            pile_s = b[at:at + self.P_bb * 6].astype(np.int32)
+            at += self.P_bb * 6
+            pw = b[at:at + npw]
+            at += npw
+            n_uniq, nr, npair, _npunt = (int(x) for x in b[at:at + 4])
+            if s == 0:
+                totals = tt           # psum-replicated
+                pileup = pile_s.reshape(self.P_bb, 6)
+            n_reads += nr
+            n_pairs += npair
+            bits = ((pw[:, None] >> np.arange(32, dtype=np.uint32))
+                    & 1).astype(bool).reshape(-1)[:n_loc]
+            punt[s * n_loc:(s + 1) * n_loc] = bits
+            if n_uniq > cap:
+                # rare overflow: fetch the full sorted rows for this
+                # shard through the exact secondary leaves
+                if overflow_fetch is None:
+                    overflow_fetch = [np.asarray(x) for x in out[1:5]]
+                fs_all, first_all, uw_all, min_all = overflow_fetch
+                blk = NLEV * n_loc
+                fs_s = fs_all[s * blk:(s + 1) * blk]
+                first_s = first_all[s * blk:(s + 1) * blk]
+                uwf = uw_all[s * blk:(s + 1) * blk]
+                minf = min_all[s * blk:(s + 1) * blk]
+                fr = np.flatnonzero(first_s)
+                rows_s = fs_s[fr]
+                uw_s = uwf[:len(fr)].astype(np.int64)
+                min_s = minf[:len(fr)].astype(np.int64)
+                n_uniq = len(fr)
+            rows_s = rows_s[:n_uniq]
+            uw_s = uw_s[:n_uniq]
+            min_s = min_s[:n_uniq]
+            keep = uw_s > 0
+            rows_parts.append(rows_s[keep])
+            uw_parts.append(uw_s[keep])
+            # global first-seen order: (level, shard, local row)
+            m = min_s[keep]
+            ord_parts.append((m // n_loc) * n_pad + s * n_loc
+                             + (m % n_loc))
+        rows = np.concatenate(rows_parts) if rows_parts else \
+            np.zeros((0, W32), np.uint32)
+        uws = np.concatenate(uw_parts) if uw_parts else \
+            np.zeros(0, np.int64)
+        order_key = np.concatenate(ord_parts) if ord_parts else \
+            np.zeros(0, np.int64)
 
+        levels = {}
+        for li, (name, _inc) in enumerate(self._levels):
+            sel = np.flatnonzero((order_key // n_pad) == li)
+            sub = sel[np.argsort(order_key[sel], kind="stable")]
+            levels[name] = (rows[sub], uws[sub], totals[li])
+        return dict(levels=levels, pileup=pileup, punt=punt[:n],
+                    n_reads=n_reads, n_pairs=n_pairs)
+
+    # ------------------------------------------------------------------ #
     def _solve(self, counted):
         """Staged EM over the device-resident class counts (the host
         hierarchy of typer/engine.py:809-874): exon-level EM over rep
@@ -553,6 +1038,23 @@ class ShardedTyper:
         else:
             prob = exon_prob
         return prob, totals, n_used, punt
+
+    def _exon_winners(self, exon_prob: np.ndarray):
+        """Expandable exon-stage winners: the shared staging policy
+        (typer/staging.expansion_winners — same constants and selection
+        rule as the host engine) over the device EM's abundance vector.
+        Zero-probability alleles never appear in the host's ranked list
+        (single_abundance emits positives only), so they are filtered
+        before ranking here too."""
+        from ..typer.staging import expansion_winners
+
+        order = np.argsort(-exon_prob, kind="stable")
+        ranked = [(int(i), float(exon_prob[i])) for i in order
+                  if exon_prob[i] > 0.0]
+        idx_set, prob_sum = expansion_winners(ranked, self._rep_groups)
+        sel = np.zeros(self.A, bool)
+        sel[sorted(idx_set)] = True
+        return sel, prob_sum
 
     def __call__(self, read_codes: np.ndarray):
         n = read_codes.shape[0]

@@ -1,0 +1,246 @@
+"""The production typing path: the sharded device program IS the
+pipeline, the host engine rescues the punt mask.
+
+The reference's production path is its parallel path — typing_process
+fans genotyping_locus over a pool and that is what every user runs
+(hisatgenotype:321-686, 613-665).  Here the equivalent holds on device:
+`type_reads_device` runs the connected shard_map program
+(parallel/e2e.ShardedTyper) — placement, pileup-gated spelling,
+compatibility counting, on-device class dedup — in ONE dispatch + ONE
+fetch, then:
+
+1. merges the packed per-level equivalence classes into the host
+   StatAccumulators (typer/counting.py — identical class identity,
+   weights, totals),
+2. rescues the punt mask through the host engine (the bit-exact
+   reference path: GeneAligner + GeneTyper.read_hts) using the DEVICE
+   pileup for error correction, so punted reads see the same
+   representative-base sets the device gated with, and merges their
+   class counts in before EM — no read is ever dropped
+   (the reference never drops in-budget reads,
+   typing_core.py:800-1543),
+3. runs the reference's staged EM hierarchy (typer/staging.py) on the
+   merged cmpt dicts.
+
+A 1-device mesh on a single chip is the same compiled program as an
+8-device slice; `pipeline.type_reads` routes here whenever the options
+are device-compatible (see `device_typing_supported`).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..db.catalog import GeneRef
+from ..typer.counting import StatAccumulator
+from ..typer.engine import (GeneTyper, GeneTypingResult, NovelVars,
+                            TypingOptions, _concordant, _gene_shared_state)
+from ..utils.trace import TRACE
+
+_MESH_CACHE = {}
+
+
+def default_mesh():
+    """One data-parallel mesh over every local device (a single real
+    chip in production; 8 virtual CPU devices under the test env)."""
+    import jax
+
+    from .sharded import make_mesh
+
+    n = len(jax.devices())
+    if n not in _MESH_CACHE:
+        _MESH_CACHE[n] = make_mesh(n)
+    return _MESH_CACHE[n]
+
+
+def device_typing_supported(opts: TypingOptions, paired: bool) -> bool:
+    """Options the device program covers.  Anything else falls back to
+    the host engine (the same result, computed the reference way):
+    assembly needs per-read ht strings, the linear path bypasses the
+    graph, CODIS needs the pair-interdistance disambiguation, and the
+    device gate IS error correction (so error_correction off must run
+    host).  Discordant paired mode skips the concordance the paired
+    program hardwires."""
+    if opts.assembly or opts.linear_typing:
+        return False
+    if not opts.error_correction or not opts.use_alts:
+        return False
+    if opts.family == "codis":
+        return False
+    if paired and opts.allow_discordant:
+        return False
+    return True
+
+
+def _shared_sharded_typer(gene: GeneRef, opts: TypingOptions, mesh,
+                          read_len: int):
+    from .e2e import ShardedTyper
+
+    st = _gene_shared_state(gene)
+    key = ("sharded_typer", id(mesh), read_len, opts.family,
+           opts.num_editdist, bool(opts.type_primary_exons))
+    hit = st.get(key)
+    if hit is None:
+        hit = ShardedTyper(gene, mesh, read_len=read_len,
+                           max_novel=opts.num_editdist,
+                           family=opts.family,
+                           with_primary=opts.type_primary_exons)
+        st[key] = hit
+    return hit
+
+
+def _device_mpileup(gene: GeneRef, pileup_counts: np.ndarray):
+    """Host Mpileup view over the device pileup so rescued reads are
+    error-corrected against the SAME representative sets the device
+    gated with (get_mpileup, typing_common.py:1059-1184)."""
+    from ..typer.mpileup import Mpileup
+
+    mp = Mpileup(gene)
+    mp.counts = np.ascontiguousarray(pileup_counts.astype(np.int32))
+    mp.finalize()
+    return mp
+
+
+def _rescue_punts(gene, opts, reads_1, reads_2, punt, mpileup, stats,
+                  aligner=None):
+    """Host-engine rescue of the punt mask: align + read_hts + count the
+    punted pairs exactly as type_gene would, merging their classes into
+    the device accumulators before EM.  Returns (n_reads, n_pairs,
+    novel) added."""
+    idx = np.flatnonzero(punt)
+    novel = NovelVars()
+    if len(idx) == 0:
+        return 0, 0, novel
+    from ..align import GeneAligner
+    from collections import defaultdict
+
+    typer_h = GeneTyper(gene, opts)
+    aligner = aligner or GeneAligner(gene, num_editdist=opts.num_editdist,
+                                     leftmost=opts.family == "codis")
+    sub_1 = [reads_1[i] for i in idx]
+    groups = [([n for n, _ in sub_1], [s for _, s in sub_1], "L")]
+    if reads_2 is not None:
+        sub_2 = [reads_2[i] for i in idx]
+        groups.append(([n for n, _ in sub_2], [s for _, s in sub_2], "R"))
+    by_read = defaultdict(list)
+    for alns in aligner.align_batches(groups):
+        for a in alns:
+            if a is not None:
+                by_read[a.read_id.split("|")[0]].append(a)
+
+    full_stats, exon_stats, primary_stats = stats
+    n_reads = 0
+    n_pairs = 0
+    ht_cache = {}
+    hts_memo = {}
+    A = gene.n_alleles
+    for read_id in sorted(by_read):
+        alns = _concordant(by_read[read_id], opts)
+        if alns is None:
+            continue
+        left_hts, right_hts = set(), set()
+        for a in alns:
+            if a.nm > opts.num_editdist:
+                continue
+            n_reads += 1
+            key = (a.mate, a.uid) if a.uid >= 0 else (a.mate, a.pos, a.seq)
+            hit = hts_memo.get(key, False)
+            if hit is False:
+                hit = typer_h.read_hts(a, novel, mpileup)
+                hts_memo[key] = hit
+            if hit is not None:
+                (left_hts if a.mate == "L" else right_hts).update(hit)
+            for alt in (a.alts or ()):
+                alt_hts = typer_h.read_hts(alt, novel, mpileup)
+                if alt_hts is not None:
+                    (left_hts if a.mate == "L"
+                     else right_hts).update(alt_hts)
+        positive_hts = left_hts | right_hts
+        if not positive_hts:
+            continue
+        n_pairs += 1
+        cnt_f = np.zeros(A, np.int64)
+        cnt_e = np.zeros(A, np.int64)
+        cnt_p = np.zeros(A, np.int64)
+        for h in positive_hts:
+            full, exon, primary = typer_h.ht_masks(h, novel, ht_cache)
+            cnt_f += full
+            cnt_e += exon
+            cnt_p += primary
+        full_stats.add_read(cnt_f)
+        if exon_stats is not None:
+            exon_stats.add_read(cnt_e)
+        if primary_stats is not None:
+            primary_stats.add_read(cnt_p)
+    return n_reads, n_pairs, novel
+
+
+def type_reads_device(gene: GeneRef, reads_1, reads_2=None,
+                      opts: TypingOptions = None, aligner=None, mesh=None):
+    """Device-program typing of one gene's read set.
+
+    reads_*: [(name, seq)].  Returns GeneTypingResult — the same
+    contract as pipeline.type_reads, computed by the sharded device
+    program with host rescue of the punt mask.
+    """
+    opts = opts or TypingOptions()
+    mesh = mesh or default_mesh()
+    seqs_1 = [s for _, s in reads_1]
+    seqs_2 = [s for _, s in (reads_2 or [])]
+    max_len = max((len(s) for s in seqs_1 + seqs_2), default=100)
+    read_len = max(100, ((max_len + 9) // 10) * 10)
+    st = _shared_sharded_typer(gene, opts, mesh, read_len)
+
+    with TRACE.stage("device.encode"):
+        c1 = st.encode(seqs_1)
+        c2 = st.encode(seqs_2) if reads_2 is not None else None
+    with TRACE.stage("device.classes"):
+        out = st.count_classes(c1, c2)
+
+    with TRACE.stage("device.merge"):
+        full_stats = StatAccumulator(gene.allele_names)
+        exon_stats = None
+        primary_stats = None
+        lv = out["levels"]
+        full_stats.add_packed_batch(*lv["full"])
+        if "exon" in lv:
+            exon_stats = StatAccumulator(gene.allele_names,
+                                         st._rep_mask_np)
+            exon_stats.add_packed_batch(*lv["exon"])
+        if "primary" in lv:
+            primary_stats = StatAccumulator(gene.allele_names,
+                                            st._primary_mask_np)
+            primary_stats.add_packed_batch(*lv["primary"])
+
+    n_reads = out["n_reads"]
+    n_pairs = out["n_pairs"]
+    with TRACE.stage("device.rescue"):
+        r_reads, r_pairs, novel = _rescue_punts(
+            gene, opts, reads_1, reads_2, out["punt"],
+            _device_mpileup(gene, out["pileup"]),
+            (full_stats, exon_stats, primary_stats), aligner)
+    n_reads += r_reads
+    n_pairs += r_pairs
+
+    with TRACE.stage("type.em"):
+        from ..typer.staging import staged_abundance
+
+        full_cmpt = full_stats.cmpt_names()
+        exon_cmpt = exon_stats.cmpt_names() if exon_stats else {}
+        primary_cmpt = primary_stats.cmpt_names() if primary_stats else {}
+        rep_groups = getattr(st, "_rep_groups", {})
+        primary_groups = getattr(st, "_primary_groups", {})
+        prob = staged_abundance(gene, opts, full_cmpt, exon_cmpt,
+                                primary_cmpt, rep_groups, primary_groups,
+                                gene.allele_lengths())
+
+    return GeneTypingResult(
+        gene=gene.gene,
+        num_reads=int(n_reads),
+        num_pairs=int(n_pairs),
+        counts=full_stats.ranked_counts(),
+        prob=prob,
+        cmpt=full_cmpt,
+        exon_cmpt=exon_cmpt,
+        primary_exon_cmpt=primary_cmpt,
+        novel_vars=dict(novel.meta),
+    )

@@ -40,12 +40,34 @@ def type_reads_linear(gene: GeneRef, reads_1, reads_2=None, opts=None):
         exon_cmpt={}, primary_exon_cmpt={})
 
 
+def _take_device_path(opts, paired) -> bool:
+    """Route typing through the sharded device program (the production
+    path, VERDICT r3 item 1)?  "on" forces it, "auto" takes it on a TPU
+    backend whenever the options are device-compatible."""
+    if opts.device_typing == "off":
+        return False
+    from ..parallel.production import device_typing_supported
+
+    if not device_typing_supported(opts, paired):
+        return False
+    if opts.device_typing == "on":
+        return True
+    from ..typer.engine import _tpu_backend
+
+    return _tpu_backend()
+
+
 def type_reads(gene: GeneRef, reads_1, reads_2=None, opts=None,
                aligner: GeneAligner = None):
     """reads_*: [(name, seq)].  Returns GeneTypingResult."""
     opts = opts or TypingOptions()
     if opts.linear_typing:
         return type_reads_linear(gene, reads_1, reads_2, opts)
+    if _take_device_path(opts, reads_2 is not None):
+        from ..parallel.production import type_reads_device
+
+        return type_reads_device(gene, reads_1, reads_2, opts,
+                                 aligner=aligner)
     aligner = aligner or GeneAligner(gene, num_editdist=opts.num_editdist,
                                      leftmost=opts.family == "codis")
     by_read = defaultdict(list)

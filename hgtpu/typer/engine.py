@@ -61,6 +61,10 @@ class TypingOptions:
     use_alts: bool = True
     error_correction: bool = True
     device_counting: str = "auto"  # "auto" | "on" | "off"
+    # route typing through the sharded device program with host punt
+    # rescue (parallel/production.py); "auto" takes it on a TPU backend
+    # whenever the options are device-compatible
+    device_typing: str = "auto"    # "auto" | "on" | "off"
     assembly: bool = False
     report_base: str = ""     # when set, assembly also renders <base>.<gene>.pdf
     # alleles whose variant tracks are drawn in the assembly plot
