@@ -261,6 +261,54 @@ class ShardedTyper:
             [gene.var_type == VT_DELETION, [False]]))
         self._ones = jnp.ones(A, bool)
 
+        # alternative-haplotype end-trim gate for the production path
+        # (VERDICT r3 missing #4): the host's may_trim reach test
+        # (typer/engine.py) as device RMQ tables — a read whose span
+        # contains an anchor whose equivalence reaches a read edge MAY
+        # be end-trimmed by identify_ambiguous_diffs, a transformation
+        # the device does not model, so the production program punts it
+        # to the host rescue.  Sparse min/max tables packed [K, N].
+        from ..typer.engine import ensure_alt_gate
+        La, Lt, Ra, Rt = ensure_alt_gate(gene)
+
+        def _pack_rmq(tabs, fill):
+            Kt = len(tabs)
+            N = max(len(tabs[0]), 1)
+            out = np.full((Kt, N), fill, np.int64)
+            for kk, t in enumerate(tabs):
+                out[kk, :len(t)] = t
+            return jnp.asarray(out.astype(np.int32))
+
+        self._gate_n = (len(La), len(Ra))
+        La_d = jnp.asarray(La.astype(np.int32))
+        Ra_d = jnp.asarray(Ra.astype(np.int32))
+        Lt_d = _pack_rmq(Lt, (1 << 30)) if len(La) else None
+        Rt_d = _pack_rmq(Rt, -(1 << 30)) if len(Ra) else None
+
+        def may_trim_dev(l, r):
+            """Device twin of GeneTyper.may_trim over winner spans."""
+            out = jnp.zeros(l.shape, bool)
+
+            def rmq(tab, a_pos, side_val, op, cmp):
+                i0 = jnp.searchsorted(a_pos, l, side="left")
+                i1 = jnp.searchsorted(a_pos, r, side="right")
+                ln = i1 - i0
+                kq = jnp.floor(jnp.log2(jnp.maximum(ln, 1)
+                                        .astype(jnp.float32))
+                               ).astype(jnp.int32)
+                w = jnp.left_shift(jnp.int32(1), kq)
+                q = op(tab[kq, i0],
+                       tab[kq, jnp.maximum(i1 - w, 0)])
+                return (ln > 0) & cmp(q, side_val)
+
+            if self._gate_n[0]:
+                out = out | rmq(Lt_d, La_d, l, jnp.minimum,
+                                lambda q, v: q <= v)
+            if self._gate_n[1]:
+                out = out | rmq(Rt_d, Ra_d, r, jnp.maximum,
+                                lambda q, v: q >= v)
+            return out
+
         # production class levels: full always; exon / primary-exon when
         # the staged hierarchy applies (host StatAccumulator include
         # masks, typer/engine.type_gene)
@@ -485,6 +533,21 @@ class ShardedTyper:
             vp = var_pos_d[vars_]
             vr = var_right_d[vars_]
             isd = var_isdel_d[vars_]
+            # host deletion-edge rule (get_exon_haplotypes, typer/
+            # exons.py; ref typing_core.py:718-792): a deletion
+            # straddling the clipped left edge advances the edge to one
+            # past the deletion; straddling the right edge pulls it to
+            # one before — so the straddler stops constraining exactly
+            # as the host drops the op and re-spans
+            stl = isd & (vp - 1 < lc[:, None]) & (vr >= lc[:, None])
+            lc = jnp.maximum(
+                lc, jnp.max(jnp.where(stl, vr + 1, -(1 << 30)), 1))
+            stri = isd & (vr + 1 > rc[:, None]) & (vp - 1 <= rc[:, None])
+            rc = jnp.minimum(
+                rc, jnp.min(jnp.where(stri, vp - 1, 1 << 30), 1))
+            ok = ok & (lc <= rc)
+            lc = jnp.where(ok, lc, 1 << 30)
+            rc = jnp.where(ok, rc, -1)
             keep = jnp.where(
                 isd,
                 (vp - 1 >= lc[:, None]) & (vr + 1 <= rc[:, None]),
@@ -492,9 +555,57 @@ class ShardedTyper:
             vc = jnp.where(ok[:, None] & keep, vars_, sentinel)
             return lc, rc, vc
 
-        def mate_counts(tabs, sp, rep, want_px):
+        def mate_flags(tabs, sp):
+            """Ungated punt predictor, computable BEFORE the pileup.
+
+            Production reads this mask twice: pre-punted reads are
+            EXCLUDED from the device pileup (their winner spelling may
+            be mis-framed — e.g. a multi-indel chain spelled with one
+            indel pollutes downstream frames), because the host rescue
+            adds their HOST alignments to the pileup instead
+            (production._rescue_punts) — making the merged pileup agree
+            with the host-full run's.  Returns (passed_u, amb_all)."""
+            (ind_pos_t, ind_var_t) = (tabs[4], tabs[7])
+            Wh, Th = sp["W"], sp["T"]
+            tie2 = sp["tie2"]
+            n_valid_w = sp["n_valid_w"]
+            nv = n_valid_w.astype(jnp.float32)
+            passed_u = ((sp["n_novel_w"] <= max_novel) & (n_valid_w > 0)
+                        & (sp["score_w"] >= min_score_frac * nv))
+            cand = sp["cand"]
+            claimed = ((ind_var_t[cand] == Wh["ivar"][:, None])
+                       | (tie2[:, None]
+                          & (ind_var_t[cand] == Th["ivar"][:, None])))
+            in_span = ((cand < D)
+                       & (ind_pos_t[cand] >= Wh["l"][:, None] - max_shift)
+                       & (ind_pos_t[cand] <= Wh["r"][:, None]))
+            amb_u = (jnp.any(in_span & ~claimed, 1)
+                     & (sp["n_novel_w"] > 0))
+
+            def htv(h):
+                return jnp.sort(jnp.concatenate(
+                    [h["var"], h["ivar"][:, None]], 1), 1)[:, :K]
+
+            v1u, v2u = htv(Wh), htv(Th)
+            # alt-haplotype end-trim ambiguity (host: may_trim ->
+            # identify_ambiguous_diffs) — handed to the host rescue
+            trimmy = may_trim_dev(Wh["l"], Wh["r"])
+            if self._gate_n[0] or self._gate_n[1]:
+                trimmy = trimmy | (tie2 & may_trim_dev(Th["l"], Th["r"]))
+            # equal-cost DIVERGENT spellings (two catalog indel
+            # placements spell the read at the same cost): the host
+            # reports the aligner's single tie-broken alignment, so the
+            # production path defers to it instead of unioning
+            tie_div = tie2 & (jnp.any(v1u != v2u, 1)
+                              | (Wh["l"] != Th["l"])
+                              | (Wh["r"] != Th["r"]))
+            return passed_u, amb_u | trimmy | tie_div
+
+        def mate_counts(tabs, sp, rep, want_px, pre_amb=None):
             """Stages 2b-3 + counting masks for one spelled mate batch.
-            rep None disables the pileup gate (the legacy programs).
+            rep None disables the pileup gate (the legacy programs);
+            pre_amb (production) is mate_flags' ungated ambiguity, OR'd
+            in so the final punt is a superset of the pileup exclusion.
             Returns (cnt, cnt_ex, cnt_px, passed, needs_host)."""
             (links_packed, nd_pos, nd_prefix, del_pos, del_right,
              del_links, var_pos_d, var_right_d) = tabs[9:]
@@ -553,6 +664,8 @@ class ShardedTyper:
                        & (ind_pos_t[cand] <= r1[:, None]))
             ambiguous = (jnp.any(in_span & ~claimed, 1)
                          & ((novel_resid + n_corr) > 0))
+            if pre_amb is not None:
+                ambiguous = ambiguous | pre_amb
             needs_host = (~passed | ambiguous) & (n_valid_w > 0)
             passed = passed & ~ambiguous
 
@@ -732,13 +845,13 @@ class ShardedTyper:
             tabs, reads = args[:n_tables], args[n_tables]
             sp = mate_spell(tabs, reads)
             n_loc = reads.shape[0]
-            place_ok = ((sp["n_valid_w"] > 0)
-                        & (sp["score_w"] >= min_score_frac
-                           * sp["n_valid_w"].astype(jnp.float32)))
-            pile = jax.lax.psum(pile_contrib(sp, place_ok), axis)
+            passed_u, amb_all = mate_flags(tabs, sp)
+            pre_punt = (~passed_u | amb_all) & (sp["n_valid_w"] > 0)
+            pile = jax.lax.psum(
+                pile_contrib(sp, passed_u & ~pre_punt), axis)
             rep = rep_of(pile)
             cnt, cnt_ex, cnt_px, passed, needs_host = mate_counts(
-                tabs, sp, rep, self._with_primary)
+                tabs, sp, rep, self._with_primary, amb_all)
             w_used = passed & ~needs_host
             # punted reads are re-counted by the host rescue; count here
             # only what the device keeps (the host counts mates with
@@ -767,20 +880,22 @@ class ShardedTyper:
             span = (jnp.maximum(rr1, rr2) - jnp.minimum(l1, l2))
             conc = (sp1["use_r"] != sp2["use_r"]) & (span <= MAX_FRAG)
 
-            def place_ok(sp):
-                return ((sp["n_valid_w"] > 0)
-                        & (sp["score_w"] >= min_score_frac
-                           * sp["n_valid_w"].astype(jnp.float32)))
-
-            inc1 = conc & place_ok(sp1)
-            inc2 = conc & place_ok(sp2)
+            pu1, amb1 = mate_flags(tabs, sp1)
+            pu2, amb2 = mate_flags(tabs, sp2)
+            # the PAIR pre-punts when either mate does: the rescue adds
+            # BOTH mates' host alignments to the pileup, so neither may
+            # contribute its device spelling here
+            pre_punt = conc & (((~pu1 | amb1) & (sp1["n_valid_w"] > 0))
+                               | ((~pu2 | amb2) & (sp2["n_valid_w"] > 0)))
+            inc1 = conc & pu1 & ~pre_punt
+            inc2 = conc & pu2 & ~pre_punt
             pile = jax.lax.psum(
                 pile_contrib(sp1, inc1) + pile_contrib(sp2, inc2), axis)
             rep = rep_of(pile)
             c1, ce1, cp1, ok1, nh1 = mate_counts(tabs, sp1, rep,
-                                                 self._with_primary)
+                                                 self._with_primary, amb1)
             c2, ce2, cp2, ok2, nh2 = mate_counts(tabs, sp2, rep,
-                                                 self._with_primary)
+                                                 self._with_primary, amb2)
             punt = conc & (nh1 | nh2)
             used = conc & (ok1 | ok2) & ~punt
             o1 = ok1 & used

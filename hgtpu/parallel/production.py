@@ -88,29 +88,25 @@ def _shared_sharded_typer(gene: GeneRef, opts: TypingOptions, mesh,
     return hit
 
 
-def _device_mpileup(gene: GeneRef, pileup_counts: np.ndarray):
-    """Host Mpileup view over the device pileup so rescued reads are
-    error-corrected against the SAME representative sets the device
-    gated with (get_mpileup, typing_common.py:1059-1184)."""
-    from ..typer.mpileup import Mpileup
-
-    mp = Mpileup(gene)
-    mp.counts = np.ascontiguousarray(pileup_counts.astype(np.int32))
-    mp.finalize()
-    return mp
-
-
-def _rescue_punts(gene, opts, reads_1, reads_2, punt, mpileup, stats,
+def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
                   aligner=None):
     """Host-engine rescue of the punt mask: align + read_hts + count the
     punted pairs exactly as type_gene would, merging their classes into
-    the device accumulators before EM.  Returns (n_reads, n_pairs,
-    novel) added."""
+    the device accumulators before EM.
+
+    The pileup the rescue corrects against = the device pileup (which
+    EXCLUDES pre-punted reads' possibly mis-framed device spellings,
+    e2e.mate_flags) PLUS the punted reads' own HOST alignments — i.e.
+    the same per-position counts the host-full run would see
+    (get_mpileup adds every concordant alignment,
+    typing_common.py:1059-1184).  Returns (n_reads, n_pairs, novel)
+    added."""
     idx = np.flatnonzero(punt)
     novel = NovelVars()
     if len(idx) == 0:
         return 0, 0, novel
     from ..align import GeneAligner
+    from ..typer.mpileup import Mpileup
     from collections import defaultdict
 
     typer_h = GeneTyper(gene, opts)
@@ -126,6 +122,16 @@ def _rescue_punts(gene, opts, reads_1, reads_2, punt, mpileup, stats,
         for a in alns:
             if a is not None:
                 by_read[a.read_id.split("|")[0]].append(a)
+
+    mpileup = Mpileup(gene)
+    mpileup.counts = np.ascontiguousarray(pileup_counts.astype(np.int32))
+    bulk = []
+    for read_id, alns in by_read.items():
+        conc = _concordant(alns, opts)
+        if conc is not None:
+            bulk.extend(conc)
+    mpileup.add_alignments_bulk(bulk)
+    mpileup.finalize()
 
     full_stats, exon_stats, primary_stats = stats
     n_reads = 0
@@ -215,8 +221,7 @@ def type_reads_device(gene: GeneRef, reads_1, reads_2=None,
     n_pairs = out["n_pairs"]
     with TRACE.stage("device.rescue"):
         r_reads, r_pairs, novel = _rescue_punts(
-            gene, opts, reads_1, reads_2, out["punt"],
-            _device_mpileup(gene, out["pileup"]),
+            gene, opts, reads_1, reads_2, out["punt"], out["pileup"],
             (full_stats, exon_stats, primary_stats), aligner)
     n_reads += r_reads
     n_pairs += r_pairs

@@ -281,6 +281,28 @@ def shared_device_counter(gene: GeneRef):
     return st["device_counter"]
 
 
+def ensure_alt_gate(gene: GeneRef):
+    """Build (once, on the gene's shared state) the alternative-
+    haplotype tables and the reach-based trim gate: anchors + the rep's
+    far boundary per entry, as sparse RMQ tables (see may_trim).  Shared
+    by GeneTyper and the sharded device program (whose production path
+    punts may_trim reads to the host rescue)."""
+    st = _gene_shared_state(gene)
+    if "alts" not in st:
+        st["alts"] = get_alternatives(gene)
+        st["alts_lists"] = alts_sorted_lists(*st["alts"])
+        ll, rl = st["alts_lists"]
+        La = np.fromiter((p for p, _ in ll), np.int64, len(ll))
+        Lq = np.fromiter((int(h.split("-")[0]) for _, h in ll),
+                         np.int64, len(ll))
+        Ra = np.fromiter((p for p, _ in rl), np.int64, len(rl))
+        Rq = np.fromiter((int(h.split("-")[-1]) for _, h in rl),
+                         np.int64, len(rl))
+        st["alt_gate"] = (La, _sparse_table(Lq, np.minimum),
+                          Ra, _sparse_table(Rq, np.maximum))
+    return st["alt_gate"]
+
+
 class GeneTyper:
     """Holds the per-gene precomputed state (counter, rep groups, alts)."""
 
@@ -299,20 +321,7 @@ class GeneTyper:
         self.allele_rep_mask, self.allele_rep_groups = st["rep"]
         self.primary_rep_mask, self.primary_rep_groups = st["primary_rep"]
         if self.opts.use_alts:
-            if "alts" not in st:
-                st["alts"] = get_alternatives(gene)
-                st["alts_lists"] = alts_sorted_lists(*st["alts"])
-                # reach-based trim gate (see may_trim): anchors + the
-                # rep's far boundary per entry, as sparse RMQ tables
-                ll, rl = st["alts_lists"]
-                La = np.fromiter((p for p, _ in ll), np.int64, len(ll))
-                Lq = np.fromiter((int(h.split("-")[0]) for _, h in ll),
-                                 np.int64, len(ll))
-                Ra = np.fromiter((p for p, _ in rl), np.int64, len(rl))
-                Rq = np.fromiter((int(h.split("-")[-1]) for _, h in rl),
-                                 np.int64, len(rl))
-                st["alt_gate"] = (La, _sparse_table(Lq, np.minimum),
-                                  Ra, _sparse_table(Rq, np.maximum))
+            ensure_alt_gate(gene)
             self.alts_left, self.alts_right = st["alts"]
             self.alts_left_list, self.alts_right_list = st["alts_lists"]
             self._alt_gate = st["alt_gate"]

@@ -157,6 +157,22 @@ def test_production_str_locus():
             assert abs(pd.get(a, 0) - ph.get(a, 0)) < 5e-3, (truth, a)
 
 
+def test_production_exact_at_scale():
+    """Exactness holds at IMGT magnitude: a 3,600-allele heterozygous
+    panel types bit-identically (full AND exon cmpt dicts, abundances)
+    through the device program + rescue vs the host engine."""
+    from tests.synth import make_hla_scale_msa
+
+    spec = make_hla_scale_msa()
+    ref, _ = build_gene_ref(
+        "A", spec["names"], spec["rows"], spec["ref_allele"],
+        exons_ref_coords=spec["exons"],
+        primary_exon_idx=spec["primary_exon_idx"], min_var_freq=0.0)
+    pair = [ref.allele_names[500], ref.allele_names[3100]]
+    dev, host = _both(ref, pair, seed=9, interval=12)
+    _assert_equal_results(dev, host, pair)
+
+
 def test_codis_family_routes_host():
     """device_typing_supported must refuse the configs the device
     program does not model (codis pair-distance, assembly, linear,
