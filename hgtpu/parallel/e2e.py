@@ -1027,6 +1027,41 @@ class ShardedTyper:
             codes = np.concatenate([codes, pad])
         return codes
 
+    def _count_work(self, n_pad, n_mates):
+        """Dispatched-work accounting for the bench roofline
+        (utils.trace counters): FLOPs of the MXU placement correlation
+        plus the counting chain, and the dominant HBM byte streams
+        (placement scores, spelling planes, the [groups*n, A] count
+        rows) — so 'mfu_pct' resolves against 'bandwidth_pct'."""
+        from ..utils.trace import TRACE
+
+        W = self.read_len
+        P1 = int(self._tables[0].shape[0]) - W + 1
+        A = self.A
+        K = 16
+        W32 = self._W32
+        n_groups = 2 + (4 if self._staged else 0) \
+            + (4 if self._with_primary else 0)
+        rows = n_mates * n_groups * n_pad
+        # FLOPs: placement matmul (2 orientations x [n, W*5] @ [P1, W*5]^T)
+        # + compat del-matmul + class extraction
+        D = int(self._tables[12].shape[0])
+        TRACE.count("flops.device_classes",
+                    n_mates * 2.0 * n_pad * (2.0 * W * 5 * P1)
+                    + 2.0 * rows * D * A
+                    + 3.0 * self._NLEV * n_pad * A)
+        # bytes: placement score planes (f32), ~10 spelling planes
+        # [n, H, W] i32, compat count rows [rows, A] i32 (~3 passes:
+        # write + class compare + pack), prefix gathers (2 [A] rows per
+        # group row), class-pack sort keys
+        H = 1 + 2 * MAX_INDEL_CAND
+        TRACE.count("bytes.device_classes",
+                    n_mates * 2.0 * n_pad * P1 * 4
+                    + n_mates * 10.0 * n_pad * H * W * 4
+                    + rows * A * 4 * 3.0
+                    + rows * A * 8.0
+                    + self._NLEV * n_pad * (W32 * 4 + 8))
+
     # ------------------------------------------------------------------ #
     # production front door: packed classes + pileup + punt (one fetch)
     # ------------------------------------------------------------------ #
@@ -1043,6 +1078,7 @@ class ShardedTyper:
         """
         n = r1_codes.shape[0]
         p1 = self._pad(r1_codes, bucket)
+        self._count_work(p1.shape[0], 1 if r2_codes is None else 2)
         if r2_codes is None:
             out = self._classes_single(*self._tables, jnp.asarray(p1))
         else:

@@ -1,5 +1,6 @@
-"""EM solver tests: the jitted dense device EM must agree with the
-reference-faithful dict implementation (component #11)."""
+"""EM solver tests: the jitted dense device EM and the shipped
+vectorized solver must agree with the reference-literal dict oracle
+(tests/reference_em.py; component #11)."""
 import numpy as np
 
 from hgtpu.typer.em import em_solve_dense, single_abundance
@@ -52,8 +53,9 @@ def test_np_matches_dict_em():
         lengths = rng.integers(800, 1200, len(names)).astype(np.float64)
         ldict = {n: float(l) for n, l in zip(names, lengths)}
         for remove_low, ld in ((False, None), (True, None), (True, ldict)):
-            ref = dict((a, p) for a, p in single_abundance(
-                cmpt, remove_low, ld, impl="dict"))
+            from tests.reference_em import single_abundance_dict
+            ref = dict((a, p) for a, p in single_abundance_dict(
+                cmpt, remove_low, ld))
             fast = dict((a, p) for a, p in _single_abundance_np(
                 cmpt, remove_low, ld or {}))
             for name in names:
