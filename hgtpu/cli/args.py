@@ -48,6 +48,13 @@ def args_set_aligner(parser, mismatch=True):
                         default="hisat2",
                         help="aligner backend: hisat2 (graph) or bowtie2 "
                              "(linear) (default: hisat2)")
+    # hgtpu extension (no reference twin): the sharded device typing
+    # program with host punt rescue (parallel/production.py)
+    parser.add_argument("--device-typing", dest="device_typing", type=str,
+                        default="auto", choices=("auto", "on", "off"),
+                        help="route typing through the device program "
+                             "(auto: on TPU backends when the options "
+                             "are device-compatible)")
     parser.add_argument("--linear-index", dest="graph_index",
                         action="store_false",
                         help="use the linear (exact-match allele panel) "

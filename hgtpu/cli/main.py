@@ -126,6 +126,7 @@ def typing_options_from_args(args, debug=None):
             a for a in args.display_alleles.split(",") if a),
         linear_typing=(args.aligner == "bowtie2" or not args.graph_index),
         strict_pair_distance=args.strict_pair_distance,
+        device_typing=args.device_typing,
     )
 
 
