@@ -186,6 +186,8 @@ def main():
     from hgtpu.align import GeneAligner
     from hgtpu.sim import simulate_reads
 
+    import hgtpu
+    hgtpu.enable_compilation_cache()
     import jax
     backend = jax.default_backend()
     _note("backend: %s" % backend)

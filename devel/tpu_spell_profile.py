@@ -1,0 +1,159 @@
+"""Isolate the warm-path cost inside mate_spell/mate_counts on the TPU,
+and test whether the ~800 s first-compile is a per-process fixed cost
+(trivial program first) and whether the persistent compilation cache
+eliminates it across processes."""
+import sys
+import time
+
+sys.path.insert(0, "tests")
+sys.path.insert(0, ".")
+
+import hgtpu
+
+hgtpu.enable_compilation_cache("/root/repo/.xla_cache_probe")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, n=3):
+    t0 = time.time()
+    jax.block_until_ready(fn(*args))
+    compile_s = time.time() - t0
+    best = 1e9
+    for _ in range(n):
+        t0 = time.time()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.time() - t0)
+    return compile_s, best
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    t0 = time.time()
+    jax.block_until_ready(jax.jit(lambda x: x + 1)(jnp.ones(8)))
+    print("trivial first compile: %.1fs" % (time.time() - t0), flush=True)
+
+    from synth import make_gene_msa
+    from hgtpu.db import build_gene_ref
+    from hgtpu.ops.placement import backbone_pwm, correlate_scores
+    from hgtpu.parallel.e2e import (MAX_INDEL_CAND, MAX_INS_LEN,
+                                    MAX_SNP_ALTS, _indel_tables,
+                                    _snp_tables)
+
+    spec = make_gene_msa(seed=11, n_alleles=60, length=3000)
+    ref, _ = build_gene_ref("A", spec["names"], spec["rows"],
+                            spec["ref_allele"], min_var_freq=0.0)
+    W = 100
+    n = 12288
+    rng = np.random.default_rng(0)
+    reads = jnp.asarray(rng.integers(0, 4, (n, W)).astype(np.int8))
+
+    pwm = backbone_pwm(ref)
+    pwm_ext = jnp.asarray(np.concatenate(
+        [pwm, np.zeros((W, 5), np.float32)]))
+    ind_pos, ind_len, ind_ins, ind_var, ins_enc = _indel_tables(ref)
+    max_shift = int(ind_len.max())
+    pad = W + max_shift
+    bb_ext = jnp.asarray(np.concatenate(
+        [ref.backbone_enc, np.full(pad, 4, np.int8)]).astype(np.int8))
+    snp_alt, snp_var = _snp_tables(ref, int(bb_ext.shape[0]))
+    snp_alt = jnp.asarray(snp_alt)
+    snp_var = jnp.asarray(snp_var)
+    ind_pos = jnp.asarray(ind_pos)
+    ind_len = jnp.asarray(ind_len)
+    ind_ins = jnp.asarray(ind_ins)
+    ins_enc = jnp.asarray(ins_enc)
+    D = int(ind_pos.shape[0]) - 1
+    sentinel = ref.n_vars
+    C = MAX_INDEL_CAND
+    H = 1 + 2 * C
+
+    @jax.jit
+    def v0_place(reads):
+        rc = jnp.where(reads[:, ::-1] < 4, 3 - reads[:, ::-1], jnp.int8(4))
+        s_f = correlate_scores(pwm_ext, reads)
+        s_r = correlate_scores(pwm_ext, rc)
+        best_f, arg_f = jnp.max(s_f, 1), jnp.argmax(s_f, 1)
+        best_r, arg_r = jnp.max(s_r, 1), jnp.argmax(s_r, 1)
+        use_r = best_r > best_f
+        s0 = jnp.where(use_r, arg_r, arg_f).astype(jnp.int32)
+        return s0, use_r
+
+    cs, ws = timeit(v0_place, reads)
+    print("v0 place:            compile %.1fs warm %.3fs" % (cs, ws),
+          flush=True)
+
+    @jax.jit
+    def v1_spell(reads):
+        s0, use_r = v0_place(reads)
+        oriented = jnp.where(use_r[:, None],
+                             jnp.where(reads[:, ::-1] < 4,
+                                       3 - reads[:, ::-1], jnp.int8(4)),
+                             reads)
+        Lbb = bb_ext.shape[0]
+        c0 = jnp.searchsorted(ind_pos[:D], s0 - max_shift)
+        cand = jnp.minimum(c0[:, None] + jnp.arange(C)[None, :], D)
+        cand = jnp.where(ind_pos[cand] <= s0[:, None] + W + max_shift,
+                         cand, D)
+        hyp_c = jnp.concatenate(
+            [jnp.full((n, 1), D, jnp.int32), cand, cand], 1)
+        dl = jnp.where(ind_ins[hyp_c] == 0, ind_len[hyp_c], 0)
+        il = jnp.where(ind_ins[hyp_c] == 1, ind_len[hyp_c], 0)
+        anchor_suffix = jnp.concatenate(
+            [jnp.zeros((n, 1 + C), bool), jnp.ones((n, C), bool)], 1)
+        hyp_s = jnp.where(anchor_suffix, s0[:, None] - dl + il, s0[:, None])
+        pv = ind_pos[hyp_c]
+        q = pv - hyp_s
+        jj = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+        q3, il3, dl3 = q[..., None], il[..., None], dl[..., None]
+        after = jj >= q3
+        in_ins = (il3 > 0) & after & (jj < q3 + il3)
+        bbpos = (hyp_s[..., None] + jj + jnp.where(after, dl3, 0)
+                 - jnp.where(jj >= q3 + il3, il3, 0))
+        gp = jnp.clip(bbpos, 0, Lbb - 1)
+        bb = bb_ext[gp]
+        c = oriented[:, None, :]
+        ins_b = ins_enc[hyp_c[..., None],
+                        jnp.clip(jj - q3, 0, MAX_INS_LEN - 1)]
+        exp = jnp.where(in_ins, ins_b, bb)
+        valid = (c < 4) & ((exp < 4) | in_ins)
+        match = valid & (c == exp)
+        mism = valid & ~match & ~in_ins
+        var_j = jnp.full(gp.shape, sentinel, jnp.int32)
+        for k in range(MAX_SNP_ALTS):
+            hit = mism & (snp_alt[gp, k] == c)
+            var_j = jnp.where(hit, snp_var[gp, k], var_j)
+        known = var_j < sentinel
+        novel = valid & ~match & ~known
+        score = jnp.sum(match | known, 2).astype(jnp.float32)
+        return score, jnp.sum(novel, 2), var_j.sum()
+
+    cs, ws = timeit(v1_spell, reads)
+    print("v1 spell planes:     compile %.1fs warm %.3fs" % (cs, ws),
+          flush=True)
+
+    @jax.jit
+    def v2_sort(reads):
+        score, nn, _ = v1_spell(reads)
+        var_fake = jnp.broadcast_to(
+            jnp.arange(W, dtype=jnp.int32)[None, :], (n, W))
+        vars_ = jnp.sort(jnp.concatenate(
+            [var_fake, nn[:, :1]], 1), 1)[:, :16]
+        return vars_.sum() + score.sum()
+
+    cs, ws = timeit(v2_sort, reads)
+    print("v2 + [n,101] sort:   compile %.1fs warm %.3fs" % (cs, ws),
+          flush=True)
+
+    # second process would hit the persistent cache; emulate by clearing
+    # the in-memory cache and re-jitting the same function
+    f2 = jax.jit(lambda r: v1_spell(r))
+    t0 = time.time()
+    jax.block_until_ready(f2(reads))
+    print("re-jit same program: %.1fs" % (time.time() - t0), flush=True)
+
+
+if __name__ == "__main__":
+    main()

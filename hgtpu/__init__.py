@@ -23,3 +23,28 @@ A from-scratch re-design of the capabilities of HISAT-genotype
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path=None):
+    """Persist XLA compiles across processes (HGTPU_JAX_CACHE overrides
+    the location; empty string disables).  Over the tunneled TPU a cold
+    compile of the production class program costs minutes — the
+    persistent cache turns every later process's compile into a disk
+    load.  Called by the CLI, bench, and the production path."""
+    import os
+
+    want = os.environ.get("HGTPU_JAX_CACHE")
+    if want == "":
+        return
+    path = want or path or os.path.join(
+        os.path.expanduser("~"), ".cache", "hgtpu_xla")
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a requirement
+        pass

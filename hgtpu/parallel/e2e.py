@@ -201,13 +201,28 @@ class ShardedTyper:
             [gene.backbone_enc, np.full(pad, 4, np.int8)]).astype(np.int8)
         snp_alt, snp_var = _snp_tables(gene, len(bb_ext))
         ind_pos, ind_len, ind_ins, ind_var, ins_enc = _indel_tables(gene)
+        # packed per-position match mask: bit b (0-3) = base b matches
+        # the backbone or a catalog SNP alt there; bit 4 = in-backbone.
+        # ONE uint8 gather answers match|known + validity for a whole
+        # [n, H, W] hypothesis plane (TPU gathers are the spelling
+        # stage's bottleneck — measured 1.0 s/mate with per-table
+        # gathers, devel/tpu_spell_profile.py)
+        mask_np = np.zeros(len(bb_ext), np.uint8)
+        inb = bb_ext < 4
+        mask_np[inb] = (np.uint8(16)
+                        | (np.uint8(1) << bb_ext[inb].astype(np.uint8)))
+        for k in range(MAX_SNP_ALTS):
+            hasalt = snp_alt[:, k] < 4
+            mask_np[hasalt] |= (np.uint8(1)
+                                << snp_alt[hasalt, k].astype(np.uint8))
         dc = DeviceCounter(gene)
         self._tables = tuple(
             jnp.asarray(t) for t in (
                 pwm_ext, bb_ext, snp_alt, snp_var,
                 ind_pos, ind_len, ind_ins, ind_var, ins_enc,
                 dc.links_packed, dc.nd_pos, dc.nd_prefix, dc.del_pos,
-                dc.del_right, dc.del_links, dc.var_pos_d, dc.var_right_d))
+                dc.del_right, dc.del_links, dc.var_pos_d, dc.var_right_d,
+                mask_np))
         n_tables = len(self._tables)
 
         sentinel = gene.n_vars
@@ -327,8 +342,7 @@ class ShardedTyper:
             dict of per-read arrays consumed by `mate_counts` (counting)
             and `pile_contrib` (the device mpileup)."""
             (pwm_ext, bb_ext, snp_alt, snp_var, ind_pos, ind_len,
-             ind_ins, ind_var, ins_enc, links_packed, nd_pos, nd_prefix,
-             del_pos, del_right, del_links, var_pos_d, var_right_d) = tabs
+             ind_ins, ind_var, ins_enc) = tabs[:9]
             n, W = reads.shape
             Lbb = bb_ext.shape[0]
             # -- 1. placement, both orientations ------------------------ #
@@ -363,6 +377,7 @@ class ShardedTyper:
             pv = ind_pos[hyp_c]
             q = pv - hyp_s                                        # [n, H]
 
+            mask_tbl = tabs[17]
             jj = jnp.arange(W, dtype=jnp.int32)[None, None, :]
             q3, il3, dl3 = q[..., None], il[..., None], dl[..., None]
             after = jj >= q3
@@ -371,22 +386,25 @@ class ShardedTyper:
                      + jnp.where(after, dl3, 0)
                      - jnp.where(jj >= q3 + il3, il3, 0))       # [n, H, W]
             gp = jnp.clip(bbpos, 0, Lbb - 1)
-            bb = bb_ext[gp]
+            # ONE u8 gather scores the whole hypothesis plane: bit c =
+            # base matches backbone-or-catalog-SNP (the aligner's "free"
+            # bases), bit 4 = in-backbone
+            mk = mask_tbl[gp]                                  # [n, H, W]
             c = oriented[:, None, :]
-            ins_b = ins_enc[hyp_c[..., None],
-                            jnp.clip(jj - q3, 0, MAX_INS_LEN - 1)]
-            exp = jnp.where(in_ins, ins_b, bb)
-            valid = (c < 4) & ((exp < 4) | in_ins)
-            match = valid & (c == exp)
-            mism = valid & ~match & ~in_ins
-            var_j = jnp.full(gp.shape, sentinel, jnp.int32)
-            for k in range(MAX_SNP_ALTS):
-                hit = mism & (snp_alt[gp, k] == c)
-                var_j = jnp.where(hit, snp_var[gp, k], var_j)
-            known = var_j < sentinel
-            novel = valid & ~match & ~known
-            score = jnp.sum(match | known, 2).astype(jnp.float32)  # [n, H]
-            n_novel = jnp.sum(novel, 2, dtype=jnp.int32)
+            cu = jnp.minimum(c, 4).astype(jnp.uint8)
+            ok_bb = ((mk >> cu) & 1) == 1
+            exp_valid = ((mk >> 4) & 1) == 1
+            # inserted bases: compare against the candidate's spelled
+            # insertion via MAX_INS_LEN fused selects (no [n,H,W] gather)
+            ins_row = ins_enc[hyp_c]                           # [n, H, 16]
+            ok_ins = jnp.zeros(in_ins.shape, bool)
+            for t in range(MAX_INS_LEN):
+                ok_ins = ok_ins | (in_ins & (jj == q3 + t)
+                                   & (c == ins_row[:, :, t][..., None]))
+            valid = (c < 4) & (exp_valid | in_ins)
+            okall = jnp.where(in_ins, ok_ins, ok_bb) & valid
+            score = jnp.sum(okall, 2).astype(jnp.float32)       # [n, H]
+            n_novel = jnp.sum(valid & ~okall, 2, dtype=jnp.int32)
             n_valid = jnp.sum(valid, 2, dtype=jnp.int32)
 
             # hypothesis validity: real candidate, in-backbone start, and
@@ -413,26 +431,45 @@ class ShardedTyper:
             tie2 = (top_v[:, 1] == top_v[:, 0]) & (top_v[:, 1] >= 0.0)
 
             def take(a, w):
-                if a.ndim == 3:
-                    return jnp.take_along_axis(a, w[:, None, None], 1)[:, 0]
                 return jnp.take_along_axis(a, w[:, None], 1)[:, 0]
 
             def planes_of(w):
-                """Per-base planes of hypothesis column w [n]."""
-                gp_w = take(gp, w)
-                in_ins_w = take(in_ins, w)
-                valid_w = take(valid, w)
-                span = jnp.where(in_ins_w,
-                                 take(jnp.broadcast_to(
-                                     pv[..., None], gp.shape), w),
-                                 take(bbpos, w))
+                """Per-base [n, W] planes of hypothesis column w [n],
+                recomputed arithmetically from the hypothesis scalars
+                (no 3D takes) with [n, W] gathers only for the base and
+                SNP-id lookups the downstream stages need."""
+                s_w = take(hyp_s, w)
+                q_w = take(q, w)
+                dl_w = take(dl, w)
+                il_w = take(il, w)
+                pv_w = take(pv, w)
+                hc_w = take(hyp_c, w)
+                j = jnp.arange(W, dtype=jnp.int32)[None, :]
+                after_w = j >= q_w[:, None]
+                in_ins_w = ((il_w[:, None] > 0) & after_w
+                            & (j < (q_w + il_w)[:, None]))
+                bbpos_w = (s_w[:, None] + j
+                           + jnp.where(after_w, dl_w[:, None], 0)
+                           - jnp.where(j >= (q_w + il_w)[:, None],
+                                       il_w[:, None], 0))
+                gp_w = jnp.clip(bbpos_w, 0, Lbb - 1)
+                bb_w = bb_ext[gp_w]
+                cc = oriented
+                valid_w = (cc < 4) & ((bb_w < 4) | in_ins_w)
+                match_w = valid_w & ~in_ins_w & (cc == bb_w)
+                mism_w = valid_w & ~match_w & ~in_ins_w
+                var_w = jnp.full(gp_w.shape, sentinel, jnp.int32)
+                for k in range(MAX_SNP_ALTS):
+                    hit = mism_w & (snp_alt[gp_w, k] == cc)
+                    var_w = jnp.where(hit, snp_var[gp_w, k], var_w)
+                span = jnp.where(in_ins_w, pv_w[:, None], bbpos_w)
                 l = jnp.min(jnp.where(valid_w, span, 1 << 30), 1)
                 r = jnp.max(jnp.where(valid_w, span, -1), 1)
                 return dict(
                     gp=gp_w, in_ins=in_ins_w, valid=valid_w,
-                    var=take(var_j, w), match=take(match, w),
-                    l=l, r=r, ivar=ind_var[take(hyp_c, w)],
-                    pv=take(pv, w), dl=take(dl, w))
+                    var=var_w, match=match_w,
+                    l=l, r=r, ivar=ind_var[hc_w],
+                    pv=pv_w, dl=dl_w)
 
             win = top_i[:, 0]
             return dict(
@@ -583,8 +620,10 @@ class ShardedTyper:
                      & (sp["n_novel_w"] > 0))
 
             def htv(h):
-                return jnp.sort(jnp.concatenate(
-                    [h["var"], h["ivar"][:, None]], 1), 1)[:, :K]
+                cat = jnp.concatenate([h["var"], h["ivar"][:, None]], 1)
+                # K smallest ascending == -top_k(-x, K): cheaper than a
+                # full [n, W+1] sort on TPU
+                return -jax.lax.top_k(-cat, K)[0]
 
             v1u, v2u = htv(Wh), htv(Th)
             # alt-haplotype end-trim ambiguity (host: may_trim ->
@@ -608,7 +647,7 @@ class ShardedTyper:
             in so the final punt is a superset of the pileup exclusion.
             Returns (cnt, cnt_ex, cnt_px, passed, needs_host)."""
             (links_packed, nd_pos, nd_prefix, del_pos, del_right,
-             del_links, var_pos_d, var_right_d) = tabs[9:]
+             del_links, var_pos_d, var_right_d) = tabs[9:17]
             n = sp["oriented"].shape[0]
             Wh, Th = sp["W"], sp["T"]
             tie2 = sp["tie2"]
@@ -626,8 +665,8 @@ class ShardedTyper:
                 novel_resid = novelW
 
             def ht_of(h, var_pl):
-                vars_ = jnp.sort(jnp.concatenate(
-                    [var_pl, h["ivar"][:, None]], 1), 1)[:, :K]
+                cat = jnp.concatenate([var_pl, h["ivar"][:, None]], 1)
+                vars_ = -jax.lax.top_k(-cat, K)[0]   # K smallest, ascending
                 return h["l"], h["r"], vars_
 
             l1, r1, v1 = ht_of(Wh, varW)

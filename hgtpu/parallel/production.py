@@ -188,6 +188,9 @@ def type_reads_device(gene: GeneRef, reads_1, reads_2=None,
     contract as pipeline.type_reads, computed by the sharded device
     program with host rescue of the punt mask.
     """
+    from .. import enable_compilation_cache
+
+    enable_compilation_cache()
     opts = opts or TypingOptions()
     mesh = mesh or default_mesh()
     seqs_1 = [s for _, s in reads_1]
