@@ -221,7 +221,8 @@ class GeneVerifier:
         return best["cost"], best["ops"]
 
     # ------------------------------------------------------------------ #
-    def ops_to_cmp_list(self, ops, start_pos: int, read_len: int):
+    @staticmethod
+    def ops_to_cmp_list(ops, start_pos: int, read_len: int):
         """Expand an edit script into the reference's cmp_list form
         (match segments made explicit).  Entries:
         (type, pos, length, var_idx, data)."""

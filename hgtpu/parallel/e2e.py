@@ -350,11 +350,21 @@ class ShardedTyper:
                            jnp.int8(4))
             s_f = correlate_scores(pwm_ext, reads)
             s_r = correlate_scores(pwm_ext, rc)
-            best_f, arg_f = jnp.max(s_f, 1), jnp.argmax(s_f, 1)
-            best_r, arg_r = jnp.max(s_r, 1), jnp.argmax(s_r, 1)
+            top_f, argk_f = jax.lax.top_k(s_f, 2)
+            top_r, argk_r = jax.lax.top_k(s_r, 2)
+            best_f, arg_f = top_f[:, 0], argk_f[:, 0]
+            best_r, arg_r = top_r[:, 0], argk_r[:, 0]
             use_r = best_r > best_f
             oriented = jnp.where(use_r[:, None], rc, reads)
             s0 = jnp.where(use_r, arg_r, arg_f).astype(jnp.int32)
+            # unique best placement across diagonals AND orientations:
+            # the tier-1 rescue (production._rescue_punts) may only
+            # reconstruct the host alignment when no equal-score
+            # placement exists for the aligner to tie-break differently
+            best = jnp.maximum(best_f, best_r)
+            second = jnp.maximum(jnp.where(use_r, top_r[:, 1], top_f[:, 1]),
+                                 jnp.where(use_r, best_f, best_r))
+            uniq_diag = second < best
 
             # -- 2. spelling hypotheses --------------------------------- #
             # candidates: the max_indel_cand catalog indels at/after
@@ -474,6 +484,7 @@ class ShardedTyper:
             win = top_i[:, 0]
             return dict(
                 oriented=oriented, use_r=use_r, cand=cand, tie2=tie2,
+                uniq_diag=uniq_diag,
                 score_w=take(score, win), n_novel_w=take(n_novel, win),
                 n_valid_w=take(n_valid, win),
                 W=planes_of(win), T=planes_of(top_i[:, 1]))
@@ -638,7 +649,13 @@ class ShardedTyper:
             tie_div = tie2 & (jnp.any(v1u != v2u, 1)
                               | (Wh["l"] != Th["l"])
                               | (Wh["r"] != Th["r"]))
-            return passed_u, amb_u | trimmy | tie_div
+            # tier-1 rescue eligibility: the device winner IS the host
+            # aligner's unique best alignment (strictly-best placement,
+            # no equal-cost spelling, no unclaimed in-span indel), so a
+            # punted read can be reconstructed host-side without
+            # realignment (production._rescue_punts tier 1)
+            tier1 = (passed_u & ~amb_u & ~tie_div & sp["uniq_diag"])
+            return passed_u, amb_u | trimmy | tie_div, tier1
 
         def mate_counts(tabs, sp, rep, want_px, pre_amb=None):
             """Stages 2b-3 + counting masks for one spelled mate batch.
@@ -866,7 +883,16 @@ class ShardedTyper:
                     jnp.stack(totals_all), punt_words, counters,
                     fs, is_first, uw, min_idx)
 
-        def assemble_buf(pile_flat, packed):
+        def winner_info(sp, tier1):
+            """Per-read tier-1 rescue words: (span_l << 2) | (rc << 1) |
+            tier1, plus the claimed catalog indel id (sentinel = none)."""
+            info = ((jnp.maximum(sp["W"]["l"], 0).astype(jnp.uint32)
+                     << jnp.uint32(2))
+                    | (sp["use_r"].astype(jnp.uint32) << jnp.uint32(1))
+                    | tier1.astype(jnp.uint32))
+            return [info, sp["W"]["ivar"].astype(jnp.uint32)]
+
+        def assemble_buf(pile_flat, packed, info_words):
             (rows_c, uw_c, min_c, totals, punt_words, counters,
              fs, is_first, uw, min_idx) = packed
             buf = jnp.concatenate([
@@ -877,14 +903,14 @@ class ShardedTyper:
                 pile_flat.astype(jnp.uint32),
                 punt_words,
                 counters,
-            ])
+            ] + info_words)
             return buf, fs, is_first, uw, min_idx
 
         def classes_single(*args):
             tabs, reads = args[:n_tables], args[n_tables]
             sp = mate_spell(tabs, reads)
             n_loc = reads.shape[0]
-            passed_u, amb_all = mate_flags(tabs, sp)
+            passed_u, amb_all, tier1 = mate_flags(tabs, sp)
             pre_punt = (~passed_u | amb_all) & (sp["n_valid_w"] > 0)
             pile = jax.lax.psum(
                 pile_contrib(sp, passed_u & ~pre_punt), axis)
@@ -904,7 +930,8 @@ class ShardedTyper:
             if NLEV > 2:
                 cnts.append(cnt_px * w_used[:, None].astype(jnp.int32))
             return assemble_buf(pile, pack_classes(
-                cnts, w_used, needs_host, n_reads_m, n_loc))
+                cnts, w_used, needs_host, n_reads_m, n_loc),
+                winner_info(sp, tier1))
 
         def classes_pairs(*args):
             tabs, r1, r2 = args[:n_tables], args[n_tables], \
@@ -919,8 +946,8 @@ class ShardedTyper:
             span = (jnp.maximum(rr1, rr2) - jnp.minimum(l1, l2))
             conc = (sp1["use_r"] != sp2["use_r"]) & (span <= MAX_FRAG)
 
-            pu1, amb1 = mate_flags(tabs, sp1)
-            pu2, amb2 = mate_flags(tabs, sp2)
+            pu1, amb1, t1_1 = mate_flags(tabs, sp1)
+            pu2, amb2, t1_2 = mate_flags(tabs, sp2)
             # the PAIR pre-punts when either mate does: the rescue adds
             # BOTH mates' host alignments to the pileup, so neither may
             # contribute its device spelling here
@@ -953,7 +980,8 @@ class ShardedTyper:
             if NLEV > 2:
                 cnts.append(cnt_px)
             return assemble_buf(pile, pack_classes(
-                cnts, used, punt, n_reads_m, n_loc))
+                cnts, used, punt, n_reads_m, n_loc),
+                winner_info(sp1, t1_1) + winner_info(sp2, t1_2))
 
         # -- 6. staged SQUAREM EM over the device-resident class shard -- #
         def em_shard(remove_low, use_len, cnt, w, include, restrict):
@@ -1128,14 +1156,21 @@ class ShardedTyper:
         ndev = self.n_devices
         n_pad = p1.shape[0]
         n_loc = n_pad // ndev
+        n_mates = 1 if r2_codes is None else 2
         NLEV, W32, A = self._NLEV, self._W32, self.A
         cap = min(self._class_cap, NLEV * n_loc)
         npw = (n_loc + 31) // 32
-        BUF = cap * W32 + 2 * cap + NLEV * A + self.P_bb * 6 + npw + 4
+        BUF = (cap * W32 + 2 * cap + NLEV * A + self.P_bb * 6 + npw + 4
+               + 2 * n_mates * n_loc)
         buf = buf.reshape(ndev, BUF)
 
         rows_parts, uw_parts, ord_parts = [], [], []
         punt = np.zeros(n_pad, bool)
+        winfo = [dict(l=np.zeros(n_pad, np.int64),
+                      rc=np.zeros(n_pad, bool),
+                      tier1=np.zeros(n_pad, bool),
+                      ivar=np.zeros(n_pad, np.int64))
+                 for _ in range(n_mates)]
         n_reads = 0
         n_pairs = 0
         totals = None
@@ -1155,6 +1190,17 @@ class ShardedTyper:
             pw = b[at:at + npw]
             at += npw
             n_uniq, nr, npair, _npunt = (int(x) for x in b[at:at + 4])
+            at += 4
+            sl = slice(s * n_loc, (s + 1) * n_loc)
+            for mi in range(n_mates):
+                info = b[at:at + n_loc]
+                at += n_loc
+                iv = b[at:at + n_loc]
+                at += n_loc
+                winfo[mi]["l"][sl] = (info >> 2).astype(np.int64)
+                winfo[mi]["rc"][sl] = ((info >> 1) & 1).astype(bool)
+                winfo[mi]["tier1"][sl] = (info & 1).astype(bool)
+                winfo[mi]["ivar"][sl] = iv.astype(np.int64)
             if s == 0:
                 totals = tt           # psum-replicated
                 pileup = pile_s.reshape(self.P_bb, 6)
@@ -1202,7 +1248,9 @@ class ShardedTyper:
             sub = sel[np.argsort(order_key[sel], kind="stable")]
             levels[name] = (rows[sub], uws[sub], totals[li])
         return dict(levels=levels, pileup=pileup, punt=punt[:n],
-                    n_reads=n_reads, n_pairs=n_pairs)
+                    n_reads=n_reads, n_pairs=n_pairs,
+                    winner=[{k: v[:n] for k, v in w.items()}
+                            for w in winfo])
 
     # ------------------------------------------------------------------ #
     def _solve(self, counted):

@@ -88,8 +88,86 @@ def _shared_sharded_typer(gene: GeneRef, opts: TypingOptions, mesh,
     return hit
 
 
+def _snp_lookup(gene: GeneRef):
+    """(backbone pos, base char) -> catalog SNP index, cached on the
+    gene's shared typing state."""
+    from ..db.catalog import VT_SINGLE
+
+    st = _gene_shared_state(gene)
+    lk = st.get("snp_char_lookup")
+    if lk is None:
+        lk = {}
+        for vi in np.flatnonzero(gene.var_type == VT_SINGLE):
+            lk[(int(gene.var_pos[vi]), gene.var_data[vi])] = int(vi)
+        st["snp_char_lookup"] = lk
+    return lk
+
+
+def _reconstruct_aln(gene, rid, mate, seq, l, rc_flag, ivar, snp_lookup):
+    """Tier-1 rescue: rebuild the host aligner's ReadAln from the device
+    winner (span start, orientation, claimed catalog indel) — valid only
+    when the device certified the winner as the unique best alignment
+    (e2e.mate_flags tier1).  Returns None when the read falls outside
+    the backbone (those pairs realign through tier 2)."""
+    from ..align.types import ReadAln
+    from ..align.verify import GeneVerifier
+    from ..db.catalog import VT_DELETION
+    from ..utils.dna import encode_seq, revcomp
+
+    oriented = revcomp(seq) if rc_flag else seq
+    codes = encode_seq(oriented)
+    L = len(oriented)
+    bb = gene.backbone_enc
+    P = len(bb)
+    n_vars = gene.n_vars
+    claimed = int(ivar) if ivar < n_vars else -1
+    nm = 0
+    ops = []
+    if claimed < 0:
+        if l < 0 or l + L > P:
+            return None
+        segs = [(0, L, l)]
+    else:
+        vt = int(gene.var_type[claimed])
+        p = int(gene.var_pos[claimed])
+        q = p - l
+        if vt == VT_DELETION:
+            dlen = int(gene.var_len[claimed])
+            if l < 0 or l + L + dlen > P or not (0 < q < L):
+                return None
+            segs = [(0, q, l), (q, L - q, p + dlen)]
+            ops.append(("deletion", p, dlen, claimed,
+                        gene.var_data[claimed]))
+        else:
+            iseq = gene.var_data[claimed]
+            il = len(iseq)
+            if l < 0 or l + L - il > P or not (0 < q < L - il):
+                return None
+            segs = [(0, q, l), (q + il, L - q - il, p)]
+            ops.append(("insertion", p, il, claimed, iseq))
+            for a, b2 in zip(oriented[q:q + il], iseq):
+                if a != b2:
+                    nm += 1
+    for rs, ln, bs in segs:
+        if ln <= 0:
+            continue
+        sub = codes[rs:rs + ln]
+        ref = bb[bs:bs + ln]
+        for j in np.flatnonzero(sub != ref):
+            base = oriented[rs + int(j)]
+            vidx = snp_lookup.get((bs + int(j), base), -1)
+            if vidx < 0:
+                nm += 1
+            ops.append(("mismatch", bs + int(j), 1, vidx, base))
+    ops.sort(key=lambda e: (e[1], 0 if e[0] == "insertion" else 1))
+    cmp_list, right = GeneVerifier.ops_to_cmp_list(ops, l, L)
+    return ReadAln(read_id=rid, mate=mate, pos=int(l), right=int(right),
+                   cmp=cmp_list, nm=int(nm), is_rc=bool(rc_flag),
+                   seq=oriented, codes=codes)
+
+
 def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
-                  aligner=None):
+                  aligner=None, winner=None):
     """Host-engine rescue of the punt mask: align + read_hts + count the
     punted pairs exactly as type_gene would, merging their classes into
     the device accumulators before EM.
@@ -110,18 +188,55 @@ def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
     from collections import defaultdict
 
     typer_h = GeneTyper(gene, opts)
-    aligner = aligner or GeneAligner(gene, num_editdist=opts.num_editdist,
-                                     leftmost=opts.family == "codis")
-    sub_1 = [reads_1[i] for i in idx]
-    groups = [([n for n, _ in sub_1], [s for _, s in sub_1], "L")]
-    if reads_2 is not None:
-        sub_2 = [reads_2[i] for i in idx]
-        groups.append(([n for n, _ in sub_2], [s for _, s in sub_2], "R"))
+    # tier partition: a pair skips realignment (tier 1) iff EVERY mate's
+    # device winner is certified as the host aligner's unique best
+    # alignment (e2e.mate_flags tier1) and reconstructs in-backbone
+    tier1_pair = np.zeros(len(punt), bool)
+    if winner is not None:
+        tier1_pair[:] = True
+        for w in winner:
+            tier1_pair &= w["tier1"]
+    snp_lk = _snp_lookup(gene) if winner is not None else None
+    mate_reads = [reads_1] + ([reads_2] if reads_2 is not None else [])
     by_read = defaultdict(list)
-    for alns in aligner.align_batches(groups):
-        for a in alns:
-            if a is not None:
-                by_read[a.read_id.split("|")[0]].append(a)
+    tier2 = []
+    n_tier1 = 0
+    for i in idx:
+        if not tier1_pair[i]:
+            tier2.append(i)
+            continue
+        alns_i = []
+        for mi, reads in enumerate(mate_reads):
+            nm_i, sq = reads[i]
+            w = winner[mi]
+            a = _reconstruct_aln(gene, nm_i, "L" if mi == 0 else "R", sq,
+                                 int(w["l"][i]), bool(w["rc"][i]),
+                                 int(w["ivar"][i]), snp_lk)
+            if a is None:
+                break
+            alns_i.append(a)
+        if len(alns_i) != len(mate_reads):
+            tier2.append(i)
+            continue
+        n_tier1 += 1
+        for a in alns_i:
+            by_read[a.read_id.split("|")[0]].append(a)
+    TRACE.count("rescue.tier1_pairs", n_tier1)
+    TRACE.count("rescue.tier2_pairs", len(tier2))
+    if tier2:
+        aligner = aligner or GeneAligner(
+            gene, num_editdist=opts.num_editdist,
+            leftmost=opts.family == "codis")
+        sub_1 = [reads_1[i] for i in tier2]
+        groups = [([n for n, _ in sub_1], [s for _, s in sub_1], "L")]
+        if reads_2 is not None:
+            sub_2 = [reads_2[i] for i in tier2]
+            groups.append(([n for n, _ in sub_2],
+                           [s for _, s in sub_2], "R"))
+        for alns in aligner.align_batches(groups):
+            for a in alns:
+                if a is not None:
+                    by_read[a.read_id.split("|")[0]].append(a)
 
     mpileup = Mpileup(gene)
     mpileup.counts = np.ascontiguousarray(pileup_counts.astype(np.int32))
@@ -225,7 +340,8 @@ def type_reads_device(gene: GeneRef, reads_1, reads_2=None,
     with TRACE.stage("device.rescue"):
         r_reads, r_pairs, novel = _rescue_punts(
             gene, opts, reads_1, reads_2, out["punt"], out["pileup"],
-            (full_stats, exon_stats, primary_stats), aligner)
+            (full_stats, exon_stats, primary_stats), aligner,
+            winner=out["winner"])
     n_reads += r_reads
     n_pairs += r_pairs
 
