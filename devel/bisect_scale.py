@@ -22,7 +22,10 @@ def main():
         exons_ref_coords=spec["exons"],
         primary_exon_idx=spec["primary_exon_idx"], min_var_freq=0.0)
     pair = [ref.allele_names[500], ref.allele_names[3100]]
-    r1, r2, _ = simulate_reads(ref, pair, simulate_interval=12, seed=9)
+    import os
+    if os.environ.get('BENCH_TRUTHS'):
+        pair = [ref.allele_names[123], ref.allele_names[2047]]
+    r1, r2, _ = simulate_reads(ref, pair, simulate_interval=1, seed=1)
     R1 = [(r.name, r.seq) for r in r1]
     R2 = [(r.name, r.seq) for r in r2]
 

@@ -234,7 +234,19 @@ class ShardedTyper:
         lens = gene.allele_lengths()
         inv_len_d = jnp.asarray(np.array(
             [1.0 / lens[a] for a in gene.allele_names], np.float32))
+        # ht variant-slot width: sized from the catalog's densest
+        # read-window (IMGT reads carry ~40+ catalog variants,
+        # typer/device_count.py) so device haplotypes never silently
+        # truncate; an overflowing read (>= K real vars) punts to the
+        # host rescue (mate_flags)
         K = max_ht_vars
+        if gene.n_vars:
+            vp_sorted = np.sort(gene.var_pos.astype(np.int64))
+            hi = np.searchsorted(vp_sorted, vp_sorted + read_len
+                                 + max_shift + 1, side="left")
+            k_need = int((hi - np.arange(len(vp_sorted))).max()) + 2
+            K = max(max_ht_vars, ((k_need + 7) // 8) * 8)
+        self._K = K
         corr_cap = max(1, max_novel)   # error_correct rejection budget
         is_hla = family == "hla"
 
@@ -649,13 +661,17 @@ class ShardedTyper:
             tie_div = tie2 & (jnp.any(v1u != v2u, 1)
                               | (Wh["l"] != Th["l"])
                               | (Wh["r"] != Th["r"]))
+            # variant-slot overflow: a read whose span holds >= K
+            # catalog variants could truncate its device haplotype —
+            # hand it to the host rescue instead of miscounting
+            trunc = v1u[:, K - 1] < sentinel
             # tier-1 rescue eligibility: the device winner IS the host
             # aligner's unique best alignment (strictly-best placement,
             # no equal-cost spelling, no unclaimed in-span indel), so a
             # punted read can be reconstructed host-side without
             # realignment (production._rescue_punts tier 1)
             tier1 = (passed_u & ~amb_u & ~tie_div & sp["uniq_diag"])
-            return passed_u, amb_u | trimmy | tie_div, tier1
+            return passed_u, amb_u | trimmy | tie_div | trunc, tier1
 
         def mate_counts(tabs, sp, rep, want_px, pre_amb=None):
             """Stages 2b-3 + counting masks for one spelled mate batch.

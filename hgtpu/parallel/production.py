@@ -163,7 +163,8 @@ def _reconstruct_aln(gene, rid, mate, seq, l, rc_flag, ivar, snp_lookup):
     cmp_list, right = GeneVerifier.ops_to_cmp_list(ops, l, L)
     return ReadAln(read_id=rid, mate=mate, pos=int(l), right=int(right),
                    cmp=cmp_list, nm=int(nm), is_rc=bool(rc_flag),
-                   seq=oriented, codes=codes)
+                   seq=oriented, codes=codes, catalog=(nm == 0),
+                   has_indel=(claimed >= 0))
 
 
 def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
@@ -188,51 +189,44 @@ def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
     from collections import defaultdict
 
     typer_h = GeneTyper(gene, opts)
-    # tier partition: a pair skips realignment (tier 1) iff EVERY mate's
-    # device winner is certified as the host aligner's unique best
-    # alignment (e2e.mate_flags tier1) and reconstructs in-backbone
-    tier1_pair = np.zeros(len(punt), bool)
-    if winner is not None:
-        tier1_pair[:] = True
-        for w in winner:
-            tier1_pair &= w["tier1"]
+    # per-MATE tier partition: a mate skips realignment (tier 1) when
+    # its device winner is certified as the host aligner's unique best
+    # alignment (e2e.mate_flags tier1) and reconstructs in-backbone;
+    # only the remaining mates realign — in a punted pair usually the
+    # one mate that caused the punt
     snp_lk = _snp_lookup(gene) if winner is not None else None
     mate_reads = [reads_1] + ([reads_2] if reads_2 is not None else [])
+    mate_tag = ["L", "R"]
     by_read = defaultdict(list)
-    tier2 = []
+    need_align = [[] for _ in mate_reads]
     n_tier1 = 0
     for i in idx:
-        if not tier1_pair[i]:
-            tier2.append(i)
-            continue
-        alns_i = []
         for mi, reads in enumerate(mate_reads):
-            nm_i, sq = reads[i]
-            w = winner[mi]
-            a = _reconstruct_aln(gene, nm_i, "L" if mi == 0 else "R", sq,
-                                 int(w["l"][i]), bool(w["rc"][i]),
-                                 int(w["ivar"][i]), snp_lk)
+            a = None
+            if winner is not None and winner[mi]["tier1"][i]:
+                nm_i, sq = reads[i]
+                a = _reconstruct_aln(gene, nm_i, mate_tag[mi], sq,
+                                     int(winner[mi]["l"][i]),
+                                     bool(winner[mi]["rc"][i]),
+                                     int(winner[mi]["ivar"][i]), snp_lk)
             if a is None:
-                break
-            alns_i.append(a)
-        if len(alns_i) != len(mate_reads):
-            tier2.append(i)
-            continue
-        n_tier1 += 1
-        for a in alns_i:
-            by_read[a.read_id.split("|")[0]].append(a)
-    TRACE.count("rescue.tier1_pairs", n_tier1)
-    TRACE.count("rescue.tier2_pairs", len(tier2))
-    if tier2:
+                need_align[mi].append(i)
+            else:
+                n_tier1 += 1
+                by_read[a.read_id.split("|")[0]].append(a)
+    n_tier2 = sum(len(v) for v in need_align)
+    TRACE.count("rescue.tier1_mates", n_tier1)
+    TRACE.count("rescue.tier2_mates", n_tier2)
+    if n_tier2:
         aligner = aligner or GeneAligner(
             gene, num_editdist=opts.num_editdist,
             leftmost=opts.family == "codis")
-        sub_1 = [reads_1[i] for i in tier2]
-        groups = [([n for n, _ in sub_1], [s for _, s in sub_1], "L")]
-        if reads_2 is not None:
-            sub_2 = [reads_2[i] for i in tier2]
-            groups.append(([n for n, _ in sub_2],
-                           [s for _, s in sub_2], "R"))
+        groups = []
+        for mi, rows in enumerate(need_align):
+            if rows:
+                sub = [mate_reads[mi][i] for i in rows]
+                groups.append(([n for n, _ in sub],
+                               [s for _, s in sub], mate_tag[mi]))
         for alns in aligner.align_batches(groups):
             for a in alns:
                 if a is not None:
@@ -248,11 +242,43 @@ def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
     mpileup.add_alignments_bulk(bulk)
     mpileup.finalize()
 
+    # batch fast paths over unique nm==0 all-catalog alignments (the
+    # vectorized twins type_gene uses) prefill the read_hts memo
+    from ..align.types import aln_key
+
+    hts_memo = {}
+    uniq_clean, uniq_indel = {}, {}
+    for alns0 in by_read.values():
+        for a in alns0:
+            if a.nm != 0:
+                continue
+            k = aln_key(a)
+            if k in uniq_clean or k in uniq_indel:
+                continue
+            catalog, has_indel = a.catalog, a.has_indel
+            if catalog is None:
+                catalog = True
+                has_indel = False
+                for e in a.cmp:
+                    if e[0] == "match":
+                        continue
+                    if e[3] is None or e[3] < 0:
+                        catalog = False
+                        break
+                    if e[0] != "mismatch":
+                        has_indel = True
+            if not catalog:
+                continue
+            (uniq_indel if has_indel else uniq_clean)[k] = a
+    typer_h.clean_hts_batch(list(uniq_clean.values()), mpileup,
+                            opts.error_correction, hts_memo)
+    typer_h.indel_clean_hts_batch(list(uniq_indel.values()), mpileup,
+                                  opts.error_correction, hts_memo)
+
     full_stats, exon_stats, primary_stats = stats
     n_reads = 0
     n_pairs = 0
     ht_cache = {}
-    hts_memo = {}
     A = gene.n_alleles
     for read_id in sorted(by_read):
         alns = _concordant(by_read[read_id], opts)
@@ -263,7 +289,7 @@ def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
             if a.nm > opts.num_editdist:
                 continue
             n_reads += 1
-            key = (a.mate, a.uid) if a.uid >= 0 else (a.mate, a.pos, a.seq)
+            key = aln_key(a)
             hit = hts_memo.get(key, False)
             if hit is False:
                 hit = typer_h.read_hts(a, novel, mpileup)
