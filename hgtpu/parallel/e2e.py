@@ -93,7 +93,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..db.catalog import GeneRef, VT_DELETION, VT_INSERTION, VT_SINGLE
 from ..ops.placement import backbone_pwm, correlate_scores, encode_reads
-from ..typer.device_count import DeviceCounter, _compat
+from ..typer.device_count import DeviceCounter
 from .sharded import shard_map
 
 MAX_SNP_ALTS = 3    # catalog alts per backbone position (A/C/G/T minus ref)
@@ -216,13 +216,19 @@ class ShardedTyper:
             mask_np[hasalt] |= (np.uint8(1)
                                 << snp_alt[hasalt, k].astype(np.uint8))
         dc = DeviceCounter(gene)
+        # MXU counting tables: the add_count set algebra as two matmuls
+        # (see _compat_mxu) — links as a dense bf16 [V, A] matrix (0/1
+        # entries, exact in bf16; counts < 256 exact under f32
+        # accumulation)
+        links_f = jnp.asarray(gene.links.astype(np.float32),
+                              dtype=jnp.bfloat16)
         self._tables = tuple(
             jnp.asarray(t) for t in (
                 pwm_ext, bb_ext, snp_alt, snp_var,
                 ind_pos, ind_len, ind_ins, ind_var, ins_enc,
                 dc.links_packed, dc.nd_pos, dc.nd_prefix, dc.del_pos,
                 dc.del_right, dc.del_links, dc.var_pos_d, dc.var_right_d,
-                mask_np))
+                mask_np, links_f))
         n_tables = len(self._tables)
 
         sentinel = gene.n_vars
@@ -673,6 +679,53 @@ class ShardedTyper:
             tier1 = (passed_u & ~amb_u & ~tie_div & sp["uniq_diag"])
             return passed_u, amb_u | trimmy | tie_div | trunc, tier1
 
+        def compat_mxu(tabs, lefts, rights, vars_):
+            """[Hn, A] bool compatibility — the add_count set algebra
+            (typing_core.py:626-677) as TWO MXU MATMULS instead of
+            per-variant bitset gathers (which move ~K*W32 words per row
+            and were the scale program's bottleneck):
+
+                cnt(h,a) = Σ_v in_range(h,v) * links[v,a]
+                own(h,a) = Σ_{v ∈ ht_h}      * links[v,a]
+                incl = (own == n_own);  excl = (cnt - kv) > 0
+
+            in_range uses the reference's overlap rule per variant
+            ((pos ∈ [l,r]) | (right ∈ [l,r]); right==pos except
+            deletions).  Exact: links ∈ {0,1} in bf16, every count
+            < 256, f32 accumulation.  Row-identical to
+            device_count._compat (tests pin the production result to
+            the host engine bit-for-bit)."""
+            (var_pos_d, var_right_d) = tabs[15:17]
+            links_f = tabs[18]
+            V = links_f.shape[0]
+            Hn = lefts.shape[0]
+            l = lefts[:, None]
+            r = rights[:, None]
+            vp = var_pos_d[:V][None, :]
+            vr = var_right_d[:V][None, :]
+            in_r = (((vp >= l) & (vp <= r))
+                    | ((vr >= l) & (vr <= r)))                 # [Hn, V]
+            M1 = in_r.astype(jnp.bfloat16)
+            Kq = vars_.shape[1]
+            rowi = jnp.repeat(jnp.arange(Hn, dtype=jnp.int32), Kq)
+            cols = vars_.reshape(-1)
+            wv = (cols < V).astype(jnp.bfloat16)
+            M2 = jnp.zeros((Hn, V), jnp.bfloat16).at[
+                rowi, jnp.clip(cols, 0, V - 1)].add(wv)
+            prod = jnp.dot(jnp.concatenate([M1, M2], 0), links_f,
+                           preferred_element_type=jnp.float32)
+            cnt, own = prod[:Hn], prod[Hn:]
+            real = vars_ < V
+            n_own = jnp.sum(real, 1).astype(jnp.float32)
+            kvp = var_pos_d[vars_]
+            kvr = var_right_d[vars_]
+            k_in = ((((kvp >= l) & (kvp <= r))
+                     | ((kvr >= l) & (kvr <= r))) & real)
+            kv = jnp.sum(k_in, 1).astype(jnp.float32)
+            incl = own >= n_own[:, None] - 0.5
+            excl = (cnt - kv[:, None]) > 0.5
+            return incl & ~excl
+
         def mate_counts(tabs, sp, rep, want_px, pre_amb=None):
             """Stages 2b-3 + counting masks for one spelled mate batch.
             rep None disables the pileup gate (the legacy programs);
@@ -762,11 +815,10 @@ class ShardedTyper:
                     groups.append(clip_ht_w(var_pos_d, var_right_d,
                                             l2, r2, v2, k, px_l, px_r,
                                             n_pexons))
-            masks = _compat(links_packed, nd_pos, nd_prefix, del_pos,
-                            del_right, del_links, var_pos_d, var_right_d,
-                            jnp.concatenate([g[0] for g in groups]),
-                            jnp.concatenate([g[1] for g in groups]),
-                            jnp.concatenate([g[2] for g in groups]))
+            masks = compat_mxu(tabs,
+                               jnp.concatenate([g[0] for g in groups]),
+                               jnp.concatenate([g[1] for g in groups]),
+                               jnp.concatenate([g[2] for g in groups]))
             m = [masks[i * n:(i + 1) * n].astype(jnp.int32)
                  for i in range(len(groups))]
             cnt = m[0] + m[1] * tie2[:, None]
@@ -1127,11 +1179,12 @@ class ShardedTyper:
             + (4 if self._with_primary else 0)
         rows = n_mates * n_groups * n_pad
         # FLOPs: placement matmul (2 orientations x [n, W*5] @ [P1, W*5]^T)
-        # + compat del-matmul + class extraction
-        D = int(self._tables[12].shape[0])
+        # + the counting matmuls ([2*rows, V] @ [V, A], compat_mxu)
+        # + class extraction
+        V = int(self._tables[18].shape[0])
         TRACE.count("flops.device_classes",
                     n_mates * 2.0 * n_pad * (2.0 * W * 5 * P1)
-                    + 2.0 * rows * D * A
+                    + 2.0 * (2.0 * rows) * V * A
                     + 3.0 * self._NLEV * n_pad * A)
         # bytes: placement score planes (f32), ~10 spelling planes
         # [n, H, W] i32, compat count rows [rows, A] i32 (~3 passes:
@@ -1141,8 +1194,8 @@ class ShardedTyper:
         TRACE.count("bytes.device_classes",
                     n_mates * 2.0 * n_pad * P1 * 4
                     + n_mates * 10.0 * n_pad * H * W * 4
+                    + 2.0 * rows * V * 2          # M1/M2 bf16 operands
                     + rows * A * 4 * 3.0
-                    + rows * A * 8.0
                     + self._NLEV * n_pad * (W32 * 4 + 8))
 
     # ------------------------------------------------------------------ #

@@ -279,6 +279,7 @@ def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
     n_reads = 0
     n_pairs = 0
     ht_cache = {}
+    grouped = {}
     A = gene.n_alleles
     for read_id in sorted(by_read):
         alns = _concordant(by_read[read_id], opts)
@@ -305,19 +306,47 @@ def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
         if not positive_hts:
             continue
         n_pairs += 1
-        cnt_f = np.zeros(A, np.int64)
-        cnt_e = np.zeros(A, np.int64)
-        cnt_p = np.zeros(A, np.int64)
-        for h in positive_hts:
-            full, exon, primary = typer_h.ht_masks(h, novel, ht_cache)
-            cnt_f += full
-            cnt_e += exon
-            cnt_p += primary
-        full_stats.add_read(cnt_f)
+        key = frozenset(positive_hts)
+        hit = grouped.get(key)
+        if hit is None:
+            grouped[key] = [1, positive_hts]
+        else:
+            hit[0] += 1
+
+    # one vectorized mask batch + reduceat fold over all rescued pairs
+    # (the type_gene stats fold, typer/engine.py) instead of per-pair
+    # python
+    if grouped:
+        unique_hts = sorted(set().union(*(g[1] for g in grouped.values())))
+        typer_h.ht_masks_batch_host(unique_hts, novel, ht_cache)
+        ht_idx = {h: i for i, h in enumerate(unique_hts)}
+        U = len(unique_hts)
+        mask_f = np.empty((U, A), np.int64)
+        mask_e = np.empty((U, A), np.int64)
+        mask_p = np.empty((U, A), np.int64)
+        for i, h in enumerate(unique_hts):
+            full, exon, primary = ht_cache[h]
+            mask_f[i] = full
+            mask_e[i] = exon
+            mask_p[i] = primary
+        weights = np.fromiter((g[0] for g in grouped.values()),
+                              np.int64, len(grouped))
+        flat = []
+        starts = np.empty(len(grouped), np.int64)
+        at = 0
+        for gi, (_w, hts) in enumerate(grouped.values()):
+            starts[gi] = at
+            flat.extend(ht_idx[h] for h in hts)
+            at += len(hts)
+        flat = np.asarray(flat, np.int64)
+        full_stats.add_reads_batch(
+            np.add.reduceat(mask_f[flat], starts, axis=0), weights)
         if exon_stats is not None:
-            exon_stats.add_read(cnt_e)
+            exon_stats.add_reads_batch(
+                np.add.reduceat(mask_e[flat], starts, axis=0), weights)
         if primary_stats is not None:
-            primary_stats.add_read(cnt_p)
+            primary_stats.add_reads_batch(
+                np.add.reduceat(mask_p[flat], starts, axis=0), weights)
     return n_reads, n_pairs, novel
 
 
