@@ -227,20 +227,24 @@ def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
                 sub = [mate_reads[mi][i] for i in rows]
                 groups.append(([n for n, _ in sub],
                                [s for _, s in sub], mate_tag[mi]))
-        for alns in aligner.align_batches(groups):
+        with TRACE.stage("rescue.align"):
+            batches = aligner.align_batches(groups)
+        for alns in batches:
             for a in alns:
                 if a is not None:
                     by_read[a.read_id.split("|")[0]].append(a)
 
-    mpileup = Mpileup(gene)
-    mpileup.counts = np.ascontiguousarray(pileup_counts.astype(np.int32))
-    bulk = []
-    for read_id, alns in by_read.items():
-        conc = _concordant(alns, opts)
-        if conc is not None:
-            bulk.extend(conc)
-    mpileup.add_alignments_bulk(bulk)
-    mpileup.finalize()
+    with TRACE.stage("rescue.pileup"):
+        mpileup = Mpileup(gene)
+        mpileup.counts = np.ascontiguousarray(
+            pileup_counts.astype(np.int32))
+        bulk = []
+        for read_id, alns in by_read.items():
+            conc = _concordant(alns, opts)
+            if conc is not None:
+                bulk.extend(conc)
+        mpileup.add_alignments_bulk(bulk)
+        mpileup.finalize()
 
     # batch fast paths over unique nm==0 all-catalog alignments (the
     # vectorized twins type_gene uses) prefill the read_hts memo
@@ -270,10 +274,11 @@ def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
             if not catalog:
                 continue
             (uniq_indel if has_indel else uniq_clean)[k] = a
-    typer_h.clean_hts_batch(list(uniq_clean.values()), mpileup,
-                            opts.error_correction, hts_memo)
-    typer_h.indel_clean_hts_batch(list(uniq_indel.values()), mpileup,
-                                  opts.error_correction, hts_memo)
+    with TRACE.stage("rescue.fast_path"):
+        typer_h.clean_hts_batch(list(uniq_clean.values()), mpileup,
+                                opts.error_correction, hts_memo)
+        typer_h.indel_clean_hts_batch(list(uniq_indel.values()), mpileup,
+                                      opts.error_correction, hts_memo)
 
     full_stats, exon_stats, primary_stats = stats
     n_reads = 0
@@ -281,6 +286,8 @@ def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
     ht_cache = {}
     grouped = {}
     A = gene.n_alleles
+    _t_loop = TRACE.stage("rescue.hts_loop")
+    _t_loop.__enter__()
     for read_id in sorted(by_read):
         alns = _concordant(by_read[read_id], opts)
         if alns is None:
@@ -313,10 +320,13 @@ def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
         else:
             hit[0] += 1
 
+    _t_loop.__exit__(None, None, None)
     # one vectorized mask batch + reduceat fold over all rescued pairs
     # (the type_gene stats fold, typer/engine.py) instead of per-pair
     # python
     if grouped:
+        _t = TRACE.stage("rescue.fold")
+        _t.__enter__()
         unique_hts = sorted(set().union(*(g[1] for g in grouped.values())))
         typer_h.ht_masks_batch_host(unique_hts, novel, ht_cache)
         ht_idx = {h: i for i, h in enumerate(unique_hts)}
@@ -347,6 +357,7 @@ def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
         if primary_stats is not None:
             primary_stats.add_reads_batch(
                 np.add.reduceat(mask_p[flat], starts, axis=0), weights)
+        _t.__exit__(None, None, None)
     return n_reads, n_pairs, novel
 
 
