@@ -328,35 +328,53 @@ def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
         _t = TRACE.stage("rescue.fold")
         _t.__enter__()
         unique_hts = sorted(set().union(*(g[1] for g in grouped.values())))
-        typer_h.ht_masks_batch_host(unique_hts, novel, ht_cache)
-        ht_idx = {h: i for i, h in enumerate(unique_hts)}
-        U = len(unique_hts)
-        mask_f = np.empty((U, A), np.int64)
-        mask_e = np.empty((U, A), np.int64)
-        mask_p = np.empty((U, A), np.int64)
-        for i, h in enumerate(unique_hts):
-            full, exon, primary = ht_cache[h]
-            mask_f[i] = full
-            mask_e[i] = exon
-            mask_p[i] = primary
-        weights = np.fromiter((g[0] for g in grouped.values()),
-                              np.int64, len(grouped))
-        flat = []
-        starts = np.empty(len(grouped), np.int64)
-        at = 0
-        for gi, (_w, hts) in enumerate(grouped.values()):
-            starts[gi] = at
-            flat.extend(ht_idx[h] for h in hts)
-            at += len(hts)
-        flat = np.asarray(flat, np.int64)
-        full_stats.add_reads_batch(
-            np.add.reduceat(mask_f[flat], starts, axis=0), weights)
-        if exon_stats is not None:
-            exon_stats.add_reads_batch(
-                np.add.reduceat(mask_e[flat], starts, axis=0), weights)
-        if primary_stats is not None:
-            primary_stats.add_reads_batch(
-                np.add.reduceat(mask_p[flat], starts, axis=0), weights)
+        # same counting/fold selection as type_gene: the fused device
+        # fold at scale / on TPU backends (bit-identical,
+        # tests/test_device_count.py), the host reduceat fold otherwise
+        from ..typer.engine import DEVICE_FOLD_MIN_A, _tpu_backend
+
+        use_device = opts.device_counting == "on" or (
+            opts.device_counting == "auto"
+            and (A >= DEVICE_FOLD_MIN_A or _tpu_backend()))
+        folded = None
+        if use_device:
+            folded = typer_h.device_fold_run(unique_hts, novel, grouped)
+        if folded is not None:
+            stats_levels = [full_stats, exon_stats, primary_stats] \
+                if opts.family == "hla" else [full_stats]
+            for packed, stx in zip(folded, stats_levels):
+                if stx is not None:
+                    stx.add_packed_batch(*packed)
+        else:
+            typer_h.ht_masks_batch_host(unique_hts, novel, ht_cache)
+            ht_idx = {h: i for i, h in enumerate(unique_hts)}
+            U = len(unique_hts)
+            mask_f = np.empty((U, A), np.int32)
+            mask_e = np.empty((U, A), np.int32)
+            mask_p = np.empty((U, A), np.int32)
+            for i, h in enumerate(unique_hts):
+                full, exon, primary = ht_cache[h]
+                mask_f[i] = full
+                mask_e[i] = exon
+                mask_p[i] = primary
+            weights = np.fromiter((g[0] for g in grouped.values()),
+                                  np.int64, len(grouped))
+            flat = []
+            starts = np.empty(len(grouped), np.int64)
+            at = 0
+            for gi, (_w, hts) in enumerate(grouped.values()):
+                starts[gi] = at
+                flat.extend(ht_idx[h] for h in hts)
+                at += len(hts)
+            flat = np.asarray(flat, np.int64)
+            full_stats.add_reads_batch(
+                np.add.reduceat(mask_f[flat], starts, axis=0), weights)
+            if exon_stats is not None:
+                exon_stats.add_reads_batch(
+                    np.add.reduceat(mask_e[flat], starts, axis=0), weights)
+            if primary_stats is not None:
+                primary_stats.add_reads_batch(
+                    np.add.reduceat(mask_p[flat], starts, axis=0), weights)
         _t.__exit__(None, None, None)
     return n_reads, n_pairs, novel
 
