@@ -222,13 +222,21 @@ class ShardedTyper:
         # accumulation)
         links_f = jnp.asarray(gene.links.astype(np.float32),
                               dtype=jnp.bfloat16)
+        # per-(position, base) catalog SNP id (sentinel = none): ONE
+        # int32 gather answers "is this base a catalog alt here, and
+        # which variant" — replacing the 3x snp_alt + 3x snp_var
+        # gathers in the winner planes and the pileup gate
+        av_np = np.full((len(bb_ext), 4), gene.n_vars, np.int32)
+        for k in range(MAX_SNP_ALTS):
+            hasalt = snp_alt[:, k] < 4
+            av_np[hasalt, snp_alt[hasalt, k]] = snp_var[hasalt, k]
         self._tables = tuple(
             jnp.asarray(t) for t in (
                 pwm_ext, bb_ext, snp_alt, snp_var,
                 ind_pos, ind_len, ind_ins, ind_var, ins_enc,
                 dc.links_packed, dc.nd_pos, dc.nd_prefix, dc.del_pos,
                 dc.del_right, dc.del_links, dc.var_pos_d, dc.var_right_d,
-                mask_np, links_f))
+                mask_np, links_f, av_np))
         n_tables = len(self._tables)
 
         sentinel = gene.n_vars
@@ -486,10 +494,10 @@ class ShardedTyper:
                 valid_w = (cc < 4) & ((bb_w < 4) | in_ins_w)
                 match_w = valid_w & ~in_ins_w & (cc == bb_w)
                 mism_w = valid_w & ~match_w & ~in_ins_w
-                var_w = jnp.full(gp_w.shape, sentinel, jnp.int32)
-                for k in range(MAX_SNP_ALTS):
-                    hit = mism_w & (snp_alt[gp_w, k] == cc)
-                    var_w = jnp.where(hit, snp_var[gp_w, k], var_w)
+                av_tbl = tabs[19]
+                var_w = jnp.where(
+                    mism_w,
+                    av_tbl[gp_w, jnp.clip(cc, 0, 3)], sentinel)
                 span = jnp.where(in_ins_w, pv_w[:, None], bbpos_w)
                 l = jnp.min(jnp.where(valid_w, span, 1 << 30), 1)
                 r = jnp.max(jnp.where(valid_w, span, -1), 1)
@@ -535,40 +543,49 @@ class ShardedTyper:
 
         def rep_of(pile_flat):
             """Representative-base tables from the psum'd pileup
-            (Mpileup.finalize; ref thresholds typing_common.py:1124-1134):
-            keep [P, 4] bool, rep_any [P], single-rep base [P]."""
+            (Mpileup.finalize; ref thresholds typing_common.py:1124-1134)
+            bit-packed one byte per position (bit b = base b is
+            representative), so the gate pays ONE u8 gather per plane."""
             pile = pile_flat.reshape(P_bb, 6)
             total = pile.sum(1)
             acgt = pile[:, :4]
             keep = ((total >= 20)[:, None]
                     & ((acgt * 5 >= total[:, None]) | (acgt >= 7)))
-            nrep = keep.sum(1)
-            bsingle = jnp.argmax(keep, 1).astype(jnp.int8)
-            return keep, nrep, bsingle, pile
+            bitw = (jnp.uint8(1) << jnp.arange(4, dtype=jnp.uint8))
+            rep_pack = jnp.sum(keep.astype(jnp.uint8) * bitw[None, :], 1,
+                               dtype=jnp.uint8)
+            return rep_pack, pile
 
         def gate_hyp(tabs, sp, h, rep):
             """Pileup re-gating of one hypothesis's per-base
             classification — the device twin of error_correct
             (typing_core.py:119-243).  Returns (gated var plane [n, W],
-            corrections counted [n], supported-novel count [n])."""
-            (pwm_ext, bb_ext, snp_alt, snp_var) = tabs[:4]
-            keep, nrep, bsingle, _pile = rep
+            corrections counted [n], supported-novel count [n]).
+            Three gathers per plane: the packed rep byte, the backbone
+            base, and the per-(pos, base) catalog SNP id."""
+            bb_ext = tabs[1]
+            av_tbl = tabs[19]
+            rep_pack, _pile = rep
             gp, c = h["gp"], sp["oriented"]
             pos_ok = h["valid"] & ~h["in_ins"]
             gpc = jnp.clip(gp, 0, P_bb - 1)
             in_bb = gp < P_bb
-            sup = keep[gpc, jnp.clip(c, 0, 3)]
-            ra = keep[gpc].any(-1) & in_bb
+            rp = rep_pack[gpc]
+            cu = jnp.clip(c, 0, 3).astype(jnp.uint8)
+            sup = ((rp >> cu) & 1) == 1
+            ra = (rp != 0) & in_bb
             flagged = pos_ok & ra & ~sup
-            single = nrep[gpc] == 1
-            b = bsingle[gpc]
+            n1 = ((rp & 1) + ((rp >> 1) & 1) + ((rp >> 2) & 1)
+                  + ((rp >> 3) & 1))
+            single = n1 == 1
+            b = (((rp >> 1) & 1) + ((rp >> 2) & 1) * 2
+                 + ((rp >> 3) & 1) * 3).astype(jnp.int8)
             # correction target: the single representative base — to the
-            # backbone (neutral), a catalog alt (that variant), or N /
-            # multi-rep (neutral unknown)
-            corr_var = jnp.full(gp.shape, sentinel, jnp.int32)
-            for k in range(MAX_SNP_ALTS):
-                hit = flagged & single & (snp_alt[gpc, k] == b)
-                corr_var = jnp.where(hit, snp_var[gpc, k], corr_var)
+            # backbone (neutral: av sentinel), a catalog alt (that
+            # variant), or N / multi-rep (neutral unknown)
+            corr_var = jnp.where(
+                flagged & single,
+                av_tbl[gpc, jnp.clip(b, 0, 3)], sentinel)
             var_new = jnp.where(flagged, corr_var, h["var"])
             # reference num_correction bookkeeping: every flagged base in
             # a match run counts; a flagged mismatch counts only when
@@ -768,7 +785,7 @@ class ShardedTyper:
                 # (typing_core.py:1064-1077): claimed deletion with
                 # del_count * 6 < nt_count rejects the mate, exactly as
                 # the host read_hts returns None
-                _k, _nr, _bs, pile = rep
+                _rp, pile = rep
                 pvc = jnp.clip(Wh["pv"], 0, P_bb - 1)
                 delp_ok = pile[pvc, 5] * 6 >= pile[pvc, :5].sum(1)
                 passed = passed & ((Wh["dl"] == 0) | delp_ok)
