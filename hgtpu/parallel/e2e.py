@@ -393,12 +393,40 @@ class ShardedTyper:
             uniq_diag = second < best
 
             # -- 2. spelling hypotheses --------------------------------- #
-            # candidates: the max_indel_cand catalog indels at/after
-            # s0 - max_shift (window covers suffix-anchored frames)
-            c0 = jnp.searchsorted(ind_pos[:D], s0 - max_shift)
+            # straight-diagonal pre-scan: the frame break (first/last
+            # novel base against backbone-or-SNP) anchors the candidate
+            # window, so the probed indels are the ones that could
+            # EXPLAIN the read's mismatch run — not merely the first
+            # max_indel_cand in the span (which misses the right indel
+            # on dense panels and forced spurious punts)
+            mask_tbl = tabs[17]
+            j1 = jnp.arange(W, dtype=jnp.int32)[None, :]
+            gp0 = jnp.clip(s0[:, None] + j1, 0, Lbb - 1)
+            mk0 = mask_tbl[gp0]
+            cu0 = jnp.minimum(oriented, 4).astype(jnp.uint8)
+            ok0 = ((mk0 >> cu0) & 1) == 1
+            valid0 = (oriented < 4) & (((mk0 >> 4) & 1) == 1)
+            nov0 = valid0 & ~ok0
+            any_nov = nov0.any(1)
+            j_first = jnp.where(any_nov, jnp.argmax(nov0, 1), 0)
+            j_last = jnp.where(any_nov,
+                               W - 1 - jnp.argmax(nov0[:, ::-1], 1),
+                               W - 1)
+            # a read whose straight diagonal scores its FULL length is
+            # resolved as the straight spelling by the host too
+            # (_fast_exact_batch, align/aligner.py:946-975: sc0 >= lens
+            # fully in-backbone) — equal-cost indel ties never surface
+            score0 = jnp.sum(ok0 & valid0, 1)
+            rl_all = jnp.sum(oriented < 4, 1)
+            straight_perfect = ((score0 == rl_all) & (rl_all == W)
+                                & (s0 >= 0) & (s0 + W <= P_bb))
+
+            win_lo = s0 + j_first - max_shift
+            win_hi = s0 + j_last + max_shift
+            c0 = jnp.searchsorted(ind_pos[:D], win_lo)
             cand = jnp.minimum(c0[:, None]
                                + jnp.arange(max_indel_cand)[None, :], D)
-            cand = jnp.where(ind_pos[cand] <= s0[:, None] + W + max_shift,
+            cand = jnp.where(ind_pos[cand] <= win_hi[:, None],
                              cand, D)                            # [n, C]
             # H hypotheses: straight + (prefix, suffix) anchor per cand
             hyp_c = jnp.concatenate(
@@ -510,7 +538,7 @@ class ShardedTyper:
             win = top_i[:, 0]
             return dict(
                 oriented=oriented, use_r=use_r, cand=cand, tie2=tie2,
-                uniq_diag=uniq_diag,
+                uniq_diag=uniq_diag, straight_perfect=straight_perfect,
                 score_w=take(score, win), n_novel_w=take(n_novel, win),
                 n_valid_w=take(n_valid, win),
                 W=planes_of(win), T=planes_of(top_i[:, 1]))
@@ -681,9 +709,10 @@ class ShardedTyper:
             # placements spell the read at the same cost): the host
             # reports the aligner's single tie-broken alignment, so the
             # production path defers to it instead of unioning
-            tie_div = tie2 & (jnp.any(v1u != v2u, 1)
-                              | (Wh["l"] != Th["l"])
-                              | (Wh["r"] != Th["r"]))
+            tie_div = (tie2 & ~sp["straight_perfect"]
+                       & (jnp.any(v1u != v2u, 1)
+                          | (Wh["l"] != Th["l"])
+                          | (Wh["r"] != Th["r"])))
             # variant-slot overflow: a read whose span holds >= K
             # catalog variants could truncate its device haplotype —
             # hand it to the host rescue instead of miscounting
@@ -694,7 +723,11 @@ class ShardedTyper:
             # punted read can be reconstructed host-side without
             # realignment (production._rescue_punts tier 1)
             tier1 = (passed_u & ~amb_u & ~tie_div & sp["uniq_diag"])
-            return passed_u, amb_u | trimmy | tie_div | trunc, tier1
+            causes = (amb_u.astype(jnp.uint32)
+                      | (trimmy.astype(jnp.uint32) << 1)
+                      | (tie_div.astype(jnp.uint32) << 2)
+                      | (trunc.astype(jnp.uint32) << 3))
+            return passed_u, amb_u | trimmy | tie_div | trunc, tier1, causes
 
         def compat_mxu(tabs, lefts, rights, vars_):
             """[Hn, A] bool compatibility — the add_count set algebra
@@ -968,11 +1001,14 @@ class ShardedTyper:
                     jnp.stack(totals_all), punt_words, counters,
                     fs, is_first, uw, min_idx)
 
-        def winner_info(sp, tier1):
-            """Per-read tier-1 rescue words: (span_l << 2) | (rc << 1) |
-            tier1, plus the claimed catalog indel id (sentinel = none)."""
-            info = ((jnp.maximum(sp["W"]["l"], 0).astype(jnp.uint32)
-                     << jnp.uint32(2))
+        def winner_info(sp, tier1, causes):
+            """Per-read tier-1 rescue words: punt causes in the top
+            nibble (bit28 amb, 29 trim, 30 tie, 31 trunc), then
+            (span_l << 2) | (rc << 1) | tier1; plus the claimed catalog
+            indel id (sentinel = none)."""
+            info = ((causes << jnp.uint32(28))
+                    | (jnp.maximum(sp["W"]["l"], 0).astype(jnp.uint32)
+                       << jnp.uint32(2))
                     | (sp["use_r"].astype(jnp.uint32) << jnp.uint32(1))
                     | tier1.astype(jnp.uint32))
             return [info, sp["W"]["ivar"].astype(jnp.uint32)]
@@ -995,7 +1031,7 @@ class ShardedTyper:
             tabs, reads = args[:n_tables], args[n_tables]
             sp = mate_spell(tabs, reads)
             n_loc = reads.shape[0]
-            passed_u, amb_all, tier1 = mate_flags(tabs, sp)
+            passed_u, amb_all, tier1, causes = mate_flags(tabs, sp)
             pre_punt = (~passed_u | amb_all) & (sp["n_valid_w"] > 0)
             pile = jax.lax.psum(
                 pile_contrib(sp, passed_u & ~pre_punt), axis)
@@ -1016,7 +1052,7 @@ class ShardedTyper:
                 cnts.append(cnt_px * w_used[:, None].astype(jnp.int32))
             return assemble_buf(pile, pack_classes(
                 cnts, w_used, needs_host, n_reads_m, n_loc),
-                winner_info(sp, tier1))
+                winner_info(sp, tier1, causes))
 
         def classes_pairs(*args):
             tabs, r1, r2 = args[:n_tables], args[n_tables], \
@@ -1031,8 +1067,8 @@ class ShardedTyper:
             span = (jnp.maximum(rr1, rr2) - jnp.minimum(l1, l2))
             conc = (sp1["use_r"] != sp2["use_r"]) & (span <= MAX_FRAG)
 
-            pu1, amb1, t1_1 = mate_flags(tabs, sp1)
-            pu2, amb2, t1_2 = mate_flags(tabs, sp2)
+            pu1, amb1, t1_1, cz1 = mate_flags(tabs, sp1)
+            pu2, amb2, t1_2, cz2 = mate_flags(tabs, sp2)
             # the PAIR pre-punts when either mate does: the rescue adds
             # BOTH mates' host alignments to the pileup, so neither may
             # contribute its device spelling here
@@ -1066,7 +1102,8 @@ class ShardedTyper:
                 cnts.append(cnt_px)
             return assemble_buf(pile, pack_classes(
                 cnts, used, punt, n_reads_m, n_loc),
-                winner_info(sp1, t1_1) + winner_info(sp2, t1_2))
+                winner_info(sp1, t1_1, cz1)
+                + winner_info(sp2, t1_2, cz2))
 
         # -- 6. staged SQUAREM EM over the device-resident class shard -- #
         def em_shard(remove_low, use_len, cnt, w, include, restrict):
@@ -1255,6 +1292,7 @@ class ShardedTyper:
         winfo = [dict(l=np.zeros(n_pad, np.int64),
                       rc=np.zeros(n_pad, bool),
                       tier1=np.zeros(n_pad, bool),
+                      causes=np.zeros(n_pad, np.int64),
                       ivar=np.zeros(n_pad, np.int64))
                  for _ in range(n_mates)]
         n_reads = 0
@@ -1283,7 +1321,9 @@ class ShardedTyper:
                 at += n_loc
                 iv = b[at:at + n_loc]
                 at += n_loc
-                winfo[mi]["l"][sl] = (info >> 2).astype(np.int64)
+                winfo[mi]["l"][sl] = ((info >> 2)
+                                      & ((1 << 26) - 1)).astype(np.int64)
+                winfo[mi]["causes"][sl] = (info >> 28).astype(np.int64)
                 winfo[mi]["rc"][sl] = ((info >> 1) & 1).astype(bool)
                 winfo[mi]["tier1"][sl] = (info & 1).astype(bool)
                 winfo[mi]["ivar"][sl] = iv.astype(np.int64)
