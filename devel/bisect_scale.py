@@ -25,7 +25,7 @@ def main():
     import os
     if os.environ.get('BENCH_TRUTHS'):
         pair = [ref.allele_names[123], ref.allele_names[2047]]
-    r1, r2, _ = simulate_reads(ref, pair, simulate_interval=1, seed=1)
+    r1, r2, _ = simulate_reads(ref, pair, simulate_interval=int(__import__('os').environ.get('BS_INT', 1)), seed=int(__import__('os').environ.get('BS_SEED', 1)))
     R1 = [(r.name, r.seq) for r in r1]
     R2 = [(r.name, r.seq) for r in r2]
 

@@ -393,12 +393,11 @@ class ShardedTyper:
             uniq_diag = second < best
 
             # -- 2. spelling hypotheses --------------------------------- #
-            # straight-diagonal pre-scan: the frame break (first/last
-            # novel base against backbone-or-SNP) anchors the candidate
-            # window, so the probed indels are the ones that could
-            # EXPLAIN the read's mismatch run — not merely the first
-            # max_indel_cand in the span (which misses the right indel
-            # on dense panels and forced spurious punts)
+            # straight-diagonal pre-scan for the perfect-read rule: a
+            # read whose straight diagonal scores its FULL length is
+            # resolved as the straight spelling by the host too
+            # (_fast_exact_batch, align/aligner.py:946-975: sc0 >= lens
+            # fully in-backbone) — equal-cost indel ties never surface
             mask_tbl = tabs[17]
             j1 = jnp.arange(W, dtype=jnp.int32)[None, :]
             gp0 = jnp.clip(s0[:, None] + j1, 0, Lbb - 1)
@@ -406,27 +405,19 @@ class ShardedTyper:
             cu0 = jnp.minimum(oriented, 4).astype(jnp.uint8)
             ok0 = ((mk0 >> cu0) & 1) == 1
             valid0 = (oriented < 4) & (((mk0 >> 4) & 1) == 1)
-            nov0 = valid0 & ~ok0
-            any_nov = nov0.any(1)
-            j_first = jnp.where(any_nov, jnp.argmax(nov0, 1), 0)
-            j_last = jnp.where(any_nov,
-                               W - 1 - jnp.argmax(nov0[:, ::-1], 1),
-                               W - 1)
-            # a read whose straight diagonal scores its FULL length is
-            # resolved as the straight spelling by the host too
-            # (_fast_exact_batch, align/aligner.py:946-975: sc0 >= lens
-            # fully in-backbone) — equal-cost indel ties never surface
             score0 = jnp.sum(ok0 & valid0, 1)
             rl_all = jnp.sum(oriented < 4, 1)
             straight_perfect = ((score0 == rl_all) & (rl_all == W)
                                 & (s0 >= 0) & (s0 + W <= P_bb))
 
-            win_lo = s0 + j_first - max_shift
-            win_hi = s0 + j_last + max_shift
-            c0 = jnp.searchsorted(ind_pos[:D], win_lo)
+            # candidates: the max_indel_cand catalog indels at/after
+            # s0 - max_shift (window covers suffix-anchored frames;
+            # break-anchoring was tried and MISSES suffix-anchored
+            # indels whose novel run starts late by lucky matches)
+            c0 = jnp.searchsorted(ind_pos[:D], s0 - max_shift)
             cand = jnp.minimum(c0[:, None]
                                + jnp.arange(max_indel_cand)[None, :], D)
-            cand = jnp.where(ind_pos[cand] <= win_hi[:, None],
+            cand = jnp.where(ind_pos[cand] <= s0[:, None] + W + max_shift,
                              cand, D)                            # [n, C]
             # H hypotheses: straight + (prefix, suffix) anchor per cand
             hyp_c = jnp.concatenate(
@@ -690,8 +681,15 @@ class ShardedTyper:
             in_span = ((cand < D)
                        & (ind_pos_t[cand] >= Wh["l"][:, None] - max_shift)
                        & (ind_pos_t[cand] <= Wh["r"][:, None]))
+            # ambiguous when residual novels remain OR the winner
+            # already claims an indel: a second unclaimed indel can
+            # combine into an equal-cost multi-indel spelling whose tail
+            # matches by chance (zero novels!), which only the host DFS
+            # can spell — 4D..1D chains surfaced exactly this way
+            claims_w = ((Wh["ivar"] < sentinel)
+                        | (tie2 & (Th["ivar"] < sentinel)))
             amb_u = (jnp.any(in_span & ~claimed, 1)
-                     & (sp["n_novel_w"] > 0))
+                     & ((sp["n_novel_w"] > 0) | claims_w))
 
             def htv(h):
                 cat = jnp.concatenate([h["var"], h["ivar"][:, None]], 1)
@@ -837,8 +835,11 @@ class ShardedTyper:
             in_span = ((cand < D)
                        & (ind_pos_t[cand] >= l1[:, None] - max_shift)
                        & (ind_pos_t[cand] <= r1[:, None]))
+            claims_w = ((Wh["ivar"] < sentinel)
+                         | (tie2 & (Th["ivar"] < sentinel)))
             ambiguous = (jnp.any(in_span & ~claimed, 1)
-                         & ((novel_resid + n_corr) > 0))
+                         & (((novel_resid + n_corr) > 0)
+                            | (claims_w if rep is not None else False)))
             if pre_amb is not None:
                 ambiguous = ambiguous | pre_amb
             needs_host = (~passed | ambiguous) & (n_valid_w > 0)
@@ -871,17 +872,23 @@ class ShardedTyper:
                                jnp.concatenate([g[2] for g in groups]))
             m = [masks[i * n:(i + 1) * n].astype(jnp.int32)
                  for i in range(len(groups))]
-            cnt = m[0] + m[1] * tie2[:, None]
+            # equal-cost tie union — but a perfect-straight read is
+            # resolved as the straight spelling alone by the host
+            # (_fast_exact_batch), so the production path must not
+            # union its tie (the legacy device-EM path keeps the union)
+            tie_cnt = tie2 if rep is None \
+                else (tie2 & ~sp["straight_perfect"])
+            cnt = m[0] + m[1] * tie_cnt[:, None]
             at = 2
             if staged:
                 cnt_ex = (m[at] + m[at + 2]
-                          + (m[at + 1] + m[at + 3]) * tie2[:, None])
+                          + (m[at + 1] + m[at + 3]) * tie_cnt[:, None])
                 at += 4
             else:
                 cnt_ex = cnt
             if want_px:
                 cnt_px = (m[at] + m[at + 2]
-                          + (m[at + 1] + m[at + 3]) * tie2[:, None])
+                          + (m[at + 1] + m[at + 3]) * tie_cnt[:, None])
             else:
                 cnt_px = cnt
             return cnt, cnt_ex, cnt_px, passed, needs_host

