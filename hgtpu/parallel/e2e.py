@@ -681,15 +681,24 @@ class ShardedTyper:
             in_span = ((cand < D)
                        & (ind_pos_t[cand] >= Wh["l"][:, None] - max_shift)
                        & (ind_pos_t[cand] <= Wh["r"][:, None]))
-            # ambiguous when residual novels remain OR the winner
-            # already claims an indel: a second unclaimed indel can
-            # combine into an equal-cost multi-indel spelling whose tail
-            # matches by chance (zero novels!), which only the host DFS
-            # can spell — 4D..1D chains surfaced exactly this way
+            # ambiguous when (A) residual novels remain next to an
+            # unclaimed in-span candidate, or (B) the winner claims an
+            # indel and an unclaimed candidate sits within EDGE bp of a
+            # span edge: a second indel there can combine into an
+            # equal-cost multi-indel spelling whose short tail matches
+            # by chance (zero novels! 1M4D7M1D92M reads surfaced this),
+            # which only the host DFS can spell.  Deep-interior
+            # unclaimed candidates with zero novels are safe: claiming
+            # them would shift a long segment that cannot fully match.
             claims_w = ((Wh["ivar"] < sentinel)
                         | (tie2 & (Th["ivar"] < sentinel)))
-            amb_u = (jnp.any(in_span & ~claimed, 1)
-                     & ((sp["n_novel_w"] > 0) | claims_w))
+            EDGE = max_shift + 32
+            near_edge = ((ind_pos_t[cand] <= Wh["l"][:, None] + EDGE)
+                         | (ind_pos_t[cand] >= Wh["r"][:, None] - EDGE))
+            amb_u = ((jnp.any(in_span & ~claimed, 1)
+                      & (sp["n_novel_w"] > 0))
+                     | (claims_w
+                        & jnp.any(in_span & ~claimed & near_edge, 1)))
 
             def htv(h):
                 cat = jnp.concatenate([h["var"], h["ivar"][:, None]], 1)
@@ -835,11 +844,8 @@ class ShardedTyper:
             in_span = ((cand < D)
                        & (ind_pos_t[cand] >= l1[:, None] - max_shift)
                        & (ind_pos_t[cand] <= r1[:, None]))
-            claims_w = ((Wh["ivar"] < sentinel)
-                         | (tie2 & (Th["ivar"] < sentinel)))
             ambiguous = (jnp.any(in_span & ~claimed, 1)
-                         & (((novel_resid + n_corr) > 0)
-                            | (claims_w if rep is not None else False)))
+                         & ((novel_resid + n_corr) > 0))
             if pre_amb is not None:
                 ambiguous = ambiguous | pre_amb
             needs_host = (~passed | ambiguous) & (n_valid_w > 0)

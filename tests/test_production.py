@@ -176,6 +176,23 @@ def test_production_exact_at_scale():
     _assert_equal_results(dev, host, pair)
 
 
+def test_production_exact_at_scale_full_depth():
+    """The bench configuration itself (full simulation depth, the bench
+    truth pair): interval-1 sampling covers every read offset, which is
+    what exposed the K-truncation, the lucky-tail multi-indel chains,
+    and the edge-window ambiguity bugs."""
+    from tests.synth import make_hla_scale_msa
+
+    spec = make_hla_scale_msa()
+    ref, _ = build_gene_ref(
+        "A", spec["names"], spec["rows"], spec["ref_allele"],
+        exons_ref_coords=spec["exons"],
+        primary_exon_idx=spec["primary_exon_idx"], min_var_freq=0.0)
+    pair = [ref.allele_names[123], ref.allele_names[2047]]
+    dev, host = _both(ref, pair, seed=1, interval=1)
+    _assert_equal_results(dev, host, pair)
+
+
 def test_codis_family_routes_host():
     """device_typing_supported must refuse the configs the device
     program does not model (codis pair-distance, assembly, linear,
