@@ -193,6 +193,44 @@ def test_production_exact_at_scale_full_depth():
     _assert_equal_results(dev, host, pair)
 
 
+def test_count_classes_mesh_invariant(indel_ref):
+    """The production class program must return IDENTICAL packed
+    classes, totals, pileup, punt mask and counters on 1-, 2- and
+    8-device meshes (reads sharded, psum over the mesh axis)."""
+    from hgtpu.parallel.e2e import ShardedTyper
+    from hgtpu.parallel.sharded import make_mesh
+
+    t_indel, _ = _truths(indel_ref)
+    r1, r2, _ = simulate_reads(indel_ref, [t_indel], simulate_interval=4,
+                               read_len=100, frag_len=250, seed=3)
+    outs = {}
+    for n_dev in (1, 2, 8):
+        st = ShardedTyper(indel_ref, make_mesh(n_dev))
+        outs[n_dev] = st.count_classes(st.encode([r.seq for r in r1]),
+                                       st.encode([r.seq for r in r2]))
+    ref_out = outs[1]
+    for n_dev in (2, 8):
+        o = outs[n_dev]
+        assert np.array_equal(o["pileup"], ref_out["pileup"]), n_dev
+        assert np.array_equal(o["punt"], ref_out["punt"]), n_dev
+        assert o["n_reads"] == ref_out["n_reads"]
+        assert o["n_pairs"] == ref_out["n_pairs"]
+        for name in ref_out["levels"]:
+            r_rows, r_w, r_tot = ref_out["levels"][name]
+            o_rows, o_w, o_tot = o["levels"][name]
+            assert np.array_equal(o_tot, r_tot), (n_dev, name)
+            # classes dedup per shard; the cross-shard merge happens in
+            # add_packed_batch — compare the AGGREGATED class->weight
+            # maps
+            def norm(rows, w):
+                agg = {}
+                for r, x in zip(rows, w):
+                    k = tuple(r)
+                    agg[k] = agg.get(k, 0) + int(x)
+                return agg
+            assert norm(o_rows, o_w) == norm(r_rows, r_w), (n_dev, name)
+
+
 def test_codis_family_routes_host():
     """device_typing_supported must refuse the configs the device
     program does not model (codis pair-distance, assembly, linear,
