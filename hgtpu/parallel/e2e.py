@@ -949,7 +949,7 @@ class ShardedTyper:
         self._class_cap = class_cap
         self._NLEV = NLEV
 
-        def pack_classes(cnts, w_used, punt, n_reads_m, n_loc):
+        def pack_classes(cnts, w_used, punt, excl, n_reads_m, n_loc):
             """On-device class dedup + single-buffer packing (the
             device_fold._fold_levels scheme, typer/device_fold.py):
             per level, the argmax-count class row of every used pair is
@@ -998,21 +998,28 @@ class ShardedTyper:
             up = jnp.nonzero(is_first, size=cap, fill_value=LG)[0]
             rows_c = fs[jnp.clip(up, 0, LG - 1)]
             n_uniq = jnp.sum(is_first.astype(jnp.uint32))
-            # punt mask bit-packed 32 reads per word
+            # punt + pileup-exclusion masks bit-packed 32 reads per word
+            # (excl = reads whose device spelling was EXCLUDED from the
+            # device pileup — the rescue adds host alignments to the
+            # pileup for exactly these, never for rep-gate-only punts
+            # whose device contribution is already in it)
             npw = (n_loc + 31) // 32
-            punt_pad = jnp.pad(punt.astype(jnp.uint32),
-                               (0, npw * 32 - n_loc))
-            punt_words = jnp.sum(
-                punt_pad.reshape(npw, 32) * bitw[None, :], axis=1,
-                dtype=jnp.uint32)
+
+            def bitpack(m):
+                pad = jnp.pad(m.astype(jnp.uint32), (0, npw * 32 - n_loc))
+                return jnp.sum(pad.reshape(npw, 32) * bitw[None, :],
+                               axis=1, dtype=jnp.uint32)
+
+            punt_words = bitpack(punt)
+            excl_words = bitpack(excl)
             counters = jnp.stack([
                 n_uniq,
                 n_reads_m.astype(jnp.uint32),
                 jnp.sum(wi).astype(jnp.uint32),
                 jnp.sum(punt.astype(jnp.uint32))])
             return (rows_c, uw[:cap], min_idx[:cap],
-                    jnp.stack(totals_all), punt_words, counters,
-                    fs, is_first, uw, min_idx)
+                    jnp.stack(totals_all), punt_words, excl_words,
+                    counters, fs, is_first, uw, min_idx)
 
         def winner_info(sp, tier1, causes):
             """Per-read tier-1 rescue words: punt causes in the top
@@ -1027,8 +1034,8 @@ class ShardedTyper:
             return [info, sp["W"]["ivar"].astype(jnp.uint32)]
 
         def assemble_buf(pile_flat, packed, info_words):
-            (rows_c, uw_c, min_c, totals, punt_words, counters,
-             fs, is_first, uw, min_idx) = packed
+            (rows_c, uw_c, min_c, totals, punt_words, excl_words,
+             counters, fs, is_first, uw, min_idx) = packed
             buf = jnp.concatenate([
                 rows_c.reshape(-1),
                 uw_c.astype(jnp.uint32),
@@ -1036,18 +1043,27 @@ class ShardedTyper:
                 totals.reshape(-1).astype(jnp.uint32),
                 pile_flat.astype(jnp.uint32),
                 punt_words,
+                excl_words,
                 counters,
             ] + info_words)
             return buf, fs, is_first, uw, min_idx
 
         def classes_single(*args):
             tabs, reads = args[:n_tables], args[n_tables]
+            pile_in = args[n_tables + 1] if len(args) > n_tables + 1 \
+                else None
             sp = mate_spell(tabs, reads)
             n_loc = reads.shape[0]
             passed_u, amb_all, tier1, causes = mate_flags(tabs, sp)
             pre_punt = (~passed_u | amb_all) & (sp["n_valid_w"] > 0)
-            pile = jax.lax.psum(
-                pile_contrib(sp, passed_u & ~pre_punt), axis)
+            if pile_in is None:
+                pile = jax.lax.psum(
+                    pile_contrib(sp, passed_u & ~pre_punt), axis)
+            else:
+                # re-gate pass: the host-merged (final) pileup is
+                # injected, so every gate decision matches the host-full
+                # run's representative sets (production phase 2)
+                pile = pile_in
             rep = rep_of(pile)
             cnt, cnt_ex, cnt_px, passed, needs_host = mate_counts(
                 tabs, sp, rep, self._with_primary, amb_all)
@@ -1064,12 +1080,14 @@ class ShardedTyper:
             if NLEV > 2:
                 cnts.append(cnt_px * w_used[:, None].astype(jnp.int32))
             return assemble_buf(pile, pack_classes(
-                cnts, w_used, needs_host, n_reads_m, n_loc),
+                cnts, w_used, needs_host, pre_punt, n_reads_m, n_loc),
                 winner_info(sp, tier1, causes))
 
         def classes_pairs(*args):
             tabs, r1, r2 = args[:n_tables], args[n_tables], \
                 args[n_tables + 1]
+            pile_in = args[n_tables + 2] if len(args) > n_tables + 2 \
+                else None
             sp1 = mate_spell(tabs, r1)
             sp2 = mate_spell(tabs, r2)
             n_loc = r1.shape[0]
@@ -1087,16 +1105,33 @@ class ShardedTyper:
             # contribute its device spelling here
             pre_punt = conc & (((~pu1 | amb1) & (sp1["n_valid_w"] > 0))
                                | ((~pu2 | amb2) & (sp2["n_valid_w"] > 0)))
+            # a pair the device frames DISCORDANT (same orientation or
+            # span > MAX_FRAG) while either mate carries an ambiguity
+            # signal (placement tie, equal-cost spelling, failed budget)
+            # may be concordant under the host aligner's tie-break —
+            # punt it to the rescue instead of silently dropping it
+            # (the host counts it iff its own alignments concord,
+            # typing_core.py:826-852)
+            v1 = sp1["n_valid_w"] > 0
+            v2 = sp2["n_valid_w"] > 0
+            disc_susp = (~conc & v1 & v2
+                         & (~sp1["uniq_diag"] | ~sp2["uniq_diag"]
+                            | amb1 | amb2 | ~pu1 | ~pu2))
+            excl = pre_punt | disc_susp
             inc1 = conc & pu1 & ~pre_punt
             inc2 = conc & pu2 & ~pre_punt
-            pile = jax.lax.psum(
-                pile_contrib(sp1, inc1) + pile_contrib(sp2, inc2), axis)
+            if pile_in is None:
+                pile = jax.lax.psum(
+                    pile_contrib(sp1, inc1) + pile_contrib(sp2, inc2),
+                    axis)
+            else:
+                pile = pile_in
             rep = rep_of(pile)
             c1, ce1, cp1, ok1, nh1 = mate_counts(tabs, sp1, rep,
                                                  self._with_primary, amb1)
             c2, ce2, cp2, ok2, nh2 = mate_counts(tabs, sp2, rep,
                                                  self._with_primary, amb2)
-            punt = conc & (nh1 | nh2)
+            punt = (conc & (nh1 | nh2)) | disc_susp
             used = conc & (ok1 | ok2) & ~punt
             o1 = ok1 & used
             o2 = ok2 & used
@@ -1114,7 +1149,7 @@ class ShardedTyper:
             if NLEV > 2:
                 cnts.append(cnt_px)
             return assemble_buf(pile, pack_classes(
-                cnts, used, punt, n_reads_m, n_loc),
+                cnts, used, punt, excl, n_reads_m, n_loc),
                 winner_info(sp1, t1_1, cz1)
                 + winner_info(sp2, t1_2, cz2))
 
@@ -1193,6 +1228,17 @@ class ShardedTyper:
         self._classes_pairs = jax.jit(shard_map(
             classes_pairs, mesh, in_specs=specs_t + (P(axis), P(axis)),
             out_specs=cls_outs, check_rep=False))
+        # phase-2 re-gate variants: the final (host-merged) pileup is an
+        # injected replicated input instead of the program's own psum —
+        # compiled lazily, dispatched only when the merged pileup's gate
+        # inputs differ from the device pileup's (production phase 2)
+        self._classes_single_pile = jax.jit(shard_map(
+            classes_single, mesh, in_specs=specs_t + (P(axis), P()),
+            out_specs=cls_outs, check_rep=False))
+        self._classes_pairs_pile = jax.jit(shard_map(
+            classes_pairs, mesh,
+            in_specs=specs_t + (P(axis), P(axis), P()),
+            out_specs=cls_outs, check_rep=False))
         self._em_steps = {
             key: jax.jit(shard_map(
                 functools.partial(em_shard, *key), mesh,
@@ -1269,7 +1315,7 @@ class ShardedTyper:
     # production front door: packed classes + pileup + punt (one fetch)
     # ------------------------------------------------------------------ #
     def count_classes(self, r1_codes: np.ndarray, r2_codes=None,
-                      bucket: bool = True):
+                      bucket: bool = True, pileup_in=None):
         """Run the pileup-gated class program and fetch its single
         buffer.  Returns a dict:
           levels: {"full"|"exon"|"primary":
@@ -1277,17 +1323,33 @@ class ShardedTyper:
                        totals int64 [A])}
           pileup: int32 [P, 6]      (the device mpileup, psum-merged)
           punt:   bool [n]          (reads/pairs for the host rescue)
+          excl:   bool [n]          (reads whose device spelling was
+                                     excluded from the device pileup —
+                                     the rescue adds THEIR host
+                                     alignments to the merged pileup)
           n_reads, n_pairs: int     (report accounting)
+
+        `pileup_in` (int32 [P, 6]) dispatches the phase-2 re-gate
+        variant: every gate decision is taken against the injected
+        (host-merged, final) pileup instead of the device's own psum.
         """
         n = r1_codes.shape[0]
         p1 = self._pad(r1_codes, bucket)
         self._count_work(p1.shape[0], 1 if r2_codes is None else 2)
+        pin = None
+        if pileup_in is not None:
+            pin = jnp.asarray(np.ascontiguousarray(
+                pileup_in, dtype=np.int32).reshape(-1))
         if r2_codes is None:
-            out = self._classes_single(*self._tables, jnp.asarray(p1))
+            out = self._classes_single(*self._tables, jnp.asarray(p1)) \
+                if pin is None else self._classes_single_pile(
+                    *self._tables, jnp.asarray(p1), pin)
         else:
             p2 = self._pad(r2_codes, bucket)
             out = self._classes_pairs(*self._tables, jnp.asarray(p1),
-                                      jnp.asarray(p2))
+                                      jnp.asarray(p2)) \
+                if pin is None else self._classes_pairs_pile(
+                    *self._tables, jnp.asarray(p1), jnp.asarray(p2), pin)
         buf = np.asarray(out[0])
         ndev = self.n_devices
         n_pad = p1.shape[0]
@@ -1296,12 +1358,13 @@ class ShardedTyper:
         NLEV, W32, A = self._NLEV, self._W32, self.A
         cap = min(self._class_cap, NLEV * n_loc)
         npw = (n_loc + 31) // 32
-        BUF = (cap * W32 + 2 * cap + NLEV * A + self.P_bb * 6 + npw + 4
-               + 2 * n_mates * n_loc)
+        BUF = (cap * W32 + 2 * cap + NLEV * A + self.P_bb * 6 + 2 * npw
+               + 4 + 2 * n_mates * n_loc)
         buf = buf.reshape(ndev, BUF)
 
         rows_parts, uw_parts, ord_parts = [], [], []
         punt = np.zeros(n_pad, bool)
+        excl = np.zeros(n_pad, bool)
         winfo = [dict(l=np.zeros(n_pad, np.int64),
                       rc=np.zeros(n_pad, bool),
                       tier1=np.zeros(n_pad, bool),
@@ -1326,6 +1389,8 @@ class ShardedTyper:
             at += self.P_bb * 6
             pw = b[at:at + npw]
             at += npw
+            ew = b[at:at + npw]
+            at += npw
             n_uniq, nr, npair, _npunt = (int(x) for x in b[at:at + 4])
             at += 4
             sl = slice(s * n_loc, (s + 1) * n_loc)
@@ -1348,6 +1413,9 @@ class ShardedTyper:
             bits = ((pw[:, None] >> np.arange(32, dtype=np.uint32))
                     & 1).astype(bool).reshape(-1)[:n_loc]
             punt[s * n_loc:(s + 1) * n_loc] = bits
+            ebits = ((ew[:, None] >> np.arange(32, dtype=np.uint32))
+                     & 1).astype(bool).reshape(-1)[:n_loc]
+            excl[s * n_loc:(s + 1) * n_loc] = ebits
             if n_uniq > cap:
                 # rare overflow: fetch the full sorted rows for this
                 # shard through the exact secondary leaves
@@ -1387,7 +1455,7 @@ class ShardedTyper:
             sub = sel[np.argsort(order_key[sel], kind="stable")]
             levels[name] = (rows[sub], uws[sub], totals[li])
         return dict(levels=levels, pileup=pileup, punt=punt[:n],
-                    n_reads=n_reads, n_pairs=n_pairs,
+                    excl=excl[:n], n_reads=n_reads, n_pairs=n_pairs,
                     winner=[{k: v[:n] for k, v in w.items()}
                             for w in winfo])
 

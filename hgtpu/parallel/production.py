@@ -71,12 +71,20 @@ def device_typing_supported(opts: TypingOptions, paired: bool) -> bool:
     return True
 
 
+def _mesh_key(mesh):
+    """Stable identity for a Mesh: axis names + the device ids in mesh
+    order.  Never key on id(mesh) — a GC'd mesh's id can be reused by a
+    different mesh of the same shape (the stale-id bug class)."""
+    return (mesh.axis_names,
+            tuple(d.id for d in mesh.devices.flat))
+
+
 def _shared_sharded_typer(gene: GeneRef, opts: TypingOptions, mesh,
                           read_len: int):
     from .e2e import ShardedTyper
 
     st = _gene_shared_state(gene)
-    key = ("sharded_typer", id(mesh), read_len, opts.family,
+    key = ("sharded_typer", _mesh_key(mesh), read_len, opts.family,
            opts.num_editdist, bool(opts.type_primary_exons))
     hit = st.get(key)
     if hit is None:
@@ -167,37 +175,19 @@ def _reconstruct_aln(gene, rid, mate, seq, l, rc_flag, ivar, snp_lookup):
                    has_indel=(claimed >= 0))
 
 
-def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
-                  aligner=None, winner=None):
-    """Host-engine rescue of the punt mask: align + read_hts + count the
-    punted pairs exactly as type_gene would, merging their classes into
-    the device accumulators before EM.
-
-    The pileup the rescue corrects against = the device pileup (which
-    EXCLUDES pre-punted reads' possibly mis-framed device spellings,
-    e2e.mate_flags) PLUS the punted reads' own HOST alignments — i.e.
-    the same per-position counts the host-full run would see
-    (get_mpileup adds every concordant alignment,
-    typing_common.py:1059-1184).  Returns (n_reads, n_pairs, novel)
-    added."""
-    idx = np.flatnonzero(punt)
-    novel = NovelVars()
+def _align_punts(gene, opts, reads_1, reads_2, idx, winner, aligner=None):
+    """Host alignment of the punted pairs' mates: tier 1 reconstructs
+    the certified device winner without realignment (e2e.mate_flags
+    tier1), tier 2 realigns through GeneAligner.  Returns
+    {pair index -> [ReadAln, ...]} (both mates together)."""
+    by_pair = {int(i): [] for i in idx}
     if len(idx) == 0:
-        return 0, 0, novel
+        return by_pair
     from ..align import GeneAligner
-    from ..typer.mpileup import Mpileup
-    from collections import defaultdict
 
-    typer_h = GeneTyper(gene, opts)
-    # per-MATE tier partition: a mate skips realignment (tier 1) when
-    # its device winner is certified as the host aligner's unique best
-    # alignment (e2e.mate_flags tier1) and reconstructs in-backbone;
-    # only the remaining mates realign — in a punted pair usually the
-    # one mate that caused the punt
     snp_lk = _snp_lookup(gene) if winner is not None else None
     mate_reads = [reads_1] + ([reads_2] if reads_2 is not None else [])
     mate_tag = ["L", "R"]
-    by_read = defaultdict(list)
     need_align = [[] for _ in mate_reads]
     n_tier1 = 0
     for i in idx:
@@ -213,7 +203,7 @@ def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
                 need_align[mi].append(i)
             else:
                 n_tier1 += 1
-                by_read[a.read_id.split("|")[0]].append(a)
+                by_pair[int(i)].append(a)
     n_tier2 = sum(len(v) for v in need_align)
     TRACE.count("rescue.tier1_mates", n_tier1)
     TRACE.count("rescue.tier2_mates", n_tier2)
@@ -222,29 +212,88 @@ def _rescue_punts(gene, opts, reads_1, reads_2, punt, pileup_counts, stats,
             gene, num_editdist=opts.num_editdist,
             leftmost=opts.family == "codis")
         groups = []
+        group_rows = []
         for mi, rows in enumerate(need_align):
             if rows:
                 sub = [mate_reads[mi][i] for i in rows]
                 groups.append(([n for n, _ in sub],
                                [s for _, s in sub], mate_tag[mi]))
+                group_rows.append(rows)
         with TRACE.stage("rescue.align"):
             batches = aligner.align_batches(groups)
-        for alns in batches:
-            for a in alns:
+        for rows, alns in zip(group_rows, batches):
+            for i, a in zip(rows, alns):
                 if a is not None:
-                    by_read[a.read_id.split("|")[0]].append(a)
+                    by_pair[int(i)].append(a)
+    return by_pair
 
-    with TRACE.stage("rescue.pileup"):
-        mpileup = Mpileup(gene)
-        mpileup.counts = np.ascontiguousarray(
-            pileup_counts.astype(np.int32))
-        bulk = []
-        for read_id, alns in by_read.items():
-            conc = _concordant(alns, opts)
-            if conc is not None:
-                bulk.extend(conc)
-        mpileup.add_alignments_bulk(bulk)
-        mpileup.finalize()
+
+def _merge_pileup(gene, opts, pileup_counts, by_pair, excl_idx):
+    """The final (host-full) pileup: the device pileup — which EXCLUDES
+    the `excl` pairs' possibly mis-framed device spellings
+    (e2e.mate_flags) — plus exactly those pairs' HOST alignments.
+    Rep-gate-only punts are NOT re-added: their device winner
+    contribution (identical to the host alignment's bases) is already
+    in the device counts, so adding the host alignment again would
+    double-count them (get_mpileup adds each concordant alignment once,
+    typing_common.py:1059-1184)."""
+    from ..typer.mpileup import Mpileup
+
+    mpileup = Mpileup(gene)
+    mpileup.counts = np.ascontiguousarray(pileup_counts.astype(np.int32))
+    bulk = []
+    for i in excl_idx:
+        alns = by_pair.get(int(i))
+        if not alns:
+            continue
+        conc = _concordant(alns, opts)
+        if conc is not None:
+            bulk.extend(conc)
+    mpileup.add_alignments_bulk(bulk)
+    mpileup.finalize()
+    return mpileup
+
+
+def _gate_inputs_differ(dev_counts, merged_counts):
+    """True when the merged pileup would gate ANY decision differently
+    from the device pileup: the representative-base bits (cov >= 20,
+    >= 20% or >= 7 — typing_common.py:1124-1134) or the
+    deletion-plausibility verdict (del*6 >= nt, typing_core.py:1064-1077)
+    differ at any position.  When False, phase-1 device gating already
+    equals host-full gating and no re-dispatch is needed."""
+    def rep_bits(c):
+        total = c.sum(1)
+        acgt = c[:, :4]
+        return ((total >= 20)[:, None]
+                & ((acgt * 5 >= total[:, None]) | (acgt >= 7)))
+
+    def delp(c):
+        return c[:, 5] * 6 >= c[:, :5].sum(1)
+
+    return (not np.array_equal(rep_bits(dev_counts),
+                               rep_bits(merged_counts))
+            or not np.array_equal(delp(dev_counts), delp(merged_counts)))
+
+
+def _count_rescued(gene, opts, reads_1, by_pair, idx, mpileup, stats):
+    """read_hts + count the punted pairs exactly as type_gene would,
+    merging their classes into the device accumulators before EM.
+    Corrections run against the merged (final) pileup.  Returns
+    (n_reads, n_pairs, novel) added."""
+    novel = NovelVars()
+    if len(idx) == 0:
+        return 0, 0, novel
+    typer_h = GeneTyper(gene, opts)
+    # iterate pairs in read-id order (the host engine's sorted-SAM
+    # order) for identical accumulation order
+    by_read = {}
+    for i in idx:
+        alns = by_pair.get(int(i))
+        if alns:
+            # pairs sharing a fragment-id prefix merge into ONE fragment
+            # (the host engine's read-id-change grouping over sorted SAM)
+            by_read.setdefault(
+                reads_1[i][0].split("|")[0], []).extend(alns)
 
     # batch fast paths over unique nm==0 all-catalog alignments (the
     # vectorized twins type_gene uses) prefill the read_hts memo
@@ -404,6 +453,33 @@ def type_reads_device(gene: GeneRef, reads_1, reads_2=None,
     with TRACE.stage("device.classes"):
         out = st.count_classes(c1, c2)
 
+    # phase 1.5: align the punts and build the FINAL pileup (device
+    # counts + host alignments of the excluded pairs).  If its gate
+    # inputs differ from the device pileup's — a punted read's bases
+    # crossed a representative-base or deletion-plausibility threshold —
+    # the device-kept reads were gated against stale rep sets: re-gate
+    # them exactly by re-dispatching with the merged pileup injected
+    # (phase 2), so every decision matches the host-full run.
+    with TRACE.stage("device.rescue"):
+        punt_idx = np.flatnonzero(out["punt"])
+        by_pair = _align_punts(gene, opts, reads_1, reads_2, punt_idx,
+                               out["winner"], aligner)
+        with TRACE.stage("rescue.pileup"):
+            mpileup = _merge_pileup(gene, opts, out["pileup"], by_pair,
+                                    np.flatnonzero(out["excl"]))
+        if len(punt_idx) and _gate_inputs_differ(out["pileup"],
+                                                 mpileup.counts):
+            TRACE.count("rescue.regate", 1)
+            with TRACE.stage("device.regate"):
+                out = st.count_classes(c1, c2, pileup_in=mpileup.counts)
+            new_idx = np.flatnonzero(out["punt"])
+            new_idx = new_idx[~np.isin(new_idx, punt_idx)]
+            if len(new_idx):
+                by_pair.update(_align_punts(gene, opts, reads_1, reads_2,
+                                            new_idx, out["winner"],
+                                            aligner))
+            punt_idx = np.flatnonzero(out["punt"])
+
     with TRACE.stage("device.merge"):
         full_stats = StatAccumulator(gene.allele_names)
         exon_stats = None
@@ -422,10 +498,9 @@ def type_reads_device(gene: GeneRef, reads_1, reads_2=None,
     n_reads = out["n_reads"]
     n_pairs = out["n_pairs"]
     with TRACE.stage("device.rescue"):
-        r_reads, r_pairs, novel = _rescue_punts(
-            gene, opts, reads_1, reads_2, out["punt"], out["pileup"],
-            (full_stats, exon_stats, primary_stats), aligner,
-            winner=out["winner"])
+        r_reads, r_pairs, novel = _count_rescued(
+            gene, opts, reads_1, by_pair, punt_idx, mpileup,
+            (full_stats, exon_stats, primary_stats))
     n_reads += r_reads
     n_pairs += r_pairs
 

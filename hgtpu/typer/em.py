@@ -6,11 +6,11 @@ equivalence-class counts, SQUAREM step (Varadhan & Roland 2008, as in
 Sailfish), convergence diff < 1e-4, <=1000 iterations, optional length
 normalization and low-abundance pruning.
 
-Two implementations:
-- `single_abundance`: dict-based, semantics-identical to the reference
-  (used for parity and small problems).
-- `em_solve_dense`: jit-compiled dense jax version over a [C, A] class
-  membership matrix — the device path, psum-friendly for multi-chip.
+The shipped solver (`single_abundance`) runs vectorized NumPy over a
+dense [C, A] class-membership matrix; `em_solve_dense` is the
+jit-compiled jax twin used by the device path (psum-friendly for
+multi-chip).  The reference's dict-literal SQUAREM lives in
+`tests/reference_em.py` as the parity oracle.
 """
 from __future__ import annotations
 

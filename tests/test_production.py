@@ -124,6 +124,21 @@ def test_production_single_end(indel_ref):
     assert dev.num_reads == host.num_reads
 
 
+def test_production_threshold_coverage(indel_ref):
+    """Representative-base thresholds (cov >= 20, 20%, >= 7) sit INSIDE
+    the coverage range here, so punted reads' pileup contributions flip
+    rep sets between the device pileup and the host-full pileup.  The
+    production path must gate device-kept reads against the FINAL
+    (host-merged) pileup — not the punt-excluded device pileup — to
+    stay bit-identical (ADVICE r4: e2e gate-vs-merged-pileup drift,
+    and the rep-gate-punt double-count in the merged pileup)."""
+    t_indel, _ = _truths(indel_ref)
+    for interval, err in ((8, 0.03), (10, 0.03), (8, 0.05)):
+        dev, host = _both(indel_ref, [t_indel], err=err, seed=11,
+                          interval=interval)
+        _assert_equal_results(dev, host, [t_indel])
+
+
 def test_production_str_locus():
     """STR-shaped coverage through the device program (VERDICT r3 item
     7): a D18S51-style 4-bp-repeat locus where periodicity creates
