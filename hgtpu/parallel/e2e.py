@@ -258,7 +258,7 @@ class ShardedTyper:
             vp_sorted = np.sort(gene.var_pos.astype(np.int64))
             hi = np.searchsorted(vp_sorted, vp_sorted + read_len
                                  + max_shift + 1, side="left")
-            k_need = int((hi - np.arange(len(vp_sorted))).max()) + 2
+            k_need = int((hi - np.arange(len(vp_sorted))).max()) + 3
             K = max(max_ht_vars, ((k_need + 7) // 8) * 8)
         self._K = K
         corr_cap = max(1, max_novel)   # error_correct rejection budget
@@ -362,16 +362,23 @@ class ShardedTyper:
         include_np = np.stack([m for _, m in self._levels])
         include_d = jnp.asarray(include_np)
 
-        def mate_spell(tabs, reads):
-            """Stages 1-2 for one mate batch, PRE-gating: placement,
-            hypothesis scoring, winner/tie per-base planes.  Returns a
-            dict of per-read arrays consumed by `mate_counts` (counting)
-            and `pile_contrib` (the device mpileup)."""
-            (pwm_ext, bb_ext, snp_alt, snp_var, ind_pos, ind_len,
-             ind_ins, ind_var, ins_enc) = tabs[:9]
-            n, W = reads.shape
-            Lbb = bb_ext.shape[0]
-            # -- 1. placement, both orientations ------------------------ #
+        # static pair-hypothesis combos over the sorted candidate slots:
+        # each pair (u, v), u < v (so pos_u < pos_v), is probed with 3
+        # anchor modes — prefix (segment A on the argmax diagonal),
+        # middle (segment B between the indels), suffix (segment C).
+        # Empty while the production programs spell one indel per read;
+        # Step 3 enables them (two-indel chains are ~40% of scale punts,
+        # the host decodes arbitrary chains in one pass,
+        # typing_core.py:899-1124).
+        PAIR_COMBOS = tuple((u, v)
+                            for u in range(max_indel_cand)
+                            for v in range(u + 1, max_indel_cand))
+
+        def place_mates(tabs, reads):
+            """Stage 1: MXU placement correlation, both orientations.
+            Returns (s0, use_r, best, second) — the argmax diagonal per
+            read plus the uniqueness evidence the tier-1 rescue needs."""
+            pwm_ext = tabs[0]
             rc = jnp.where(reads[:, ::-1] < 4, 3 - reads[:, ::-1],
                            jnp.int8(4))
             s_f = correlate_scores(pwm_ext, reads)
@@ -381,15 +388,47 @@ class ShardedTyper:
             best_f, arg_f = top_f[:, 0], argk_f[:, 0]
             best_r, arg_r = top_r[:, 0], argk_r[:, 0]
             use_r = best_r > best_f
-            oriented = jnp.where(use_r[:, None], rc, reads)
             s0 = jnp.where(use_r, arg_r, arg_f).astype(jnp.int32)
             # unique best placement across diagonals AND orientations:
-            # the tier-1 rescue (production._rescue_punts) may only
+            # the tier-1 rescue (production._reconstruct_aln) may only
             # reconstruct the host alignment when no equal-score
             # placement exists for the aligner to tie-break differently
             best = jnp.maximum(best_f, best_r)
             second = jnp.maximum(jnp.where(use_r, top_r[:, 1], top_f[:, 1]),
                                  jnp.where(use_r, best_f, best_r))
+            return s0, use_r, best, second
+
+        def mate_spell(tabs, reads, placed=None, pair_combos=(),
+                       n_single=max_indel_cand):
+            """Stage 2 for one mate batch, PRE-gating: hypothesis
+            scoring, winner/tie per-base planes.  Returns a dict of
+            per-read arrays consumed by `mate_counts` (counting) and
+            `pile_contrib` (the device mpileup).
+
+            Every hypothesis claims up to TWO catalog indels (ca, cb)
+            with pos_a < pos_b; singles carry the sentinel row D for cb
+            (break beyond any read: the b-terms vanish, reproducing the
+            single-indel map exactly).  The unified coordinate map for
+            read offset j, with net shift sh = dl - il per claimed
+            candidate and breaks b_a / b_b:
+
+                bbpos(j) = s_a + j + (j>=b_a)*dl_a - (j>=b_a+il_a)*il_a
+                                   + (j>=b_b)*dl_b - (j>=b_b+il_b)*il_b
+
+            anchored at s_a = s0 (prefix), s0 - sh_a (middle), or
+            s0 - sh_a - sh_b (suffix) — whichever read segment the
+            argmax diagonal belongs to.  b_a = pos_a - s_a and
+            b_b = pos_b - s_a - sh_a."""
+            (pwm_ext, bb_ext, snp_alt, snp_var, ind_pos, ind_len,
+             ind_ins, ind_var, ins_enc) = tabs[:9]
+            n, W = reads.shape
+            Lbb = bb_ext.shape[0]
+            if placed is None:
+                placed = place_mates(tabs, reads)
+            s0, use_r, best, second = placed
+            rc = jnp.where(reads[:, ::-1] < 4, 3 - reads[:, ::-1],
+                           jnp.int8(4))
+            oriented = jnp.where(use_r[:, None], rc, reads)
             uniq_diag = second < best
 
             # -- 2. spelling hypotheses --------------------------------- #
@@ -419,27 +458,66 @@ class ShardedTyper:
                                + jnp.arange(max_indel_cand)[None, :], D)
             cand = jnp.where(ind_pos[cand] <= s0[:, None] + W + max_shift,
                              cand, D)                            # [n, C]
-            # H hypotheses: straight + (prefix, suffix) anchor per cand
-            hyp_c = jnp.concatenate(
-                [jnp.full((n, 1), D, jnp.int32), cand, cand], 1)  # [n, H]
-            dl = jnp.where(ind_ins[hyp_c] == 0, ind_len[hyp_c], 0)
-            il = jnp.where(ind_ins[hyp_c] == 1, ind_len[hyp_c], 0)
-            anchor_suffix = jnp.concatenate(
-                [jnp.zeros((n, 1 + max_indel_cand), bool),
-                 jnp.ones((n, max_indel_cand), bool)], 1)
-            hyp_s = jnp.where(anchor_suffix, s0[:, None] - dl + il,
-                              s0[:, None])                        # [n, H]
-            pv = ind_pos[hyp_c]
-            q = pv - hyp_s                                        # [n, H]
+            # hypothesis columns: straight, then (prefix, suffix) per
+            # single candidate, then 3 anchor modes per pair combo.
+            # anchor codes: 0 = s0, 1 = s0 - sh_a, 2 = s0 - sh_a - sh_b
+            sent_col = jnp.full((n, 1), D, jnp.int32)
+            ca_cols = [sent_col]
+            cb_cols = [sent_col]
+            anc_codes = [0]
+            is_pair = [False]
+            for c in range(n_single):
+                ca_cols.append(cand[:, c:c + 1])
+                cb_cols.append(sent_col)
+                anc_codes.append(0)
+                is_pair.append(False)
+            for c in range(n_single):
+                ca_cols.append(cand[:, c:c + 1])
+                cb_cols.append(sent_col)
+                anc_codes.append(2)
+                is_pair.append(False)
+            for (u, v) in pair_combos:
+                for anc in (0, 1, 2):
+                    ca_cols.append(cand[:, u:u + 1])
+                    cb_cols.append(cand[:, v:v + 1])
+                    anc_codes.append(anc)
+                    is_pair.append(True)
+            ca = jnp.concatenate(ca_cols, 1)                     # [n, H]
+            cb = jnp.concatenate(cb_cols, 1)
+            anc = jnp.asarray(np.array(anc_codes, np.int32))[None, :]
+            pair_col = jnp.asarray(np.array(is_pair, bool))[None, :]
+            H = ca.shape[1]
 
-            mask_tbl = tabs[17]
+            dl_a = jnp.where(ind_ins[ca] == 0, ind_len[ca], 0)
+            il_a = jnp.where(ind_ins[ca] == 1, ind_len[ca], 0)
+            dl_b = jnp.where(ind_ins[cb] == 0, ind_len[cb], 0)
+            il_b = jnp.where(ind_ins[cb] == 1, ind_len[cb], 0)
+            sh_a = dl_a - il_a
+            sh_b = dl_b - il_b
+            s_a = (s0[:, None]
+                   - jnp.where(anc >= 1, sh_a, 0)
+                   - jnp.where(anc == 2, sh_b, 0))               # [n, H]
+            p_a = ind_pos[ca]
+            p_b = ind_pos[cb]
+            b_a = p_a - s_a
+            b_b = p_b - s_a - sh_a
+
             jj = jnp.arange(W, dtype=jnp.int32)[None, None, :]
-            q3, il3, dl3 = q[..., None], il[..., None], dl[..., None]
-            after = jj >= q3
-            in_ins = (il3 > 0) & after & (jj < q3 + il3)
-            bbpos = (hyp_s[..., None] + jj
-                     + jnp.where(after, dl3, 0)
-                     - jnp.where(jj >= q3 + il3, il3, 0))       # [n, H, W]
+            ba3, bb3 = b_a[..., None], b_b[..., None]
+            ila3, ilb3 = il_a[..., None], il_b[..., None]
+            dla3, dlb3 = dl_a[..., None], dl_b[..., None]
+            after_a = jj >= ba3
+            after_ai = jj >= ba3 + ila3
+            after_b = jj >= bb3
+            after_bi = jj >= bb3 + ilb3
+            in_ins_a = (ila3 > 0) & after_a & ~after_ai
+            in_ins_b = (ilb3 > 0) & after_b & ~after_bi
+            in_ins = in_ins_a | in_ins_b
+            bbpos = (s_a[..., None] + jj
+                     + jnp.where(after_a, dla3, 0)
+                     - jnp.where(after_ai, ila3, 0)
+                     + jnp.where(after_b, dlb3, 0)
+                     - jnp.where(after_bi, ilb3, 0))            # [n, H, W]
             gp = jnp.clip(bbpos, 0, Lbb - 1)
             # ONE u8 gather scores the whole hypothesis plane: bit c =
             # base matches backbone-or-catalog-SNP (the aligner's "free"
@@ -449,31 +527,42 @@ class ShardedTyper:
             cu = jnp.minimum(c, 4).astype(jnp.uint8)
             ok_bb = ((mk >> cu) & 1) == 1
             exp_valid = ((mk >> 4) & 1) == 1
-            # inserted bases: compare against the candidate's spelled
+            # inserted bases: compare against each candidate's spelled
             # insertion via MAX_INS_LEN fused selects (no [n,H,W] gather)
-            ins_row = ins_enc[hyp_c]                           # [n, H, 16]
+            ins_row_a = ins_enc[ca]                           # [n, H, 16]
+            ins_row_b = ins_enc[cb]
             ok_ins = jnp.zeros(in_ins.shape, bool)
             for t in range(MAX_INS_LEN):
-                ok_ins = ok_ins | (in_ins & (jj == q3 + t)
-                                   & (c == ins_row[:, :, t][..., None]))
+                ok_ins = ok_ins | (in_ins_a & (jj == ba3 + t)
+                                   & (c == ins_row_a[:, :, t][..., None]))
+                ok_ins = ok_ins | (in_ins_b & (jj == bb3 + t)
+                                   & (c == ins_row_b[:, :, t][..., None]))
             valid = (c < 4) & (exp_valid | in_ins)
             okall = jnp.where(in_ins, ok_ins, ok_bb) & valid
             score = jnp.sum(okall, 2).astype(jnp.float32)       # [n, H]
             n_novel = jnp.sum(valid & ~okall, 2, dtype=jnp.int32)
             n_valid = jnp.sum(valid, 2, dtype=jnp.int32)
 
-            # hypothesis validity: real candidate, in-backbone start, and
-            # the indel strictly inside the read (>=1 anchored base on
-            # each side); insertions must fit MAX_INS_LEN (len 0 rows are
-            # real-candidate duds -> invalid)
+            # hypothesis validity: real candidate(s), in-backbone start,
+            # every break strictly inside the read (>=1 anchored base on
+            # each side, >=1 base of segment B between a pair's breaks);
+            # insertions must fit MAX_INS_LEN (len 0 rows are
+            # real-candidate duds -> invalid).  A pair column whose cb
+            # degenerated to the sentinel is INVALID — it would
+            # duplicate the single hypothesis and fake an equal-cost tie
             rl = jnp.sum(oriented < 4, 1).astype(jnp.int32)[:, None]
-            real = hyp_c < D
-            ok_h = ((hyp_s >= 0) & (q >= 1) & (q + il <= rl - 1)
-                    & (q <= rl - 1) & ((dl > 0) | (il > 0)))
+            real_a = ca < D
+            real_b = cb < D
+            ok_a = ((s_a >= 0) & (b_a >= 1) & (b_a + il_a <= rl - 1)
+                    & (b_a <= rl - 1) & ((dl_a > 0) | (il_a > 0)))
+            ok_b = ((b_b >= b_a + il_a + 1) & (b_b + il_b <= rl - 1)
+                    & (b_b <= rl - 1) & ((dl_b > 0) | (il_b > 0)))
+            ok_h = (real_a & ok_a
+                    & jnp.where(pair_col, real_b & ok_b, ~real_b))
             straight = jnp.concatenate(
                 [jnp.ones((n, 1), bool),
-                 jnp.zeros((n, 2 * max_indel_cand), bool)], 1)
-            score = jnp.where(straight | (real & ok_h), score, -1.0)
+                 jnp.zeros((n, H - 1), bool)], 1)
+            score = jnp.where(straight | ok_h, score, -1.0)
 
             # top-2 hypotheses: the winner spells the read; an EQUAL-cost
             # runner-up is an alternative spelling whose class unions in
@@ -481,7 +570,9 @@ class ShardedTyper:
             # haplotypes, typing_common.py:1663-1955 — add_stat's argmax
             # class over summed per-ht counts takes the union when the
             # two spellings conflict).  argmax/top_k break ties toward
-            # the straight diagonal (index 0).
+            # the straight diagonal (index 0), then single-indel
+            # spellings before pairs (the host prefers fewer ops at
+            # equal cost; divergent equal-cost spellings punt anyway).
             top_v, top_i = jax.lax.top_k(score, 2)                # [n, 2]
             tie2 = (top_v[:, 1] == top_v[:, 0]) & (top_v[:, 1] >= 0.0)
 
@@ -493,38 +584,51 @@ class ShardedTyper:
                 recomputed arithmetically from the hypothesis scalars
                 (no 3D takes) with [n, W] gathers only for the base and
                 SNP-id lookups the downstream stages need."""
-                s_w = take(hyp_s, w)
-                q_w = take(q, w)
-                dl_w = take(dl, w)
-                il_w = take(il, w)
-                pv_w = take(pv, w)
-                hc_w = take(hyp_c, w)
+                s_w = take(s_a, w)
+                ba_w = take(b_a, w)
+                bb_w = take(b_b, w)
+                dla_w = take(dl_a, w)
+                ila_w = take(il_a, w)
+                dlb_w = take(dl_b, w)
+                ilb_w = take(il_b, w)
+                pa_w = take(p_a, w)
+                pb_w = take(p_b, w)
+                ca_w = take(ca, w)
+                cb_w = take(cb, w)
                 j = jnp.arange(W, dtype=jnp.int32)[None, :]
-                after_w = j >= q_w[:, None]
-                in_ins_w = ((il_w[:, None] > 0) & after_w
-                            & (j < (q_w + il_w)[:, None]))
+                aft_a = j >= ba_w[:, None]
+                aft_ai = j >= (ba_w + ila_w)[:, None]
+                aft_b = j >= bb_w[:, None]
+                aft_bi = j >= (bb_w + ilb_w)[:, None]
+                ins_a_w = (ila_w[:, None] > 0) & aft_a & ~aft_ai
+                ins_b_w = (ilb_w[:, None] > 0) & aft_b & ~aft_bi
+                in_ins_w = ins_a_w | ins_b_w
                 bbpos_w = (s_w[:, None] + j
-                           + jnp.where(after_w, dl_w[:, None], 0)
-                           - jnp.where(j >= (q_w + il_w)[:, None],
-                                       il_w[:, None], 0))
+                           + jnp.where(aft_a, dla_w[:, None], 0)
+                           - jnp.where(aft_ai, ila_w[:, None], 0)
+                           + jnp.where(aft_b, dlb_w[:, None], 0)
+                           - jnp.where(aft_bi, ilb_w[:, None], 0))
                 gp_w = jnp.clip(bbpos_w, 0, Lbb - 1)
-                bb_w = bb_ext[gp_w]
+                bb_w_base = bb_ext[gp_w]
                 cc = oriented
-                valid_w = (cc < 4) & ((bb_w < 4) | in_ins_w)
-                match_w = valid_w & ~in_ins_w & (cc == bb_w)
+                valid_w = (cc < 4) & ((bb_w_base < 4) | in_ins_w)
+                match_w = valid_w & ~in_ins_w & (cc == bb_w_base)
                 mism_w = valid_w & ~match_w & ~in_ins_w
                 av_tbl = tabs[19]
                 var_w = jnp.where(
                     mism_w,
                     av_tbl[gp_w, jnp.clip(cc, 0, 3)], sentinel)
-                span = jnp.where(in_ins_w, pv_w[:, None], bbpos_w)
+                span = jnp.where(
+                    ins_a_w, pa_w[:, None],
+                    jnp.where(ins_b_w, pb_w[:, None], bbpos_w))
                 l = jnp.min(jnp.where(valid_w, span, 1 << 30), 1)
                 r = jnp.max(jnp.where(valid_w, span, -1), 1)
                 return dict(
                     gp=gp_w, in_ins=in_ins_w, valid=valid_w,
                     var=var_w, match=match_w,
-                    l=l, r=r, ivar=ind_var[hc_w],
-                    pv=pv_w, dl=dl_w)
+                    l=l, r=r,
+                    iva=ind_var[ca_w], ivb=ind_var[cb_w],
+                    pa=pa_w, pb=pb_w, dla=dla_w, dlb=dlb_w)
 
             win = top_i[:, 0]
             return dict(
@@ -551,13 +655,15 @@ class ShardedTyper:
             pile = jnp.zeros(P_bb * 6, jnp.int32).at[
                 idx.reshape(-1)].add(pos_ok.reshape(-1).astype(jnp.int32))
             if del_cap > 0:
-                claims = (h["dl"] > 0) & include
                 k = jnp.arange(del_cap, dtype=jnp.int32)
-                didx = jnp.clip(h["pv"], 0, P_bb - 1)[:, None] + k[None, :]
-                dmask = (claims[:, None] & (k[None, :] < h["dl"][:, None])
-                         & (didx < P_bb))
-                pile = pile.at[jnp.clip(didx, 0, P_bb - 1).reshape(-1) * 6
-                               + 5].add(dmask.reshape(-1).astype(jnp.int32))
+                for pv, dl in ((h["pa"], h["dla"]), (h["pb"], h["dlb"])):
+                    claims = (dl > 0) & include
+                    didx = jnp.clip(pv, 0, P_bb - 1)[:, None] + k[None, :]
+                    dmask = (claims[:, None] & (k[None, :] < dl[:, None])
+                             & (didx < P_bb))
+                    pile = pile.at[
+                        jnp.clip(didx, 0, P_bb - 1).reshape(-1) * 6
+                        + 5].add(dmask.reshape(-1).astype(jnp.int32))
             return pile
 
         def rep_of(pile_flat):
@@ -675,23 +781,27 @@ class ShardedTyper:
             passed_u = ((sp["n_novel_w"] <= max_novel) & (n_valid_w > 0)
                         & (sp["score_w"] >= min_score_frac * nv))
             cand = sp["cand"]
-            claimed = ((ind_var_t[cand] == Wh["ivar"][:, None])
+            cv = ind_var_t[cand]
+            claimed = ((cv == Wh["iva"][:, None])
+                       | (cv == Wh["ivb"][:, None])
                        | (tie2[:, None]
-                          & (ind_var_t[cand] == Th["ivar"][:, None])))
+                          & ((cv == Th["iva"][:, None])
+                             | (cv == Th["ivb"][:, None]))))
             in_span = ((cand < D)
                        & (ind_pos_t[cand] >= Wh["l"][:, None] - max_shift)
                        & (ind_pos_t[cand] <= Wh["r"][:, None]))
             # ambiguous when (A) residual novels remain next to an
             # unclaimed in-span candidate, or (B) the winner claims an
             # indel and an unclaimed candidate sits within EDGE bp of a
-            # span edge: a second indel there can combine into an
+            # span edge: a further indel there can combine into an
             # equal-cost multi-indel spelling whose short tail matches
             # by chance (zero novels! 1M4D7M1D92M reads surfaced this),
             # which only the host DFS can spell.  Deep-interior
             # unclaimed candidates with zero novels are safe: claiming
             # them would shift a long segment that cannot fully match.
-            claims_w = ((Wh["ivar"] < sentinel)
-                        | (tie2 & (Th["ivar"] < sentinel)))
+            claims_w = ((Wh["iva"] < sentinel) | (Wh["ivb"] < sentinel)
+                        | (tie2 & ((Th["iva"] < sentinel)
+                                   | (Th["ivb"] < sentinel))))
             EDGE = max_shift + 32
             near_edge = ((ind_pos_t[cand] <= Wh["l"][:, None] + EDGE)
                          | (ind_pos_t[cand] >= Wh["r"][:, None] - EDGE))
@@ -701,9 +811,10 @@ class ShardedTyper:
                         & jnp.any(in_span & ~claimed & near_edge, 1)))
 
             def htv(h):
-                cat = jnp.concatenate([h["var"], h["ivar"][:, None]], 1)
+                cat = jnp.concatenate(
+                    [h["var"], h["iva"][:, None], h["ivb"][:, None]], 1)
                 # K smallest ascending == -top_k(-x, K): cheaper than a
-                # full [n, W+1] sort on TPU
+                # full [n, W+2] sort on TPU
                 return -jax.lax.top_k(-cat, K)[0]
 
             v1u, v2u = htv(Wh), htv(Th)
@@ -808,7 +919,8 @@ class ShardedTyper:
                 novel_resid = novelW
 
             def ht_of(h, var_pl):
-                cat = jnp.concatenate([var_pl, h["ivar"][:, None]], 1)
+                cat = jnp.concatenate(
+                    [var_pl, h["iva"][:, None], h["ivb"][:, None]], 1)
                 vars_ = -jax.lax.top_k(-cat, K)[0]   # K smallest, ascending
                 return h["l"], h["r"], vars_
 
@@ -822,13 +934,16 @@ class ShardedTyper:
                       & (n_corr <= corr_cap))
             if rep is not None and is_hla:
                 # deletion-plausibility misalignment heuristic
-                # (typing_core.py:1064-1077): claimed deletion with
+                # (typing_core.py:1064-1077): a claimed deletion with
                 # del_count * 6 < nt_count rejects the mate, exactly as
-                # the host read_hts returns None
+                # the host read_hts returns None — checked for BOTH
+                # claimed indels of a pair spelling
                 _rp, pile = rep
-                pvc = jnp.clip(Wh["pv"], 0, P_bb - 1)
-                delp_ok = pile[pvc, 5] * 6 >= pile[pvc, :5].sum(1)
-                passed = passed & ((Wh["dl"] == 0) | delp_ok)
+                for pv, dl in ((Wh["pa"], Wh["dla"]),
+                               (Wh["pb"], Wh["dlb"])):
+                    pvc = jnp.clip(pv, 0, P_bb - 1)
+                    delp_ok = pile[pvc, 5] * 6 >= pile[pvc, :5].sum(1)
+                    passed = passed & ((dl == 0) | delp_ok)
             # residual novel edits next to a catalog indel the spelling
             # does not claim: the read may cross a second indel (the
             # host engine spells multi-indel chains; the device does
@@ -838,9 +953,12 @@ class ShardedTyper:
             # so corrections count toward the ambiguity trigger.
             cand = sp["cand"]
             (ind_pos_t, ind_var_t) = (tabs[4], tabs[7])
-            claimed = ((ind_var_t[cand] == Wh["ivar"][:, None])
+            cv = ind_var_t[cand]
+            claimed = ((cv == Wh["iva"][:, None])
+                       | (cv == Wh["ivb"][:, None])
                        | (tie2[:, None]
-                          & (ind_var_t[cand] == Th["ivar"][:, None])))
+                          & ((cv == Th["iva"][:, None])
+                             | (cv == Th["ivb"][:, None]))))
             in_span = ((cand < D)
                        & (ind_pos_t[cand] >= l1[:, None] - max_shift)
                        & (ind_pos_t[cand] <= r1[:, None]))
@@ -1024,16 +1142,20 @@ class ShardedTyper:
         def winner_info(sp, tier1, causes):
             """Per-read tier-1 rescue words: punt causes in the top
             nibble (bit28 amb, 29 trim, 30 tie, 31 trunc), then
-            (span_l << 2) | (rc << 1) | tier1; plus the claimed catalog
-            indel id (sentinel = none)."""
+            (span_l << 2) | (rc << 1) | tier1; plus the two claimed
+            catalog indel ids (sentinel = none)."""
             info = ((causes << jnp.uint32(28))
                     | (jnp.maximum(sp["W"]["l"], 0).astype(jnp.uint32)
                        << jnp.uint32(2))
                     | (sp["use_r"].astype(jnp.uint32) << jnp.uint32(1))
                     | tier1.astype(jnp.uint32))
-            return [info, sp["W"]["ivar"].astype(jnp.uint32)]
+            return [info, sp["W"]["iva"].astype(jnp.uint32),
+                    sp["W"]["ivb"].astype(jnp.uint32)]
 
-        def assemble_buf(pile_flat, packed, info_words):
+        def assemble_buf_b(packed):
+            """Count-pass output: one uint32 buffer per shard (class
+            rows + weights + first-seen + totals + punt/excl words +
+            counters) plus the full-resolution overflow leaves."""
             (rows_c, uw_c, min_c, totals, punt_words, excl_words,
              counters, fs, is_first, uw, min_idx) = packed
             buf = jnp.concatenate([
@@ -1041,30 +1163,74 @@ class ShardedTyper:
                 uw_c.astype(jnp.uint32),
                 min_c.astype(jnp.uint32),
                 totals.reshape(-1).astype(jnp.uint32),
-                pile_flat.astype(jnp.uint32),
                 punt_words,
                 excl_words,
                 counters,
-            ] + info_words)
+            ])
             return buf, fs, is_first, uw, min_idx
 
-        def classes_single(*args):
+        # ---- production two-pass protocol -------------------------- #
+        # Pass A (spell): placement + hypothesis spelling + the
+        # rep-INdependent flags + the device pileup (pre-punts
+        # excluded).  Fetches only the pileup, the exclusion mask and
+        # the tier-1 winner words; the spelling state stays DEVICE
+        # RESIDENT.  The host then aligns the excluded pairs and merges
+        # their alignments into the pileup — producing the host-full
+        # (final) pileup.  Pass B (count) gates and counts against that
+        # injected final pileup, so every error-correction /
+        # deletion-plausibility decision equals the host-full run's in
+        # a single pass (no re-gate loop, no stale rep sets).
+        def bitpack32(m, n_loc):
+            npw = (n_loc + 31) // 32
+            bw = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+            pad = jnp.pad(m.astype(jnp.uint32), (0, npw * 32 - n_loc))
+            return jnp.sum(pad.reshape(npw, 32) * bw[None, :], axis=1,
+                           dtype=jnp.uint32)
+
+        SP_SCALARS = ("oriented", "use_r", "cand", "tie2", "uniq_diag",
+                      "straight_perfect", "score_w", "n_novel_w",
+                      "n_valid_w")
+        PLANE_KEYS = ("gp", "in_ins", "valid", "var", "match", "l", "r",
+                      "iva", "ivb", "pa", "pb", "dla", "dlb")
+
+        def sp_flatten(sp):
+            return ([sp[k] for k in SP_SCALARS]
+                    + [sp["W"][k] for k in PLANE_KEYS]
+                    + [sp["T"][k] for k in PLANE_KEYS])
+
+        def sp_unflatten(flat):
+            ns = len(SP_SCALARS)
+            npk = len(PLANE_KEYS)
+            sp = dict(zip(SP_SCALARS, flat[:ns]))
+            sp["W"] = dict(zip(PLANE_KEYS, flat[ns:ns + npk]))
+            sp["T"] = dict(zip(PLANE_KEYS, flat[ns + npk:ns + 2 * npk]))
+            return sp
+
+        NSP = len(SP_SCALARS) + 2 * len(PLANE_KEYS)
+        self._NSTATE = {1: NSP + 2, 2: 2 * NSP + 5}
+
+        def spell_single(*args):
             tabs, reads = args[:n_tables], args[n_tables]
-            pile_in = args[n_tables + 1] if len(args) > n_tables + 1 \
-                else None
             sp = mate_spell(tabs, reads)
             n_loc = reads.shape[0]
             passed_u, amb_all, tier1, causes = mate_flags(tabs, sp)
             pre_punt = (~passed_u | amb_all) & (sp["n_valid_w"] > 0)
-            if pile_in is None:
-                pile = jax.lax.psum(
-                    pile_contrib(sp, passed_u & ~pre_punt), axis)
-            else:
-                # re-gate pass: the host-merged (final) pileup is
-                # injected, so every gate decision matches the host-full
-                # run's representative sets (production phase 2)
-                pile = pile_in
-            rep = rep_of(pile)
+            pile = jax.lax.psum(
+                pile_contrib(sp, passed_u & ~pre_punt), axis)
+            abuf = jnp.concatenate(
+                [pile.astype(jnp.uint32), bitpack32(pre_punt, n_loc)]
+                + winner_info(sp, tier1, causes))
+            return ((abuf,) + tuple(sp_flatten(sp))
+                    + (amb_all, pre_punt))
+
+        def count_single_pass(*args):
+            tabs = args[:n_tables]
+            pile_in = args[n_tables]
+            rest = args[n_tables + 1:]
+            sp = sp_unflatten(rest[:NSP])
+            amb_all, pre_punt = rest[NSP], rest[NSP + 1]
+            n_loc = sp["oriented"].shape[0]
+            rep = rep_of(pile_in)
             cnt, cnt_ex, cnt_px, passed, needs_host = mate_counts(
                 tabs, sp, rep, self._with_primary, amb_all)
             w_used = passed & ~needs_host
@@ -1079,15 +1245,12 @@ class ShardedTyper:
                 cnts.append(cnt_ex * w_used[:, None].astype(jnp.int32))
             if NLEV > 2:
                 cnts.append(cnt_px * w_used[:, None].astype(jnp.int32))
-            return assemble_buf(pile, pack_classes(
-                cnts, w_used, needs_host, pre_punt, n_reads_m, n_loc),
-                winner_info(sp, tier1, causes))
+            return assemble_buf_b(pack_classes(
+                cnts, w_used, needs_host, pre_punt, n_reads_m, n_loc))
 
-        def classes_pairs(*args):
+        def spell_pairs(*args):
             tabs, r1, r2 = args[:n_tables], args[n_tables], \
                 args[n_tables + 1]
-            pile_in = args[n_tables + 2] if len(args) > n_tables + 2 \
-                else None
             sp1 = mate_spell(tabs, r1)
             sp2 = mate_spell(tabs, r2)
             n_loc = r1.shape[0]
@@ -1120,18 +1283,31 @@ class ShardedTyper:
             excl = pre_punt | disc_susp
             inc1 = conc & pu1 & ~pre_punt
             inc2 = conc & pu2 & ~pre_punt
-            if pile_in is None:
-                pile = jax.lax.psum(
-                    pile_contrib(sp1, inc1) + pile_contrib(sp2, inc2),
-                    axis)
-            else:
-                pile = pile_in
-            rep = rep_of(pile)
+            pile = jax.lax.psum(
+                pile_contrib(sp1, inc1) + pile_contrib(sp2, inc2), axis)
+            abuf = jnp.concatenate(
+                [pile.astype(jnp.uint32), bitpack32(excl, n_loc)]
+                + winner_info(sp1, t1_1, cz1)
+                + winner_info(sp2, t1_2, cz2))
+            return ((abuf,) + tuple(sp_flatten(sp1))
+                    + tuple(sp_flatten(sp2))
+                    + (amb1, amb2, conc, pre_punt, disc_susp))
+
+        def count_pairs_pass(*args):
+            tabs = args[:n_tables]
+            pile_in = args[n_tables]
+            rest = args[n_tables + 1:]
+            sp1 = sp_unflatten(rest[:NSP])
+            sp2 = sp_unflatten(rest[NSP:2 * NSP])
+            amb1, amb2, conc, pre_punt, disc_susp = rest[2 * NSP:]
+            n_loc = sp1["oriented"].shape[0]
+            rep = rep_of(pile_in)
             c1, ce1, cp1, ok1, nh1 = mate_counts(tabs, sp1, rep,
                                                  self._with_primary, amb1)
             c2, ce2, cp2, ok2, nh2 = mate_counts(tabs, sp2, rep,
                                                  self._with_primary, amb2)
             punt = (conc & (nh1 | nh2)) | disc_susp
+            excl = pre_punt | disc_susp
             used = conc & (ok1 | ok2) & ~punt
             o1 = ok1 & used
             o2 = ok2 & used
@@ -1148,10 +1324,8 @@ class ShardedTyper:
                 cnts.append(cnt_ex)
             if NLEV > 2:
                 cnts.append(cnt_px)
-            return assemble_buf(pile, pack_classes(
-                cnts, used, punt, excl, n_reads_m, n_loc),
-                winner_info(sp1, t1_1, cz1)
-                + winner_info(sp2, t1_2, cz2))
+            return assemble_buf_b(pack_classes(
+                cnts, used, punt, excl, n_reads_m, n_loc))
 
         # -- 6. staged SQUAREM EM over the device-resident class shard -- #
         def em_shard(remove_low, use_len, cnt, w, include, restrict):
@@ -1222,22 +1396,21 @@ class ShardedTyper:
             shard_pairs, mesh, in_specs=specs_t + (P(axis), P(axis)),
             out_specs=outs, check_rep=False))
         cls_outs = (P(axis), P(axis), P(axis), P(axis), P(axis))
-        self._classes_single = jax.jit(shard_map(
-            classes_single, mesh, in_specs=specs_t + (P(axis),),
+        self._spell_single_p = jax.jit(shard_map(
+            spell_single, mesh, in_specs=specs_t + (P(axis),),
+            out_specs=(P(axis),) * (1 + self._NSTATE[1]),
+            check_rep=False))
+        self._spell_pairs_p = jax.jit(shard_map(
+            spell_pairs, mesh, in_specs=specs_t + (P(axis), P(axis)),
+            out_specs=(P(axis),) * (1 + self._NSTATE[2]),
+            check_rep=False))
+        self._count_single_pass = jax.jit(shard_map(
+            count_single_pass, mesh,
+            in_specs=specs_t + (P(),) + (P(axis),) * self._NSTATE[1],
             out_specs=cls_outs, check_rep=False))
-        self._classes_pairs = jax.jit(shard_map(
-            classes_pairs, mesh, in_specs=specs_t + (P(axis), P(axis)),
-            out_specs=cls_outs, check_rep=False))
-        # phase-2 re-gate variants: the final (host-merged) pileup is an
-        # injected replicated input instead of the program's own psum —
-        # compiled lazily, dispatched only when the merged pileup's gate
-        # inputs differ from the device pileup's (production phase 2)
-        self._classes_single_pile = jax.jit(shard_map(
-            classes_single, mesh, in_specs=specs_t + (P(axis), P()),
-            out_specs=cls_outs, check_rep=False))
-        self._classes_pairs_pile = jax.jit(shard_map(
-            classes_pairs, mesh,
-            in_specs=specs_t + (P(axis), P(axis), P()),
+        self._count_pairs_pass = jax.jit(shard_map(
+            count_pairs_pass, mesh,
+            in_specs=specs_t + (P(),) + (P(axis),) * self._NSTATE[2],
             out_specs=cls_outs, check_rep=False))
         self._em_steps = {
             key: jax.jit(shard_map(
@@ -1312,45 +1485,39 @@ class ShardedTyper:
                     + self._NLEV * n_pad * (W32 * 4 + 8))
 
     # ------------------------------------------------------------------ #
-    # production front door: packed classes + pileup + punt (one fetch)
+    # production front door: spell pass -> host pileup merge -> count
+    # pass against the final pileup
     # ------------------------------------------------------------------ #
+    @staticmethod
+    def _unpack_bits(words, n_loc):
+        return ((words[:, None] >> np.arange(32, dtype=np.uint32))
+                & 1).astype(bool).reshape(-1)[:n_loc]
+
     def count_classes(self, r1_codes: np.ndarray, r2_codes=None,
-                      bucket: bool = True, pileup_in=None):
-        """Run the pileup-gated class program and fetch its single
-        buffer.  Returns a dict:
+                      bucket: bool = True, merge_pileup=None):
+        """Run the two-pass production program.  Returns a dict:
           levels: {"full"|"exon"|"primary":
                       (rows uint32 [U, W32], weights int64 [U],
                        totals int64 [A])}
-          pileup: int32 [P, 6]      (the device mpileup, psum-merged)
+          pileup: int32 [P, 6]      (the FINAL pileup every gate
+                                     decision was taken against)
           punt:   bool [n]          (reads/pairs for the host rescue)
           excl:   bool [n]          (reads whose device spelling was
                                      excluded from the device pileup —
-                                     the rescue adds THEIR host
-                                     alignments to the merged pileup)
+                                     only THEIR host alignments belong
+                                     in the merged pileup)
           n_reads, n_pairs: int     (report accounting)
 
-        `pileup_in` (int32 [P, 6]) dispatches the phase-2 re-gate
-        variant: every gate decision is taken against the injected
-        (host-merged, final) pileup instead of the device's own psum.
-        """
+        `merge_pileup(pile_dev, excl, winner) -> [P, 6]` is called
+        between the passes: the caller aligns the excluded pairs
+        host-side and returns the merged (host-full) pileup; the count
+        pass then gates and counts against it, so device-kept reads see
+        exactly the representative sets the host-full run would
+        (no stale-pileup drift, no re-gate loop).  When None, the count
+        pass gates against the device pileup unchanged."""
         n = r1_codes.shape[0]
         p1 = self._pad(r1_codes, bucket)
         self._count_work(p1.shape[0], 1 if r2_codes is None else 2)
-        pin = None
-        if pileup_in is not None:
-            pin = jnp.asarray(np.ascontiguousarray(
-                pileup_in, dtype=np.int32).reshape(-1))
-        if r2_codes is None:
-            out = self._classes_single(*self._tables, jnp.asarray(p1)) \
-                if pin is None else self._classes_single_pile(
-                    *self._tables, jnp.asarray(p1), pin)
-        else:
-            p2 = self._pad(r2_codes, bucket)
-            out = self._classes_pairs(*self._tables, jnp.asarray(p1),
-                                      jnp.asarray(p2)) \
-                if pin is None else self._classes_pairs_pile(
-                    *self._tables, jnp.asarray(p1), jnp.asarray(p2), pin)
-        buf = np.asarray(out[0])
         ndev = self.n_devices
         n_pad = p1.shape[0]
         n_loc = n_pad // ndev
@@ -1358,23 +1525,69 @@ class ShardedTyper:
         NLEV, W32, A = self._NLEV, self._W32, self.A
         cap = min(self._class_cap, NLEV * n_loc)
         npw = (n_loc + 31) // 32
-        BUF = (cap * W32 + 2 * cap + NLEV * A + self.P_bb * 6 + 2 * npw
-               + 4 + 2 * n_mates * n_loc)
-        buf = buf.reshape(ndev, BUF)
 
-        rows_parts, uw_parts, ord_parts = [], [], []
-        punt = np.zeros(n_pad, bool)
+        # -- pass A: spell + device pileup + exclusion mask + winner -- #
+        if r2_codes is None:
+            aout = self._spell_single_p(*self._tables, jnp.asarray(p1))
+        else:
+            p2 = self._pad(r2_codes, bucket)
+            aout = self._spell_pairs_p(*self._tables, jnp.asarray(p1),
+                                       jnp.asarray(p2))
+        state = aout[1:]
+        abuf = np.asarray(aout[0]).reshape(ndev, -1)
+        P6 = self.P_bb * 6
+        pile_dev = abuf[0, :P6].astype(np.int32).reshape(self.P_bb, 6)
         excl = np.zeros(n_pad, bool)
         winfo = [dict(l=np.zeros(n_pad, np.int64),
                       rc=np.zeros(n_pad, bool),
                       tier1=np.zeros(n_pad, bool),
                       causes=np.zeros(n_pad, np.int64),
-                      ivar=np.zeros(n_pad, np.int64))
+                      iva=np.zeros(n_pad, np.int64),
+                      ivb=np.zeros(n_pad, np.int64))
                  for _ in range(n_mates)]
+        for s in range(ndev):
+            b = abuf[s]
+            at = P6
+            excl[s * n_loc:(s + 1) * n_loc] = self._unpack_bits(
+                b[at:at + npw], n_loc)
+            at += npw
+            sl = slice(s * n_loc, (s + 1) * n_loc)
+            for mi in range(n_mates):
+                info = b[at:at + n_loc]
+                at += n_loc
+                iva = b[at:at + n_loc]
+                at += n_loc
+                ivb = b[at:at + n_loc]
+                at += n_loc
+                winfo[mi]["l"][sl] = ((info >> 2)
+                                      & ((1 << 26) - 1)).astype(np.int64)
+                winfo[mi]["causes"][sl] = (info >> 28).astype(np.int64)
+                winfo[mi]["rc"][sl] = ((info >> 1) & 1).astype(bool)
+                winfo[mi]["tier1"][sl] = (info & 1).astype(bool)
+                winfo[mi]["iva"][sl] = iva.astype(np.int64)
+                winfo[mi]["ivb"][sl] = ivb.astype(np.int64)
+        winner = [{k: v[:n] for k, v in w.items()} for w in winfo]
+
+        # -- host merge: the final (host-full) pileup ----------------- #
+        final_pile = pile_dev
+        if merge_pileup is not None:
+            final_pile = merge_pileup(pile_dev, excl[:n], winner)
+        pin = jnp.asarray(np.ascontiguousarray(
+            final_pile, dtype=np.int32).reshape(-1))
+
+        # -- pass B: gate + count + pack against the final pileup ----- #
+        if r2_codes is None:
+            out = self._count_single_pass(*self._tables, pin, *state)
+        else:
+            out = self._count_pairs_pass(*self._tables, pin, *state)
+        BUF = cap * W32 + 2 * cap + NLEV * A + 2 * npw + 4
+        buf = np.asarray(out[0]).reshape(ndev, BUF)
+
+        rows_parts, uw_parts, ord_parts = [], [], []
+        punt = np.zeros(n_pad, bool)
         n_reads = 0
         n_pairs = 0
         totals = None
-        pileup = None
         overflow_fetch = None
         for s in range(ndev):
             b = buf[s]
@@ -1385,37 +1598,15 @@ class ShardedTyper:
             at += 2 * cap
             tt = b[at:at + NLEV * A].astype(np.int64).reshape(NLEV, A)
             at += NLEV * A
-            pile_s = b[at:at + self.P_bb * 6].astype(np.int32)
-            at += self.P_bb * 6
             pw = b[at:at + npw]
             at += npw
-            ew = b[at:at + npw]
-            at += npw
+            at += npw          # excl words (already parsed in pass A)
             n_uniq, nr, npair, _npunt = (int(x) for x in b[at:at + 4])
-            at += 4
-            sl = slice(s * n_loc, (s + 1) * n_loc)
-            for mi in range(n_mates):
-                info = b[at:at + n_loc]
-                at += n_loc
-                iv = b[at:at + n_loc]
-                at += n_loc
-                winfo[mi]["l"][sl] = ((info >> 2)
-                                      & ((1 << 26) - 1)).astype(np.int64)
-                winfo[mi]["causes"][sl] = (info >> 28).astype(np.int64)
-                winfo[mi]["rc"][sl] = ((info >> 1) & 1).astype(bool)
-                winfo[mi]["tier1"][sl] = (info & 1).astype(bool)
-                winfo[mi]["ivar"][sl] = iv.astype(np.int64)
             if s == 0:
                 totals = tt           # psum-replicated
-                pileup = pile_s.reshape(self.P_bb, 6)
             n_reads += nr
             n_pairs += npair
-            bits = ((pw[:, None] >> np.arange(32, dtype=np.uint32))
-                    & 1).astype(bool).reshape(-1)[:n_loc]
-            punt[s * n_loc:(s + 1) * n_loc] = bits
-            ebits = ((ew[:, None] >> np.arange(32, dtype=np.uint32))
-                     & 1).astype(bool).reshape(-1)[:n_loc]
-            excl[s * n_loc:(s + 1) * n_loc] = ebits
+            punt[s * n_loc:(s + 1) * n_loc] = self._unpack_bits(pw, n_loc)
             if n_uniq > cap:
                 # rare overflow: fetch the full sorted rows for this
                 # shard through the exact secondary leaves
@@ -1454,10 +1645,9 @@ class ShardedTyper:
             sel = np.flatnonzero((order_key // n_pad) == li)
             sub = sel[np.argsort(order_key[sel], kind="stable")]
             levels[name] = (rows[sub], uws[sub], totals[li])
-        return dict(levels=levels, pileup=pileup, punt=punt[:n],
+        return dict(levels=levels, pileup=final_pile, punt=punt[:n],
                     excl=excl[:n], n_reads=n_reads, n_pairs=n_pairs,
-                    winner=[{k: v[:n] for k, v in w.items()}
-                            for w in winfo])
+                    winner=winner)
 
     # ------------------------------------------------------------------ #
     def _solve(self, counted):

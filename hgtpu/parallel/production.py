@@ -111,12 +111,14 @@ def _snp_lookup(gene: GeneRef):
     return lk
 
 
-def _reconstruct_aln(gene, rid, mate, seq, l, rc_flag, ivar, snp_lookup):
+def _reconstruct_aln(gene, rid, mate, seq, l, rc_flag, ivar_a, ivar_b,
+                     snp_lookup):
     """Tier-1 rescue: rebuild the host aligner's ReadAln from the device
-    winner (span start, orientation, claimed catalog indel) — valid only
-    when the device certified the winner as the unique best alignment
-    (e2e.mate_flags tier1).  Returns None when the read falls outside
-    the backbone (those pairs realign through tier 2)."""
+    winner (span start, orientation, up to two claimed catalog indels
+    in backbone order) — valid only when the device certified the
+    winner as the unique best alignment (e2e.mate_flags tier1).
+    Returns None when the read falls outside the backbone (those pairs
+    realign through tier 2)."""
     from ..align.types import ReadAln
     from ..align.verify import GeneVerifier
     from ..db.catalog import VT_DELETION
@@ -128,34 +130,42 @@ def _reconstruct_aln(gene, rid, mate, seq, l, rc_flag, ivar, snp_lookup):
     bb = gene.backbone_enc
     P = len(bb)
     n_vars = gene.n_vars
-    claimed = int(ivar) if ivar < n_vars else -1
+    claimed = [int(v) for v in (ivar_a, ivar_b) if v < n_vars]
+    claimed.sort(key=lambda v: int(gene.var_pos[v]))
     nm = 0
     ops = []
-    if claimed < 0:
-        if l < 0 or l + L > P:
-            return None
-        segs = [(0, L, l)]
-    else:
-        vt = int(gene.var_type[claimed])
-        p = int(gene.var_pos[claimed])
-        q = p - l
+    # walk the claimed chain left-to-right: read cursor rp, backbone
+    # cursor bp; each claimed indel closes the preceding match segment
+    segs = []
+    rp, bp = 0, l
+    if l < 0:
+        return None
+    for vi in claimed:
+        vt = int(gene.var_type[vi])
+        p = int(gene.var_pos[vi])
+        q = rp + (p - bp)
         if vt == VT_DELETION:
-            dlen = int(gene.var_len[claimed])
-            if l < 0 or l + L + dlen > P or not (0 < q < L):
+            dlen = int(gene.var_len[vi])
+            if not (rp < q < L):
                 return None
-            segs = [(0, q, l), (q, L - q, p + dlen)]
-            ops.append(("deletion", p, dlen, claimed,
-                        gene.var_data[claimed]))
+            segs.append((rp, q - rp, bp))
+            ops.append(("deletion", p, dlen, vi, gene.var_data[vi]))
+            rp, bp = q, p + dlen
         else:
-            iseq = gene.var_data[claimed]
+            iseq = gene.var_data[vi]
             il = len(iseq)
-            if l < 0 or l + L - il > P or not (0 < q < L - il):
+            if not (rp < q < L - il):
                 return None
-            segs = [(0, q, l), (q + il, L - q - il, p)]
-            ops.append(("insertion", p, il, claimed, iseq))
+            segs.append((rp, q - rp, bp))
+            ops.append(("insertion", p, il, vi, iseq))
             for a, b2 in zip(oriented[q:q + il], iseq):
                 if a != b2:
                     nm += 1
+            rp, bp = q + il, p
+    segs.append((rp, L - rp, bp))
+    if bp + (L - rp) > P:
+        return None
+    has_indel = bool(claimed)
     for rs, ln, bs in segs:
         if ln <= 0:
             continue
@@ -172,7 +182,7 @@ def _reconstruct_aln(gene, rid, mate, seq, l, rc_flag, ivar, snp_lookup):
     return ReadAln(read_id=rid, mate=mate, pos=int(l), right=int(right),
                    cmp=cmp_list, nm=int(nm), is_rc=bool(rc_flag),
                    seq=oriented, codes=codes, catalog=(nm == 0),
-                   has_indel=(claimed >= 0))
+                   has_indel=has_indel)
 
 
 def _align_punts(gene, opts, reads_1, reads_2, idx, winner, aligner=None):
@@ -198,7 +208,8 @@ def _align_punts(gene, opts, reads_1, reads_2, idx, winner, aligner=None):
                 a = _reconstruct_aln(gene, nm_i, mate_tag[mi], sq,
                                      int(winner[mi]["l"][i]),
                                      bool(winner[mi]["rc"][i]),
-                                     int(winner[mi]["ivar"][i]), snp_lk)
+                                     int(winner[mi]["iva"][i]),
+                                     int(winner[mi]["ivb"][i]), snp_lk)
             if a is None:
                 need_align[mi].append(i)
             else:
@@ -252,27 +263,6 @@ def _merge_pileup(gene, opts, pileup_counts, by_pair, excl_idx):
     mpileup.add_alignments_bulk(bulk)
     mpileup.finalize()
     return mpileup
-
-
-def _gate_inputs_differ(dev_counts, merged_counts):
-    """True when the merged pileup would gate ANY decision differently
-    from the device pileup: the representative-base bits (cov >= 20,
-    >= 20% or >= 7 — typing_common.py:1124-1134) or the
-    deletion-plausibility verdict (del*6 >= nt, typing_core.py:1064-1077)
-    differ at any position.  When False, phase-1 device gating already
-    equals host-full gating and no re-dispatch is needed."""
-    def rep_bits(c):
-        total = c.sum(1)
-        acgt = c[:, :4]
-        return ((total >= 20)[:, None]
-                & ((acgt * 5 >= total[:, None]) | (acgt >= 7)))
-
-    def delp(c):
-        return c[:, 5] * 6 >= c[:, :5].sum(1)
-
-    return (not np.array_equal(rep_bits(dev_counts),
-                               rep_bits(merged_counts))
-            or not np.array_equal(delp(dev_counts), delp(merged_counts)))
 
 
 def _count_rescued(gene, opts, reads_1, by_pair, idx, mpileup, stats):
@@ -450,35 +440,40 @@ def type_reads_device(gene: GeneRef, reads_1, reads_2=None,
     with TRACE.stage("device.encode"):
         c1 = st.encode(seqs_1)
         c2 = st.encode(seqs_2) if reads_2 is not None else None
-    with TRACE.stage("device.classes"):
-        out = st.count_classes(c1, c2)
 
-    # phase 1.5: align the punts and build the FINAL pileup (device
-    # counts + host alignments of the excluded pairs).  If its gate
-    # inputs differ from the device pileup's — a punted read's bases
-    # crossed a representative-base or deletion-plausibility threshold —
-    # the device-kept reads were gated against stale rep sets: re-gate
-    # them exactly by re-dispatching with the merged pileup injected
-    # (phase 2), so every decision matches the host-full run.
-    with TRACE.stage("device.rescue"):
-        punt_idx = np.flatnonzero(out["punt"])
-        by_pair = _align_punts(gene, opts, reads_1, reads_2, punt_idx,
-                               out["winner"], aligner)
+    # Two-pass protocol (e2e.count_classes): the spell pass returns the
+    # device pileup + the exclusion mask; this callback aligns exactly
+    # the excluded pairs host-side and merges their alignments into the
+    # pileup (= the host-full pileup); the count pass then gates and
+    # counts EVERY read against that final pileup — device-kept reads
+    # and rescued reads see identical representative sets.
+    holder = {}
+
+    def _merge_cb(pile_dev, excl_mask, winner):
+        idx = np.flatnonzero(excl_mask)
+        bp = _align_punts(gene, opts, reads_1, reads_2, idx, winner,
+                          aligner)
         with TRACE.stage("rescue.pileup"):
-            mpileup = _merge_pileup(gene, opts, out["pileup"], by_pair,
-                                    np.flatnonzero(out["excl"]))
-        if len(punt_idx) and _gate_inputs_differ(out["pileup"],
-                                                 mpileup.counts):
-            TRACE.count("rescue.regate", 1)
-            with TRACE.stage("device.regate"):
-                out = st.count_classes(c1, c2, pileup_in=mpileup.counts)
-            new_idx = np.flatnonzero(out["punt"])
-            new_idx = new_idx[~np.isin(new_idx, punt_idx)]
-            if len(new_idx):
-                by_pair.update(_align_punts(gene, opts, reads_1, reads_2,
-                                            new_idx, out["winner"],
-                                            aligner))
-            punt_idx = np.flatnonzero(out["punt"])
+            mp = _merge_pileup(gene, opts, pile_dev, bp, idx)
+        holder["by_pair"] = bp
+        holder["mpileup"] = mp
+        return mp.counts
+
+    with TRACE.stage("device.classes"):
+        out = st.count_classes(c1, c2, merge_pileup=_merge_cb)
+    by_pair = holder["by_pair"]
+    mpileup = holder["mpileup"]
+
+    with TRACE.stage("device.rescue"):
+        # rep-gated punts (punt \ excl) were counted against the final
+        # pileup on device and STILL failed — align them now; their
+        # alignments never enter the pileup (their device contribution
+        # is already in it)
+        punt_idx = np.flatnonzero(out["punt"])
+        extra = punt_idx[~out["excl"][punt_idx]]
+        if len(extra):
+            by_pair.update(_align_punts(gene, opts, reads_1, reads_2,
+                                        extra, out["winner"], aligner))
 
     with TRACE.stage("device.merge"):
         full_stats = StatAccumulator(gene.allele_names)
