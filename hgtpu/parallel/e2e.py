@@ -555,7 +555,12 @@ class ShardedTyper:
             real_b = cb < D
             ok_a = ((s_a >= 0) & (b_a >= 1) & (b_a + il_a <= rl - 1)
                     & (b_a <= rl - 1) & ((dl_a > 0) | (il_a > 0)))
-            ok_b = ((b_b >= b_a + il_a + 1) & (b_b + il_b <= rl - 1)
+            # b_b == b_a + il_a (no intervening base) is a COMBINED
+            # chain — adjacent catalog deletions with gap == dl_a, the
+            # reference's combinable-indel class; the unified map
+            # stacks both shifts at the shared break exactly as the
+            # host DFS chains the ops
+            ok_b = ((b_b >= b_a + il_a) & (b_b + il_b <= rl - 1)
                     & (b_b <= rl - 1) & ((dl_b > 0) | (il_b > 0)))
             ok_h = (real_a & ok_a
                     & jnp.where(pair_col, real_b & ok_b, ~real_b))
@@ -791,24 +796,71 @@ class ShardedTyper:
                        & (ind_pos_t[cand] >= Wh["l"][:, None] - max_shift)
                        & (ind_pos_t[cand] <= Wh["r"][:, None]))
             # ambiguous when (A) residual novels remain next to an
-            # unclaimed in-span candidate, or (B) the winner claims an
-            # indel and an unclaimed candidate sits within EDGE bp of a
-            # span edge: a further indel there can combine into an
-            # equal-cost multi-indel spelling whose short tail matches
-            # by chance (zero novels! 1M4D7M1D92M reads surfaced this),
-            # which only the host DFS can spell.  Deep-interior
-            # unclaimed candidates with zero novels are safe: claiming
-            # them would shift a long segment that cannot fully match.
-            claims_w = ((Wh["iva"] < sentinel) | (Wh["ivb"] < sentinel)
-                        | (tie2 & ((Th["iva"] < sentinel)
-                                   | (Th["ivb"] < sentinel))))
-            EDGE = max_shift + 32
-            near_edge = ((ind_pos_t[cand] <= Wh["l"][:, None] + EDGE)
-                         | (ind_pos_t[cand] >= Wh["r"][:, None] - EDGE))
+            # unclaimed in-span candidate, or (B) the winner claims
+            # indels and an unclaimed candidate could combine into an
+            # equal-cost multi-indel spelling the hypothesis set CANNOT
+            # represent — combos it CAN represent need no punt: an
+            # equal-cost pair surfaces as a top-2 tie (tie_div punts),
+            # a better pair wins outright.  Unrepresentable combos:
+            #   * the candidate's pair-break would fall within the
+            #     validity margin of a span edge (no anchored base on
+            #     the far side — the zero-evidence lucky-tail class,
+            #     1M4D7M1D92M reads; margin = frame shift + spelled
+            #     insertion length + 2),
+            #   * the candidate sits too close to an already-claimed
+            #     indel (pair breaks must be >= 1 base apart),
+            #   * the winner already claims TWO indels (3-chains are
+            #     outside the hypothesis space; keep the wide window).
+            (ind_len_t, ind_ins_t) = (tabs[5], tabs[6])
+            claims2 = ((Wh["ivb"] < sentinel)
+                       | (tie2 & (Th["ivb"] < sentinel)))
+            claims1 = (((Wh["iva"] < sentinel)
+                        | (tie2 & (Th["iva"] < sentinel)))
+                       & ~claims2)
+            cpos = ind_pos_t[cand]
+            dl_c = jnp.where(ind_ins_t[cand] == 0, ind_len_t[cand], 0)
+            il_c = jnp.where(ind_ins_t[cand] == 1, ind_len_t[cand], 0)
+            # exact representability of the combined spelling (claimed
+            # chain + unclaimed candidate Y), from the pair-validity
+            # algebra: the break of Y in the winner frame is
+            # b_Y = pos_Y - l - Σ_{claimed X before Y} (dl_X - il_X);
+            # Y is spellable iff b_Y keeps >= 1 anchored base to each
+            # read edge (plus its insertion) and >= 1 base from every
+            # claimed break (gap p_Y - p_X >= dl_X + 1 after,
+            # p_X - p_Y >= dl_Y + 1 before).  +-2 edge slack / +1 gap
+            # slack absorb the l ~ s_a approximation at clipped spans.
+            sh_c = (dl_c - il_c) * claimed
+            before = pos_c_lt = cpos[:, :, None] < cpos[:, None, :]
+            shift_before = jnp.sum(sh_c[:, :, None] * before, 1)
+            rl_f = jnp.sum(sp["oriented"] < 4, 1)[:, None]
+            b_est = cpos - Wh["l"][:, None] - shift_before
+            unrep = (b_est <= 2) | (b_est >= rl_f - 2 - il_c)
+            # a chain (X, Y) is representable whenever the breaks keep
+            # order: p_Y - p_X >= dl_X (zero-gap combined chains
+            # included) — only geometrically OVERLAPPING combos are
+            # unrepresentable
+            for h in (Wh, Th):
+                gate = (tie2 if h is Th else
+                        jnp.ones_like(tie2))[:, None]
+                for pk, dk in (("pa", "dla"), ("pb", "dlb")):
+                    gap_a = cpos - h[pk][:, None]
+                    unrep = unrep | (gate & (gap_a >= 1)
+                                     & (gap_a <= h[dk][:, None] - 1))
+                    gap_b = h[pk][:, None] - cpos
+                    unrep = unrep | (gate & (gap_b >= 1)
+                                     & (gap_b <= dl_c - 1))
+            # 3-chains are outside the hypothesis space: a winner that
+            # already claims TWO indels keeps the wide combinability
+            # window for any further unclaimed candidate
+            EDGE_L = max_shift + 32
+            near_edge_l = ((cpos <= Wh["l"][:, None] + EDGE_L)
+                           | (cpos >= Wh["r"][:, None] - EDGE_L))
             amb_u = ((jnp.any(in_span & ~claimed, 1)
                       & (sp["n_novel_w"] > 0))
-                     | (claims_w
-                        & jnp.any(in_span & ~claimed & near_edge, 1)))
+                     | (claims1
+                        & jnp.any(in_span & ~claimed & unrep, 1))
+                     | (claims2
+                        & jnp.any(in_span & ~claimed & near_edge_l, 1)))
 
             def htv(h):
                 cat = jnp.concatenate(
@@ -1211,7 +1263,7 @@ class ShardedTyper:
 
         def spell_single(*args):
             tabs, reads = args[:n_tables], args[n_tables]
-            sp = mate_spell(tabs, reads)
+            sp = mate_spell(tabs, reads, pair_combos=PAIR_COMBOS)
             n_loc = reads.shape[0]
             passed_u, amb_all, tier1, causes = mate_flags(tabs, sp)
             pre_punt = (~passed_u | amb_all) & (sp["n_valid_w"] > 0)
@@ -1251,8 +1303,8 @@ class ShardedTyper:
         def spell_pairs(*args):
             tabs, r1, r2 = args[:n_tables], args[n_tables], \
                 args[n_tables + 1]
-            sp1 = mate_spell(tabs, r1)
-            sp2 = mate_spell(tabs, r2)
+            sp1 = mate_spell(tabs, r1, pair_combos=PAIR_COMBOS)
+            sp2 = mate_spell(tabs, r2, pair_combos=PAIR_COMBOS)
             n_loc = r1.shape[0]
             # -- 4. concordance before the pileup: the host pileup sees
             # concordant pairs only (type_gene pass 1 over conc_alns) -- #
