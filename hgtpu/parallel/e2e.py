@@ -376,9 +376,16 @@ class ShardedTyper:
 
         def place_mates(tabs, reads):
             """Stage 1: MXU placement correlation, both orientations.
-            Returns (s0, use_r, best, second) — the argmax diagonal per
-            read plus the uniqueness evidence the tier-1 rescue needs."""
+            Returns (s0, use_r, uniq_diag, cand_wide) — the argmax
+            diagonal per read, the placement-uniqueness bit the tier-1
+            rescue needs, and the candidate count in the WIDE window
+            [s0 - 2*max_shift, s0 + W + max_shift] that assigns the
+            read's spelling tier (the wide window contains the slot
+            window, so a low tier implies the dropped hypotheses were
+            invalid in the full program — tiered == full per read)."""
             pwm_ext = tabs[0]
+            ind_pos_t = tabs[4]
+            W = reads.shape[1]
             rc = jnp.where(reads[:, ::-1] < 4, 3 - reads[:, ::-1],
                            jnp.int8(4))
             s_f = correlate_scores(pwm_ext, reads)
@@ -396,7 +403,10 @@ class ShardedTyper:
             best = jnp.maximum(best_f, best_r)
             second = jnp.maximum(jnp.where(use_r, top_r[:, 1], top_f[:, 1]),
                                  jnp.where(use_r, best_f, best_r))
-            return s0, use_r, best, second
+            lo = jnp.searchsorted(ind_pos_t[:D], s0 - 2 * max_shift)
+            hi = jnp.searchsorted(ind_pos_t[:D], s0 + W + max_shift,
+                                  side="right")
+            return s0, use_r, second < best, hi - lo
 
         def mate_spell(tabs, reads, placed=None, pair_combos=(),
                        n_single=max_indel_cand):
@@ -424,12 +434,12 @@ class ShardedTyper:
             n, W = reads.shape
             Lbb = bb_ext.shape[0]
             if placed is None:
-                placed = place_mates(tabs, reads)
-            s0, use_r, best, second = placed
+                s0, use_r, uniq_diag, _cw = place_mates(tabs, reads)
+            else:
+                s0, use_r, uniq_diag = placed
             rc = jnp.where(reads[:, ::-1] < 4, 3 - reads[:, ::-1],
                            jnp.int8(4))
             oriented = jnp.where(use_r[:, None], rc, reads)
-            uniq_diag = second < best
 
             # -- 2. spelling hypotheses --------------------------------- #
             # straight-diagonal pre-scan for the perfect-read rule: a
@@ -482,6 +492,13 @@ class ShardedTyper:
                     cb_cols.append(cand[:, v:v + 1])
                     anc_codes.append(anc)
                     is_pair.append(True)
+            if len(ca_cols) == 1:
+                # keep H >= 2 so top_k(score, 2) is well-formed: one
+                # dud column (invalid, score -1, never ties)
+                ca_cols.append(sent_col)
+                cb_cols.append(sent_col)
+                anc_codes.append(0)
+                is_pair.append(True)
             ca = jnp.concatenate(ca_cols, 1)                     # [n, H]
             cb = jnp.concatenate(cb_cols, 1)
             anc = jnp.asarray(np.array(anc_codes, np.int32))[None, :]
@@ -1261,10 +1278,23 @@ class ShardedTyper:
         NSP = len(SP_SCALARS) + 2 * len(PLANE_KEYS)
         self._NSTATE = {1: NSP + 2, 2: 2 * NSP + 5}
 
-        def spell_single(*args):
+        def place_single(*args):
             tabs, reads = args[:n_tables], args[n_tables]
-            sp = mate_spell(tabs, reads, pair_combos=PAIR_COMBOS)
-            n_loc = reads.shape[0]
+            s0, use_r, uniq, cw = place_mates(tabs, reads)
+            return jnp.stack([s0, use_r.astype(jnp.int32),
+                              uniq.astype(jnp.int32), cw])
+
+        def place_pairs(*args):
+            tabs, r1, r2 = args[:n_tables], args[n_tables], \
+                args[n_tables + 1]
+            rows = []
+            for r in (r1, r2):
+                s0, use_r, uniq, cw = place_mates(tabs, r)
+                rows += [s0, use_r.astype(jnp.int32),
+                         uniq.astype(jnp.int32), cw]
+            return jnp.stack(rows)
+
+        def spell_single_tail(tabs, sp, n_loc):
             passed_u, amb_all, tier1, causes = mate_flags(tabs, sp)
             pre_punt = (~passed_u | amb_all) & (sp["n_valid_w"] > 0)
             pile = jax.lax.psum(
@@ -1274,6 +1304,17 @@ class ShardedTyper:
                 + winner_info(sp, tier1, causes))
             return ((abuf,) + tuple(sp_flatten(sp))
                     + (amb_all, pre_punt))
+
+        def make_spell_single(ns, prs):
+            def f(*args):
+                tabs = args[:n_tables]
+                reads, s0, use_r, uniq = args[n_tables:n_tables + 4]
+                sp = mate_spell(
+                    tabs, reads,
+                    placed=(s0, use_r.astype(bool), uniq.astype(bool)),
+                    pair_combos=prs, n_single=ns)
+                return spell_single_tail(tabs, sp, reads.shape[0])
+            return f
 
         def count_single_pass(*args):
             tabs = args[:n_tables]
@@ -1300,12 +1341,7 @@ class ShardedTyper:
             return assemble_buf_b(pack_classes(
                 cnts, w_used, needs_host, pre_punt, n_reads_m, n_loc))
 
-        def spell_pairs(*args):
-            tabs, r1, r2 = args[:n_tables], args[n_tables], \
-                args[n_tables + 1]
-            sp1 = mate_spell(tabs, r1, pair_combos=PAIR_COMBOS)
-            sp2 = mate_spell(tabs, r2, pair_combos=PAIR_COMBOS)
-            n_loc = r1.shape[0]
+        def spell_pairs_tail(tabs, sp1, sp2, n_loc):
             # -- 4. concordance before the pileup: the host pileup sees
             # concordant pairs only (type_gene pass 1 over conc_alns) -- #
             l1, rr1 = sp1["W"]["l"], sp1["W"]["r"]
@@ -1344,6 +1380,24 @@ class ShardedTyper:
             return ((abuf,) + tuple(sp_flatten(sp1))
                     + tuple(sp_flatten(sp2))
                     + (amb1, amb2, conc, pre_punt, disc_susp))
+
+        def make_spell_pairs(ns, prs):
+            def f(*args):
+                tabs = args[:n_tables]
+                r1, r2 = args[n_tables], args[n_tables + 1]
+                pl = args[n_tables + 2:n_tables + 8]
+                sp1 = mate_spell(
+                    tabs, r1,
+                    placed=(pl[0], pl[1].astype(bool),
+                            pl[2].astype(bool)),
+                    pair_combos=prs, n_single=ns)
+                sp2 = mate_spell(
+                    tabs, r2,
+                    placed=(pl[3], pl[4].astype(bool),
+                            pl[5].astype(bool)),
+                    pair_combos=prs, n_single=ns)
+                return spell_pairs_tail(tabs, sp1, sp2, r1.shape[0])
+            return f
 
         def count_pairs_pass(*args):
             tabs = args[:n_tables]
@@ -1448,14 +1502,31 @@ class ShardedTyper:
             shard_pairs, mesh, in_specs=specs_t + (P(axis), P(axis)),
             out_specs=outs, check_rep=False))
         cls_outs = (P(axis), P(axis), P(axis), P(axis), P(axis))
-        self._spell_single_p = jax.jit(shard_map(
-            spell_single, mesh, in_specs=specs_t + (P(axis),),
+        # spelling tiers: reads are partitioned by their pair's WIDE
+        # candidate count (place pass) so the hypothesis budget matches
+        # the local indel density — H=2 far from any indel (the common
+        # case on small genes), H=3 near one, the full single+pair set
+        # near clusters.  The wide window contains the slot window, so
+        # a low tier drops only hypotheses the full program would have
+        # scored invalid: tiered == full, read for read.
+        self._tier_cfg = ((0, ()), (1, ()),
+                          (max_indel_cand, PAIR_COMBOS))
+        self._place_single_p = jax.jit(shard_map(
+            place_single, mesh, in_specs=specs_t + (P(axis),),
+            out_specs=P(None, axis), check_rep=False))
+        self._place_pairs_p = jax.jit(shard_map(
+            place_pairs, mesh, in_specs=specs_t + (P(axis), P(axis)),
+            out_specs=P(None, axis), check_rep=False))
+        self._spell_single_t = [jax.jit(shard_map(
+            make_spell_single(ns, prs), mesh,
+            in_specs=specs_t + (P(axis),) * 4,
             out_specs=(P(axis),) * (1 + self._NSTATE[1]),
-            check_rep=False))
-        self._spell_pairs_p = jax.jit(shard_map(
-            spell_pairs, mesh, in_specs=specs_t + (P(axis), P(axis)),
+            check_rep=False)) for ns, prs in self._tier_cfg]
+        self._spell_pairs_t = [jax.jit(shard_map(
+            make_spell_pairs(ns, prs), mesh,
+            in_specs=specs_t + (P(axis),) * 8,
             out_specs=(P(axis),) * (1 + self._NSTATE[2]),
-            check_rep=False))
+            check_rep=False)) for ns, prs in self._tier_cfg]
         self._count_single_pass = jax.jit(shard_map(
             count_single_pass, mesh,
             in_specs=specs_t + (P(),) + (P(axis),) * self._NSTATE[1],
@@ -1568,123 +1639,174 @@ class ShardedTyper:
         (no stale-pileup drift, no re-gate loop).  When None, the count
         pass gates against the device pileup unchanged."""
         n = r1_codes.shape[0]
-        p1 = self._pad(r1_codes, bucket)
-        self._count_work(p1.shape[0], 1 if r2_codes is None else 2)
         ndev = self.n_devices
-        n_pad = p1.shape[0]
-        n_loc = n_pad // ndev
         n_mates = 1 if r2_codes is None else 2
         NLEV, W32, A = self._NLEV, self._W32, self.A
-        cap = min(self._class_cap, NLEV * n_loc)
-        npw = (n_loc + 31) // 32
-
-        # -- pass A: spell + device pileup + exclusion mask + winner -- #
-        if r2_codes is None:
-            aout = self._spell_single_p(*self._tables, jnp.asarray(p1))
-        else:
-            p2 = self._pad(r2_codes, bucket)
-            aout = self._spell_pairs_p(*self._tables, jnp.asarray(p1),
-                                       jnp.asarray(p2))
-        state = aout[1:]
-        abuf = np.asarray(aout[0]).reshape(ndev, -1)
         P6 = self.P_bb * 6
-        pile_dev = abuf[0, :P6].astype(np.int32).reshape(self.P_bb, 6)
-        excl = np.zeros(n_pad, bool)
-        winfo = [dict(l=np.zeros(n_pad, np.int64),
-                      rc=np.zeros(n_pad, bool),
-                      tier1=np.zeros(n_pad, bool),
-                      causes=np.zeros(n_pad, np.int64),
-                      iva=np.zeros(n_pad, np.int64),
-                      ivb=np.zeros(n_pad, np.int64))
-                 for _ in range(n_mates)]
-        for s in range(ndev):
-            b = abuf[s]
-            at = P6
-            excl[s * n_loc:(s + 1) * n_loc] = self._unpack_bits(
-                b[at:at + npw], n_loc)
-            at += npw
-            sl = slice(s * n_loc, (s + 1) * n_loc)
+
+        # -- place pass over the full batch: tier assignment ---------- #
+        p1f = self._pad(r1_codes, bucket)
+        self._count_work(p1f.shape[0], n_mates)
+        if n_mates == 1:
+            pl = np.asarray(self._place_single_p(
+                *self._tables, jnp.asarray(p1f)))
+        else:
+            p2f = self._pad(r2_codes, bucket)
+            pl = np.asarray(self._place_pairs_p(
+                *self._tables, jnp.asarray(p1f), jnp.asarray(p2f)))
+        pl = pl[:, :n]
+        tier = np.clip(pl[3], 0, 2)
+        if n_mates == 2:
+            tier = np.maximum(tier, np.clip(pl[7], 0, 2))
+        idx_t = [np.flatnonzero(tier == t) for t in range(3)]
+
+        # -- per-tier pass A: all dispatched, then fetched ------------ #
+        tinfo = []
+        for t, idx in enumerate(idx_t):
+            if len(idx) == 0:
+                continue
+            c1t = self._pad(r1_codes[idx], bucket)
+            n_pad_t = c1t.shape[0]
+
+            def padi(row, n_pad_t=n_pad_t, idx=idx):
+                out = np.zeros(n_pad_t, np.int32)
+                out[:len(idx)] = row[idx]
+                return jnp.asarray(out)
+
+            if n_mates == 1:
+                aout = self._spell_single_t[t](
+                    *self._tables, jnp.asarray(c1t),
+                    padi(pl[0]), padi(pl[1]), padi(pl[2]))
+            else:
+                c2t = self._pad(r2_codes[idx], bucket)
+                aout = self._spell_pairs_t[t](
+                    *self._tables, jnp.asarray(c1t), jnp.asarray(c2t),
+                    padi(pl[0]), padi(pl[1]), padi(pl[2]),
+                    padi(pl[4]), padi(pl[5]), padi(pl[6]))
+            tinfo.append((t, idx, n_pad_t, aout))
+
+        pile_dev = np.zeros((self.P_bb, 6), np.int64)
+        excl = np.zeros(n, bool)
+        winner = [dict(l=np.zeros(n, np.int64),
+                       rc=np.zeros(n, bool),
+                       tier1=np.zeros(n, bool),
+                       causes=np.zeros(n, np.int64),
+                       iva=np.zeros(n, np.int64),
+                       ivb=np.zeros(n, np.int64))
+                  for _ in range(n_mates)]
+        for t, idx, n_pad_t, aout in tinfo:
+            abuf = np.asarray(aout[0]).reshape(ndev, -1)
+            n_loc_t = n_pad_t // ndev
+            npw_t = (n_loc_t + 31) // 32
+            pile_dev += abuf[0, :P6].astype(np.int64).reshape(
+                self.P_bb, 6)
+            excl_t = np.zeros(n_pad_t, bool)
+            wt = [dict() for _ in range(n_mates)]
             for mi in range(n_mates):
-                info = b[at:at + n_loc]
-                at += n_loc
-                iva = b[at:at + n_loc]
-                at += n_loc
-                ivb = b[at:at + n_loc]
-                at += n_loc
-                winfo[mi]["l"][sl] = ((info >> 2)
-                                      & ((1 << 26) - 1)).astype(np.int64)
-                winfo[mi]["causes"][sl] = (info >> 28).astype(np.int64)
-                winfo[mi]["rc"][sl] = ((info >> 1) & 1).astype(bool)
-                winfo[mi]["tier1"][sl] = (info & 1).astype(bool)
-                winfo[mi]["iva"][sl] = iva.astype(np.int64)
-                winfo[mi]["ivb"][sl] = ivb.astype(np.int64)
-        winner = [{k: v[:n] for k, v in w.items()} for w in winfo]
+                for k in ("info", "iva", "ivb"):
+                    wt[mi][k] = np.zeros(n_pad_t, np.uint32)
+            for s in range(ndev):
+                b = abuf[s]
+                at = P6
+                sl = slice(s * n_loc_t, (s + 1) * n_loc_t)
+                excl_t[sl] = self._unpack_bits(b[at:at + npw_t], n_loc_t)
+                at += npw_t
+                for mi in range(n_mates):
+                    for k in ("info", "iva", "ivb"):
+                        wt[mi][k][sl] = b[at:at + n_loc_t]
+                        at += n_loc_t
+            m = len(idx)
+            excl[idx] = excl_t[:m]
+            for mi in range(n_mates):
+                info = wt[mi]["info"][:m]
+                winner[mi]["l"][idx] = ((info >> 2)
+                                        & ((1 << 26) - 1)).astype(np.int64)
+                winner[mi]["causes"][idx] = (info >> 28).astype(np.int64)
+                winner[mi]["rc"][idx] = ((info >> 1) & 1).astype(bool)
+                winner[mi]["tier1"][idx] = (info & 1).astype(bool)
+                winner[mi]["iva"][idx] = wt[mi]["iva"][:m].astype(np.int64)
+                winner[mi]["ivb"][idx] = wt[mi]["ivb"][:m].astype(np.int64)
+        pile_dev = pile_dev.astype(np.int32)
 
         # -- host merge: the final (host-full) pileup ----------------- #
         final_pile = pile_dev
         if merge_pileup is not None:
-            final_pile = merge_pileup(pile_dev, excl[:n], winner)
+            final_pile = merge_pileup(pile_dev, excl, winner)
         pin = jnp.asarray(np.ascontiguousarray(
             final_pile, dtype=np.int32).reshape(-1))
 
-        # -- pass B: gate + count + pack against the final pileup ----- #
-        if r2_codes is None:
-            out = self._count_single_pass(*self._tables, pin, *state)
-        else:
-            out = self._count_pairs_pass(*self._tables, pin, *state)
-        BUF = cap * W32 + 2 * cap + NLEV * A + 2 * npw + 4
-        buf = np.asarray(out[0]).reshape(ndev, BUF)
+        # -- per-tier pass B: gate + count + pack vs the final pileup - #
+        bouts = []
+        for t, idx, n_pad_t, aout in tinfo:
+            state = aout[1:]
+            if n_mates == 1:
+                bouts.append(self._count_single_pass(
+                    *self._tables, pin, *state))
+            else:
+                bouts.append(self._count_pairs_pass(
+                    *self._tables, pin, *state))
 
         rows_parts, uw_parts, ord_parts = [], [], []
-        punt = np.zeros(n_pad, bool)
+        punt = np.zeros(n, bool)
         n_reads = 0
         n_pairs = 0
-        totals = None
-        overflow_fetch = None
-        for s in range(ndev):
-            b = buf[s]
-            at = cap * W32
-            rows_s = b[:at].reshape(cap, W32)
-            uw_s = b[at:at + cap].astype(np.int64)
-            min_s = b[at + cap:at + 2 * cap].astype(np.int64)
-            at += 2 * cap
-            tt = b[at:at + NLEV * A].astype(np.int64).reshape(NLEV, A)
-            at += NLEV * A
-            pw = b[at:at + npw]
-            at += npw
-            at += npw          # excl words (already parsed in pass A)
-            n_uniq, nr, npair, _npunt = (int(x) for x in b[at:at + 4])
-            if s == 0:
-                totals = tt           # psum-replicated
-            n_reads += nr
-            n_pairs += npair
-            punt[s * n_loc:(s + 1) * n_loc] = self._unpack_bits(pw, n_loc)
-            if n_uniq > cap:
-                # rare overflow: fetch the full sorted rows for this
-                # shard through the exact secondary leaves
-                if overflow_fetch is None:
-                    overflow_fetch = [np.asarray(x) for x in out[1:5]]
-                fs_all, first_all, uw_all, min_all = overflow_fetch
-                blk = NLEV * n_loc
-                fs_s = fs_all[s * blk:(s + 1) * blk]
-                first_s = first_all[s * blk:(s + 1) * blk]
-                uwf = uw_all[s * blk:(s + 1) * blk]
-                minf = min_all[s * blk:(s + 1) * blk]
-                fr = np.flatnonzero(first_s)
-                rows_s = fs_s[fr]
-                uw_s = uwf[:len(fr)].astype(np.int64)
-                min_s = minf[:len(fr)].astype(np.int64)
-                n_uniq = len(fr)
-            rows_s = rows_s[:n_uniq]
-            uw_s = uw_s[:n_uniq]
-            min_s = min_s[:n_uniq]
-            keep = uw_s > 0
-            rows_parts.append(rows_s[keep])
-            uw_parts.append(uw_s[keep])
-            # global first-seen order: (level, shard, local row)
-            m = min_s[keep]
-            ord_parts.append((m // n_loc) * n_pad + s * n_loc
-                             + (m % n_loc))
+        totals = np.zeros((NLEV, A), np.int64)
+        for (t, idx, n_pad_t, _aout), out in zip(tinfo, bouts):
+            n_loc_t = n_pad_t // ndev
+            npw_t = (n_loc_t + 31) // 32
+            cap = min(self._class_cap, NLEV * n_loc_t)
+            BUF = cap * W32 + 2 * cap + NLEV * A + 2 * npw_t + 4
+            buf = np.asarray(out[0]).reshape(ndev, BUF)
+            orig_map = np.full(n_pad_t, n, np.int64)
+            orig_map[:len(idx)] = idx
+            punt_t = np.zeros(n_pad_t, bool)
+            overflow_fetch = None
+            for s in range(ndev):
+                b = buf[s]
+                at = cap * W32
+                rows_s = b[:at].reshape(cap, W32)
+                uw_s = b[at:at + cap].astype(np.int64)
+                min_s = b[at + cap:at + 2 * cap].astype(np.int64)
+                at += 2 * cap
+                tt = b[at:at + NLEV * A].astype(np.int64).reshape(NLEV, A)
+                at += NLEV * A
+                pw = b[at:at + npw_t]
+                at += 2 * npw_t     # punt words + excl words
+                n_uniq, nr, npair, _np_ = (int(x) for x in b[at:at + 4])
+                if s == 0:
+                    totals += tt          # psum-replicated per tier
+                n_reads += nr
+                n_pairs += npair
+                punt_t[s * n_loc_t:(s + 1) * n_loc_t] = \
+                    self._unpack_bits(pw, n_loc_t)
+                if n_uniq > cap:
+                    # rare overflow: fetch the full sorted rows for
+                    # this shard through the exact secondary leaves
+                    if overflow_fetch is None:
+                        overflow_fetch = [np.asarray(x) for x in out[1:5]]
+                    fs_all, first_all, uw_all, min_all = overflow_fetch
+                    blk = NLEV * n_loc_t
+                    fs_s = fs_all[s * blk:(s + 1) * blk]
+                    first_s = first_all[s * blk:(s + 1) * blk]
+                    uwf = uw_all[s * blk:(s + 1) * blk]
+                    minf = min_all[s * blk:(s + 1) * blk]
+                    fr = np.flatnonzero(first_s)
+                    rows_s = fs_s[fr]
+                    uw_s = uwf[:len(fr)].astype(np.int64)
+                    min_s = minf[:len(fr)].astype(np.int64)
+                    n_uniq = len(fr)
+                rows_s = rows_s[:n_uniq]
+                uw_s = uw_s[:n_uniq]
+                min_s = min_s[:n_uniq]
+                keep = uw_s > 0
+                rows_parts.append(rows_s[keep])
+                uw_parts.append(uw_s[keep])
+                # global first-seen order: (level, original read index)
+                m = min_s[keep]
+                ord_parts.append(
+                    (m // n_loc_t) * np.int64(n + 1)
+                    + orig_map[s * n_loc_t + (m % n_loc_t)])
+            punt[idx] = punt_t[:len(idx)]
         rows = np.concatenate(rows_parts) if rows_parts else \
             np.zeros((0, W32), np.uint32)
         uws = np.concatenate(uw_parts) if uw_parts else \
@@ -1694,11 +1816,11 @@ class ShardedTyper:
 
         levels = {}
         for li, (name, _inc) in enumerate(self._levels):
-            sel = np.flatnonzero((order_key // n_pad) == li)
+            sel = np.flatnonzero((order_key // (n + 1)) == li)
             sub = sel[np.argsort(order_key[sel], kind="stable")]
             levels[name] = (rows[sub], uws[sub], totals[li])
-        return dict(levels=levels, pileup=final_pile, punt=punt[:n],
-                    excl=excl[:n], n_reads=n_reads, n_pairs=n_pairs,
+        return dict(levels=levels, pileup=final_pile, punt=punt,
+                    excl=excl, n_reads=n_reads, n_pairs=n_pairs,
                     winner=winner)
 
     # ------------------------------------------------------------------ #
