@@ -94,6 +94,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..db.catalog import GeneRef, VT_DELETION, VT_INSERTION, VT_SINGLE
 from ..ops.placement import backbone_pwm, correlate_scores, encode_reads
 from ..typer.device_count import DeviceCounter
+from ..utils.trace import TRACE
 from .sharded import shard_map
 
 MAX_SNP_ALTS = 3    # catalog alts per backbone position (A/C/G/T minus ref)
@@ -1645,6 +1646,8 @@ class ShardedTyper:
         P6 = self.P_bb * 6
 
         # -- place pass over the full batch: tier assignment ---------- #
+        _t_place = TRACE.stage("device.place")
+        _t_place.__enter__()
         p1f = self._pad(r1_codes, bucket)
         self._count_work(p1f.shape[0], n_mates)
         if n_mates == 1:
@@ -1655,6 +1658,9 @@ class ShardedTyper:
             pl = np.asarray(self._place_pairs_p(
                 *self._tables, jnp.asarray(p1f), jnp.asarray(p2f)))
         pl = pl[:, :n]
+        _t_place.__exit__(None, None, None)
+        _t_spell = TRACE.stage("device.spell")
+        _t_spell.__enter__()
         tier = np.clip(pl[3], 0, 2)
         if n_mates == 2:
             tier = np.maximum(tier, np.clip(pl[7], 0, 2))
@@ -1727,15 +1733,18 @@ class ShardedTyper:
                 winner[mi]["iva"][idx] = wt[mi]["iva"][:m].astype(np.int64)
                 winner[mi]["ivb"][idx] = wt[mi]["ivb"][:m].astype(np.int64)
         pile_dev = pile_dev.astype(np.int32)
+        _t_spell.__exit__(None, None, None)
 
         # -- host merge: the final (host-full) pileup ----------------- #
         final_pile = pile_dev
         if merge_pileup is not None:
             final_pile = merge_pileup(pile_dev, excl, winner)
-        pin = jnp.asarray(np.ascontiguousarray(
-            final_pile, dtype=np.int32).reshape(-1))
 
         # -- per-tier pass B: gate + count + pack vs the final pileup - #
+        _t_cnt = TRACE.stage("device.countB")
+        _t_cnt.__enter__()
+        pin = jnp.asarray(np.ascontiguousarray(
+            final_pile, dtype=np.int32).reshape(-1))
         bouts = []
         for t, idx, n_pad_t, aout in tinfo:
             state = aout[1:]
@@ -1815,13 +1824,19 @@ class ShardedTyper:
             np.zeros(0, np.int64)
 
         levels = {}
+        order = {}
         for li, (name, _inc) in enumerate(self._levels):
             sel = np.flatnonzero((order_key // (n + 1)) == li)
             sub = sel[np.argsort(order_key[sel], kind="stable")]
             levels[name] = (rows[sub], uws[sub], totals[li])
-        return dict(levels=levels, pileup=final_pile, punt=punt,
-                    excl=excl, n_reads=n_reads, n_pairs=n_pairs,
-                    winner=winner)
+            # first-seen original read index per row — the multi-host
+            # merge interleaves processes' rows by GLOBAL read index so
+            # accumulation order equals a single-process run
+            order[name] = order_key[sub] % (n + 1)
+        _t_cnt.__exit__(None, None, None)
+        return dict(levels=levels, order=order, pileup=final_pile,
+                    punt=punt, excl=excl, n_reads=n_reads,
+                    n_pairs=n_pairs, winner=winner)
 
     # ------------------------------------------------------------------ #
     def _solve(self, counted):
@@ -1864,6 +1879,22 @@ class ShardedTyper:
         sel = np.zeros(self.A, bool)
         sel[sorted(idx_set)] = True
         return sel, prob_sum
+
+    def count_em_global(self, global_codes):
+        """Public single-dispatch EM entry over an already-sharded
+        GLOBAL code array (multi-host device-EM path: every process
+        passes the same global array built from its local shard).
+        Returns (prob, totals, n_used, punt_local) — punt_local is this
+        process's addressable slice of the punt mask; the caller MUST
+        rescue or account for it (never drop it silently)."""
+        counted = self._count_single(*self._tables, global_codes)
+        prob, totals, n_used, punt = self._solve(counted)
+        punt_local = np.concatenate(
+            [np.asarray(s.data).reshape(-1)
+             for s in punt.addressable_shards]) \
+            if hasattr(punt, "addressable_shards") else np.asarray(punt)
+        return (np.asarray(prob), np.asarray(totals), float(n_used),
+                punt_local)
 
     def __call__(self, read_codes: np.ndarray):
         n = read_codes.shape[0]

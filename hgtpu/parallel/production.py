@@ -265,6 +265,94 @@ def _merge_pileup(gene, opts, pileup_counts, by_pair, excl_idx):
     return mpileup
 
 
+def _rescued_fragment_rows(gene, opts, reads_1, by_pair, idx, mpileup):
+    """Per-fragment compatibility-count rows for the punted pairs —
+    the multi-host export form of `_count_rescued`: instead of folding
+    into the local accumulators, emit (read-id sort keys, per-fragment
+    [G, A] count rows at the full/exon/primary levels, n_reads, novel)
+    so the caller can merge fragments from every process in global
+    sorted-read-id order and feed ONE add_reads_batch per level —
+    accumulating exactly as a single-process rescue over the
+    concatenated punt set would."""
+    from ..align.types import aln_key
+
+    novel = NovelVars()
+    A = gene.n_alleles
+    empty = (np.zeros((0, 64), np.uint8),) + \
+        tuple(np.zeros((0, A), np.int32) for _ in range(3)) + (0,)
+    if len(idx) == 0:
+        return empty + (novel,)
+    typer_h = GeneTyper(gene, opts)
+    by_read = {}
+    for i in idx:
+        alns = by_pair.get(int(i))
+        if alns:
+            by_read.setdefault(
+                reads_1[i][0].split("|")[0], []).extend(alns)
+    if not by_read:
+        return empty + (novel,)
+    hts_memo = {}
+    n_reads = 0
+    frag_ids = []
+    frag_hts = []
+    for read_id in sorted(by_read):
+        alns = _concordant(by_read[read_id], opts)
+        if alns is None:
+            continue
+        left_hts, right_hts = set(), set()
+        for a in alns:
+            if a.nm > opts.num_editdist:
+                continue
+            n_reads += 1
+            key = aln_key(a)
+            hit = hts_memo.get(key, False)
+            if hit is False:
+                hit = typer_h.read_hts(a, novel, mpileup)
+                hts_memo[key] = hit
+            if hit is not None:
+                (left_hts if a.mate == "L" else right_hts).update(hit)
+            for alt in (a.alts or ()):
+                alt_hts = typer_h.read_hts(alt, novel, mpileup)
+                if alt_hts is not None:
+                    (left_hts if a.mate == "L"
+                     else right_hts).update(alt_hts)
+        positive_hts = left_hts | right_hts
+        if not positive_hts:
+            continue
+        frag_ids.append(read_id)
+        frag_hts.append(positive_hts)
+    if not frag_ids:
+        return empty + (novel,)
+    ht_cache = {}
+    unique_hts = sorted(set().union(*frag_hts))
+    typer_h.ht_masks_batch_host(unique_hts, novel, ht_cache)
+    ht_idx = {h: k for k, h in enumerate(unique_hts)}
+    U = len(unique_hts)
+    mask_f = np.empty((U, A), np.int32)
+    mask_e = np.empty((U, A), np.int32)
+    mask_p = np.empty((U, A), np.int32)
+    for k, h in enumerate(unique_hts):
+        full, exon, primary = ht_cache[h]
+        mask_f[k] = full
+        mask_e[k] = exon
+        mask_p[k] = primary
+    G = len(frag_ids)
+    rows_f = np.zeros((G, A), np.int32)
+    rows_e = np.zeros((G, A), np.int32)
+    rows_p = np.zeros((G, A), np.int32)
+    for g, hts in enumerate(frag_hts):
+        ks = [ht_idx[h] for h in hts]
+        rows_f[g] = mask_f[ks].sum(0)
+        rows_e[g] = mask_e[ks].sum(0)
+        rows_p[g] = mask_p[ks].sum(0)
+    L = max(len(r.encode()) for r in frag_ids)
+    keys = np.zeros((G, L), np.uint8)
+    for g, r in enumerate(frag_ids):
+        b = r.encode()
+        keys[g, :len(b)] = np.frombuffer(b, np.uint8)
+    return keys, rows_f, rows_e, rows_p, n_reads, novel
+
+
 def _count_rescued(gene, opts, reads_1, by_pair, idx, mpileup, stats):
     """read_hts + count the punted pairs exactly as type_gene would,
     merging their classes into the device accumulators before EM.
@@ -459,8 +547,7 @@ def type_reads_device(gene: GeneRef, reads_1, reads_2=None,
         holder["mpileup"] = mp
         return mp.counts
 
-    with TRACE.stage("device.classes"):
-        out = st.count_classes(c1, c2, merge_pileup=_merge_cb)
+    out = st.count_classes(c1, c2, merge_pileup=_merge_cb)
     by_pair = holder["by_pair"]
     mpileup = holder["mpileup"]
 
