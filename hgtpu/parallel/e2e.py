@@ -192,6 +192,8 @@ class ShardedTyper:
         self.n_devices = int(np.prod(mesh.devices.shape))
         ipos_np, ilen_np, iins_np, _, _ = _indel_tables(gene)
         max_shift = int(ilen_np.max()) if len(ilen_np) else 0
+        ins_lens = ilen_np[iins_np == 1]
+        ins_cap = int(ins_lens.max()) if len(ins_lens) else 0
         del_lens = ilen_np[(iins_np == 0)]
         del_cap = int(del_lens.max()) if len(del_lens) else 0
         pad = read_len + max_shift
@@ -241,6 +243,10 @@ class ShardedTyper:
         n_tables = len(self._tables)
 
         sentinel = gene.n_vars
+        # the packed gate word carries the correction variant id in
+        # bits 12-31 (rep_of) — ample for any real catalog (IMGT HLA-A
+        # carries ~10^3-10^4 variants)
+        assert gene.n_vars < (1 << 19), "catalog too large for gate word"
         A = gene.n_alleles
         self.A = A
         P_bb = len(gene.backbone)
@@ -391,10 +397,23 @@ class ShardedTyper:
                            jnp.int8(4))
             s_f = correlate_scores(pwm_ext, reads)
             s_r = correlate_scores(pwm_ext, rc)
-            top_f, argk_f = jax.lax.top_k(s_f, 2)
-            top_r, argk_r = jax.lax.top_k(s_r, 2)
-            best_f, arg_f = top_f[:, 0], argk_f[:, 0]
-            best_r, arg_r = top_r[:, 0], argk_r[:, 0]
+
+            # top-2 via max/argmax + masked second max: three cheap
+            # row reductions instead of lax.top_k's per-row sort (the
+            # sort dominated the place pass on hardware).  Tie
+            # semantics identical: argmax picks the lowest index, and a
+            # duplicated max makes second == best.
+            def top2(s):
+                bst = jnp.max(s, 1)
+                arg = jnp.argmax(s, 1).astype(jnp.int32)
+                P1 = s.shape[1]
+                iota = jnp.arange(P1, dtype=jnp.int32)[None, :]
+                sec = jnp.max(jnp.where(iota == arg[:, None],
+                                        -jnp.inf, s), 1)
+                return bst, arg, sec
+
+            best_f, arg_f, sec_f = top2(s_f)
+            best_r, arg_r, sec_r = top2(s_r)
             use_r = best_r > best_f
             s0 = jnp.where(use_r, arg_r, arg_f).astype(jnp.int32)
             # unique best placement across diagonals AND orientations:
@@ -402,7 +421,7 @@ class ShardedTyper:
             # reconstruct the host alignment when no equal-score
             # placement exists for the aligner to tie-break differently
             best = jnp.maximum(best_f, best_r)
-            second = jnp.maximum(jnp.where(use_r, top_r[:, 1], top_f[:, 1]),
+            second = jnp.maximum(jnp.where(use_r, sec_r, sec_f),
                                  jnp.where(use_r, best_f, best_r))
             lo = jnp.searchsorted(ind_pos_t[:D], s0 - 2 * max_shift)
             hi = jnp.searchsorted(ind_pos_t[:D], s0 + W + max_shift,
@@ -546,11 +565,13 @@ class ShardedTyper:
             ok_bb = ((mk >> cu) & 1) == 1
             exp_valid = ((mk >> 4) & 1) == 1
             # inserted bases: compare against each candidate's spelled
-            # insertion via MAX_INS_LEN fused selects (no [n,H,W] gather)
+            # insertion via fused selects (no [n,H,W] gather), looped
+            # only to the catalog's LONGEST spellable insertion — the
+            # select chain is pure VPU work and scales linearly
             ins_row_a = ins_enc[ca]                           # [n, H, 16]
             ins_row_b = ins_enc[cb]
             ok_ins = jnp.zeros(in_ins.shape, bool)
-            for t in range(MAX_INS_LEN):
+            for t in range(ins_cap):
                 ok_ins = ok_ins | (in_ins_a & (jj == ba3 + t)
                                    & (c == ins_row_a[:, :, t][..., None]))
                 ok_ins = ok_ins | (in_ins_b & (jj == bb3 + t)
@@ -689,11 +710,19 @@ class ShardedTyper:
                         + 5].add(dmask.reshape(-1).astype(jnp.int32))
             return pile
 
-        def rep_of(pile_flat):
-            """Representative-base tables from the psum'd pileup
+        def rep_of(tabs, pile_flat):
+            """Per-position gate words from the final pileup
             (Mpileup.finalize; ref thresholds typing_common.py:1124-1134)
-            bit-packed one byte per position (bit b = base b is
-            representative), so the gate pays ONE u8 gather per plane."""
+            packed so the error_correct gate pays ONE i32 gather per
+            plane instead of three (rep byte + backbone base + catalog
+            alt id were separate gathers — gathers are the TPU cost):
+              bits 0-7  rep_pack (bit b = base b is representative)
+              bit 8     single (exactly one representative base)
+              bit 9     the single rep base equals the backbone base
+              bits 12+  catalog SNP id of the single rep base
+                        (sentinel = n_vars)"""
+            bb_ext_t = tabs[1]
+            av_tbl = tabs[19]
             pile = pile_flat.reshape(P_bb, 6)
             total = pile.sum(1)
             acgt = pile[:, :4]
@@ -702,45 +731,50 @@ class ShardedTyper:
             bitw = (jnp.uint8(1) << jnp.arange(4, dtype=jnp.uint8))
             rep_pack = jnp.sum(keep.astype(jnp.uint8) * bitw[None, :], 1,
                                dtype=jnp.uint8)
-            return rep_pack, pile
+            n1 = keep.sum(1)
+            single = n1 == 1
+            b = jnp.argmax(keep, 1).astype(jnp.int32)
+            bbv = bb_ext_t[:P_bb].astype(jnp.int32)
+            corr = jnp.where(
+                single,
+                av_tbl[jnp.arange(P_bb), jnp.clip(b, 0, 3)],
+                sentinel)
+            gate_tbl = (rep_pack.astype(jnp.int32)
+                        | (single.astype(jnp.int32) << 8)
+                        | ((single & (b == bbv)).astype(jnp.int32) << 9)
+                        | (corr.astype(jnp.int32) << 12))
+            return rep_pack, pile, gate_tbl
 
         def gate_hyp(tabs, sp, h, rep):
             """Pileup re-gating of one hypothesis's per-base
             classification — the device twin of error_correct
             (typing_core.py:119-243).  Returns (gated var plane [n, W],
             corrections counted [n], supported-novel count [n]).
-            Three gathers per plane: the packed rep byte, the backbone
-            base, and the per-(pos, base) catalog SNP id."""
-            bb_ext = tabs[1]
-            av_tbl = tabs[19]
-            rep_pack, _pile = rep
+            ONE packed-gate-word gather per plane (rep_of)."""
+            _rp, _pile, gate_tbl = rep
             gp, c = h["gp"], sp["oriented"]
             pos_ok = h["valid"] & ~h["in_ins"]
             gpc = jnp.clip(gp, 0, P_bb - 1)
             in_bb = gp < P_bb
-            rp = rep_pack[gpc]
-            cu = jnp.clip(c, 0, 3).astype(jnp.uint8)
+            tv = gate_tbl[gpc]
+            rp = tv & 0xFF
+            cu = jnp.clip(c, 0, 3).astype(jnp.int32)
             sup = ((rp >> cu) & 1) == 1
             ra = (rp != 0) & in_bb
             flagged = pos_ok & ra & ~sup
-            n1 = ((rp & 1) + ((rp >> 1) & 1) + ((rp >> 2) & 1)
-                  + ((rp >> 3) & 1))
-            single = n1 == 1
-            b = (((rp >> 1) & 1) + ((rp >> 2) & 1) * 2
-                 + ((rp >> 3) & 1) * 3).astype(jnp.int8)
+            single = ((tv >> 8) & 1) == 1
+            single_is_bb = ((tv >> 9) & 1) == 1
             # correction target: the single representative base — to the
             # backbone (neutral: av sentinel), a catalog alt (that
             # variant), or N / multi-rep (neutral unknown)
-            corr_var = jnp.where(
-                flagged & single,
-                av_tbl[gpc, jnp.clip(b, 0, 3)], sentinel)
+            corr_var = jnp.where(flagged & single, tv >> 12, sentinel)
             var_new = jnp.where(flagged, corr_var, h["var"])
             # reference num_correction bookkeeping: every flagged base in
             # a match run counts; a flagged mismatch counts only when
             # corrected back to the backbone base
             # (typing_core.py:119-243 match vs mismatch branches)
             corr_counted = flagged & (
-                h["match"] | (single & (b == bb_ext[gpc])))
+                h["match"] | (single & single_is_bb))
             known_new = var_new < sentinel
             novel_new = pos_ok & ~h["match"] & ~known_new & ~flagged
             return (var_new,
@@ -1008,7 +1042,7 @@ class ShardedTyper:
                 # del_count * 6 < nt_count rejects the mate, exactly as
                 # the host read_hts returns None — checked for BOTH
                 # claimed indels of a pair spelling
-                _rp, pile = rep
+                _rp, pile, _gt = rep
                 for pv, dl in ((Wh["pa"], Wh["dla"]),
                                (Wh["pb"], Wh["dlb"])):
                     pvc = jnp.clip(pv, 0, P_bb - 1)
@@ -1282,8 +1316,11 @@ class ShardedTyper:
         def place_single(*args):
             tabs, reads = args[:n_tables], args[n_tables]
             s0, use_r, uniq, cw = place_mates(tabs, reads)
+            # read-major [n, 4] so the fetch is one contiguous
+            # shard-local DMA (a [4, n] layout paid a transpose pass
+            # over the tunnel)
             return jnp.stack([s0, use_r.astype(jnp.int32),
-                              uniq.astype(jnp.int32), cw])
+                              uniq.astype(jnp.int32), cw], axis=1)
 
         def place_pairs(*args):
             tabs, r1, r2 = args[:n_tables], args[n_tables], \
@@ -1293,7 +1330,7 @@ class ShardedTyper:
                 s0, use_r, uniq, cw = place_mates(tabs, r)
                 rows += [s0, use_r.astype(jnp.int32),
                          uniq.astype(jnp.int32), cw]
-            return jnp.stack(rows)
+            return jnp.stack(rows, axis=1)
 
         def spell_single_tail(tabs, sp, n_loc):
             passed_u, amb_all, tier1, causes = mate_flags(tabs, sp)
@@ -1324,7 +1361,7 @@ class ShardedTyper:
             sp = sp_unflatten(rest[:NSP])
             amb_all, pre_punt = rest[NSP], rest[NSP + 1]
             n_loc = sp["oriented"].shape[0]
-            rep = rep_of(pile_in)
+            rep = rep_of(tabs, pile_in)
             cnt, cnt_ex, cnt_px, passed, needs_host = mate_counts(
                 tabs, sp, rep, self._with_primary, amb_all)
             w_used = passed & ~needs_host
@@ -1408,7 +1445,7 @@ class ShardedTyper:
             sp2 = sp_unflatten(rest[NSP:2 * NSP])
             amb1, amb2, conc, pre_punt, disc_susp = rest[2 * NSP:]
             n_loc = sp1["oriented"].shape[0]
-            rep = rep_of(pile_in)
+            rep = rep_of(tabs, pile_in)
             c1, ce1, cp1, ok1, nh1 = mate_counts(tabs, sp1, rep,
                                                  self._with_primary, amb1)
             c2, ce2, cp2, ok2, nh2 = mate_counts(tabs, sp2, rep,
@@ -1514,10 +1551,10 @@ class ShardedTyper:
                           (max_indel_cand, PAIR_COMBOS))
         self._place_single_p = jax.jit(shard_map(
             place_single, mesh, in_specs=specs_t + (P(axis),),
-            out_specs=P(None, axis), check_rep=False))
+            out_specs=P(axis), check_rep=False))
         self._place_pairs_p = jax.jit(shard_map(
             place_pairs, mesh, in_specs=specs_t + (P(axis), P(axis)),
-            out_specs=P(None, axis), check_rep=False))
+            out_specs=P(axis), check_rep=False))
         self._spell_single_t = [jax.jit(shard_map(
             make_spell_single(ns, prs), mesh,
             in_specs=specs_t + (P(axis),) * 4,
@@ -1657,7 +1694,7 @@ class ShardedTyper:
             p2f = self._pad(r2_codes, bucket)
             pl = np.asarray(self._place_pairs_p(
                 *self._tables, jnp.asarray(p1f), jnp.asarray(p2f)))
-        pl = pl[:, :n]
+        pl = pl[:n].T
         _t_place.__exit__(None, None, None)
         _t_spell = TRACE.stage("device.spell")
         _t_spell.__enter__()

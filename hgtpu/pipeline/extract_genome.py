@@ -24,8 +24,7 @@ from collections import defaultdict
 
 import numpy as np
 
-from ..ops.fm import FMIndex, pack_queries
-from ..utils.dna import revcomp
+from ..ops.fm import FMIndex
 
 
 class GenomeExtractor:
@@ -67,6 +66,12 @@ class GenomeExtractor:
             self.intervals.append((base, base + len(g.backbone), family))
         self.intervals.sort()
         self.iv_starts = np.array([iv[0] for iv in self.intervals], np.int64)
+        self.iv_ends = np.array([iv[1] for iv in self.intervals], np.int64)
+        self._fams = sorted({iv[2] for iv in self.intervals})
+        fam_code = {f: c for c, f in enumerate(self._fams)}
+        self._iv_fam = np.array([fam_code[iv[2]] for iv in self.intervals],
+                                np.int64) if self.intervals else \
+            np.zeros(0, np.int64)
 
     def _locus_of(self, pos):
         i = int(np.searchsorted(self.iv_starts, pos, "right")) - 1
@@ -81,99 +86,152 @@ class GenomeExtractor:
 
     # ------------------------------------------------------------------ #
     def _place_unique(self, seqs):
-        """Verified unique placement per sequence.
+        """Verified unique placement per sequence, fully vectorized
+        (ref analog: the multithreaded C++ hisat2 alignment of
+        typing_process.py:1467-1489; this path replaces per-read loops
+        with one bulk encode, one batched FM search, one SA gather and
+        one Hamming matrix per call).
 
         Returns [start | None] in concatenated coordinates: the single
         verified placement when NH==1 over both orientations, else None.
         """
-        from ..utils.dna import encode_seq
-
         k = self.seed_len
         n = len(seqs)
         G = len(self.codes)
+        if n == 0:
+            return []
+        # ---- bulk encode: one LUT pass over the joined byte buffer
+        lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+        Lmax = int(lens.max()) if n else 0
+        if Lmax < k:
+            return [None] * n
+        lut = np.full(256, 4, np.int8)
+        for b, c in zip(b"ACGT", range(4)):
+            lut[b] = c
+        for b, c in zip(b"acgt", range(4)):
+            lut[b] = c
+        enc = lut[np.frombuffer("".join(seqs).encode(), np.uint8)]
+        starts0 = np.zeros(n, np.int64)
+        np.cumsum(lens[:-1], out=starts0[1:])
+        rows = np.repeat(np.arange(n), lens)
+        cols = np.arange(int(lens.sum())) - np.repeat(starts0, lens)
+        codes_f = np.full((n, Lmax), 4, np.int8)
+        codes_f[rows, cols] = enc
+        codes_r = np.full((n, Lmax), 4, np.int8)
+        codes_r[rows, lens[rows] - 1 - cols] = \
+            np.where(enc < 4, 3 - enc, np.int8(4))
+        stacked = np.stack([codes_f, codes_r])          # [2, n, Lmax]
+
         # ---- batched seed search: front/mid/back seeds, both
         # orientations (three seeds so one catalog indel can defeat at
         # most one of them)
-        seeds, meta = [], []   # meta: (read, orient, read offset)
-        orients = []
-        for i, s in enumerate(seqs):
-            for o, so in enumerate((s, revcomp(s))):
-                if len(so) < k:
-                    continue
-                for off in sorted({0, (len(so) - k) // 2, len(so) - k}):
-                    seeds.append(so[off:off + k])
-                    meta.append((i, o, off))
-            orients.append((s, revcomp(s)))
-        if not seeds:
+        offs = np.stack([np.zeros(n, np.int64), (lens - k) // 2,
+                         lens - k], 1)                  # [n, 3]
+        ok_len = lens >= k
+        jj = np.arange(k)
+        sidx = offs[:, :, None] + jj[None, None, :]     # [n, 3, k]
+        sidx = np.clip(sidx, 0, Lmax - 1)
+        ii = np.arange(n)[:, None, None]
+        queries = np.concatenate(
+            [codes_f[ii, sidx], codes_r[ii, sidx]], 0)  # [2n, 3, k]
+        queries = queries.reshape(2 * n * 3, k)
+        lo, hi = self.fm.search_batch(queries)
+        lo = np.asarray(lo).astype(np.int64)
+        hi = np.asarray(hi).astype(np.int64)
+        # per seed row: read, orientation, offset
+        s_read = np.tile(np.repeat(np.arange(n), 3), 2)
+        s_or = np.repeat(np.arange(2), n * 3)
+        s_off = np.tile(offs.reshape(-1), 2)
+        nh = hi - lo
+        ok_seed = (nh >= 1) & (nh <= self.max_hits) & ok_len[s_read]
+        # dedup duplicate offsets per read (short reads where front/mid/
+        # back coincide — keep the first occurrence)
+        key = (s_or.astype(np.int64) * n + s_read) * (Lmax + 1) + s_off
+        order = np.argsort(key, kind="stable")
+        kd = key[order]
+        dmask = np.zeros(len(key), bool)
+        dmask[order[1:]] = kd[1:] == kd[:-1]
+        ok_seed &= ~dmask
+
+        # ---- batched SA locate of every surviving seed hit ---------- #
+        cnt = np.where(ok_seed, np.minimum(nh, self.max_hits), 0)
+        total = int(cnt.sum())
+        if total == 0:
             return [None] * n
-        lo, hi = self.fm.search_batch(pack_queries(seeds, k))
-        lo = np.asarray(lo)
-        hi = np.asarray(hi)
-        # candidate starts per (read, orientation)
-        cands = defaultdict(set)          # (i, o) -> {start}
-        seed_hits = defaultdict(list)     # (i, o) -> [(off, pos)]
-        for j, (i, o, off) in enumerate(meta):
-            nh = int(hi[j] - lo[j])
-            if nh == 0 or nh > self.max_hits:
-                continue
-            uniq = nh == 1
-            for p in self.fm.locate(int(lo[j]), int(hi[j]), self.max_hits):
-                p = int(p)
-                if uniq:
-                    seed_hits[(i, o)].append((off, p))
-                start = p - off
-                if 0 <= start and start + len(orients[i][o]) <= G:
-                    cands[(i, o)].add(start)
-        # ---- vectorized Hamming verification of all candidates ---- #
-        flat = []                          # (i, o, start)
-        for (i, o), starts in cands.items():
-            for s in starts:
-                flat.append((i, o, s))
-        verified = defaultdict(set)        # i -> {(o, start)}
-        if flat:
-            Ls = np.array([len(orients[i][o]) for i, o, _ in flat])
-            Lmax = int(Ls.max())
-            starts_a = np.array([s for _, _, s in flat], np.int64)
-            jj = np.arange(Lmax)
-            gidx = np.minimum(starts_a[:, None] + jj[None, :], G - 1)
+        rep = np.repeat(np.arange(len(cnt)), cnt)
+        cstart = np.zeros(len(cnt), np.int64)
+        np.cumsum(cnt[:-1], out=cstart[1:])
+        t = np.arange(total) - np.repeat(cstart, cnt)
+        pos = np.asarray(self.fm.sa[lo[rep] + t]).astype(np.int64)
+        h_read = s_read[rep]
+        h_or = s_or[rep]
+        h_start = pos - s_off[rep]
+        h_uniq = (nh[rep] == 1)
+        in_g = (h_start >= 0) & (h_start + lens[h_read] <= G)
+
+        # ---- candidate dedup + vectorized Hamming verification ------ #
+        ckey = (h_or.astype(np.int64) * n + h_read) * np.int64(G + 1) \
+            + h_start
+        cu = np.unique(ckey[in_g])
+        v_or = (cu // (G + 1)) // n
+        v_read = (cu // (G + 1)) % n
+        v_start = cu % (G + 1)
+        m = len(cu)
+        verified_read = np.zeros(0, np.int64)
+        verified_start = np.zeros(0, np.int64)
+        if m:
+            jL = np.arange(Lmax)
+            gidx = np.minimum(v_start[:, None] + jL[None, :], G - 1)
             gcodes = self.codes[gidx]
-            rcodes = np.full((len(flat), Lmax), 4, np.int8)
-            for r, (i, o, _s) in enumerate(flat):
-                c = encode_seq(orients[i][o])
-                rcodes[r, : len(c)] = c
-            valid = jj[None, :] < Ls[:, None]
+            rcodes = stacked[v_or, v_read]
+            valid = jL[None, :] < lens[v_read][:, None]
             mm = ((gcodes != rcodes) & valid).sum(axis=1)
-            for r, (i, o, s) in enumerate(flat):
-                if mm[r] <= self.max_mm:
-                    verified[i].add((o, int(s)))
+            okv = mm <= self.max_mm
+            verified_read = v_read[okv]
+            verified_start = v_start[okv]
+        vcnt = np.bincount(verified_read, minlength=n)
         out = [None] * n
-        for i in range(n):
-            v = verified.get(i, set())
-            if len(v) == 1:
-                out[i] = next(iter(v))[1]
-                continue
-            if v:
-                continue                   # NH > 1: ambiguous
-            # indel fallback: an alignment through a catalog indel fails
-            # the Hamming check but its unique-hit seeds still agree on
-            # one placement (within the indel drift).  Accept when one
-            # orientation has >= 1 unique seed, all its unique seeds are
-            # mutually consistent, and the other orientation has none.
-            pick = None
-            ambiguous = False
-            for o in (0, 1):
-                hits = seed_hits.get((i, o), [])
-                if not hits:
-                    continue
-                starts = [p - off for off, p in hits]
-                if max(starts) - min(starts) > 32:
-                    continue
-                if pick is not None:       # both orientations: ambiguous
-                    ambiguous = True
-                    break
-                off0, p0 = min(hits)       # front-most unique seed
-                pick = p0 - off0
-            out[i] = None if ambiguous else pick
+        one = np.flatnonzero(vcnt == 1)
+        first = np.full(n, -1, np.int64)
+        first[verified_read[::-1]] = verified_start[::-1]
+        for i in one:
+            out[i] = int(first[i])
+
+        # ---- indel fallback for reads with NO verified candidate:
+        # an alignment through a catalog indel fails the Hamming check
+        # but its unique-hit seeds still agree on one placement (within
+        # the indel drift).  Accept when one orientation has >= 1
+        # unique seed, all its unique seeds are mutually consistent,
+        # and the other orientation has none.
+        need = np.flatnonzero(vcnt == 0)
+        if len(need):
+            un = ok_seed[rep] & h_uniq
+            useed_read = h_read[un]
+            useed_or = h_or[un]
+            useed_off = s_off[rep][un]
+            useed_pos = pos[un]
+            sel = np.isin(useed_read, need)
+            ur, uo = useed_read[sel], useed_or[sel]
+            uoff, upos = useed_off[sel], useed_pos[sel]
+            hits_by = defaultdict(list)
+            for r_, o_, off_, p_ in zip(ur, uo, uoff, upos):
+                hits_by[(int(r_), int(o_))].append((int(off_), int(p_)))
+            for i in need:
+                pick = None
+                ambiguous = False
+                for o in (0, 1):
+                    hits = hits_by.get((int(i), o), [])
+                    if not hits:
+                        continue
+                    ss = [p - off for off, p in hits]
+                    if max(ss) - min(ss) > 32:
+                        continue
+                    if pick is not None:   # both orientations: ambiguous
+                        ambiguous = True
+                        break
+                    off0, p0 = min(hits)   # front-most unique seed
+                    pick = p0 - off0
+                out[i] = None if ambiguous else pick
         return out
 
     # ------------------------------------------------------------------ #
@@ -187,40 +245,57 @@ class GenomeExtractor:
         (typing_process.py:1534-1594; block key `chr-pos/block_size`
         at :1700-1702).
         """
-        out = defaultdict(lambda: ([], []))
-        blocks = defaultdict(lambda: ([], []))
+        out = {}
+        blocks = {}
         n = len(reads_1)
         seqs = [s for _, s in reads_1]
         starts_1 = self._place_unique(seqs)
         starts_2 = [None] * n
         if reads_2:
             starts_2 = self._place_unique([s for _, s in reads_2])
-        for i in range(n):
-            fams = set()
-            bins = set()
-            for st in (starts_1[i], starts_2[i]):
-                if st is None:
-                    continue
-                fam = self._locus_of(st)
-                if fam is not None:
-                    fams.add(fam)
-                if block_size > 0:
-                    chrom, local = self._chrom_of(st)
-                    bins.add((chrom, local // block_size))
-            # per-mate routing: the pair goes to every region any mate
-            # hit uniquely (ref writes to each extract_read region,
-            # typing_process.py:1638-1651)
-            for fam in fams:
-                out[fam][0].append(reads_1[i])
-                if reads_2:
-                    out[fam][1].append(reads_2[i])
-            for b in bins:
-                blocks[b][0].append(reads_1[i])
-                if reads_2:
-                    blocks[b][1].append(reads_2[i])
+
+        # vectorized routing: per-mate family/block codes, then one
+        # index pass per family/block (the pair goes to every region
+        # any mate hit uniquely, ref typing_process.py:1638-1651)
+        s1 = np.array([-1 if s is None else s for s in starts_1],
+                      np.int64)
+        s2 = np.array([-1 if s is None else s for s in starts_2],
+                      np.int64)
+
+        def fam_codes(s):
+            if not len(self.iv_starts):
+                return np.full(len(s), -1, np.int64)
+            iv = np.searchsorted(self.iv_starts, s, "right") - 1
+            ivc = np.clip(iv, 0, len(self.iv_starts) - 1)
+            okf = (s >= 0) & (iv >= 0) & (s < self.iv_ends[ivc])
+            return np.where(okf, self._iv_fam[ivc], -1)
+
+        f1, f2 = fam_codes(s1), fam_codes(s2)
+        for c, fam in enumerate(self._fams):
+            idx = np.flatnonzero((f1 == c) | (f2 == c))
+            if len(idx):
+                out[fam] = ([reads_1[i] for i in idx],
+                            [reads_2[i] for i in idx] if reads_2 else [])
         if block_size > 0:
-            return dict(out), dict(blocks)
-        return dict(out)
+            def block_keys(s):
+                ci = np.searchsorted(self._cs, s, "right") - 1
+                cic = np.clip(ci, 0, len(self._cs) - 1)
+                local = s - self._cs[cic]
+                key = cic * (1 << 40) + local // block_size
+                return np.where(s >= 0, key, -1)
+
+            b1, b2 = block_keys(s1), block_keys(s2)
+            for key in np.unique(np.concatenate([b1, b2])):
+                if key < 0:
+                    continue
+                idx = np.flatnonzero((b1 == key) | (b2 == key))
+                chrom = self._cnames[int(key >> 40)]
+                bk = (chrom, int(key & ((1 << 40) - 1)))
+                blocks[bk] = ([reads_1[i] for i in idx],
+                              [reads_2[i] for i in idx]
+                              if reads_2 else [])
+            return out, blocks
+        return out
 
 
 def write_block_fastqs(out_dir, base, blocks, block_size, paired=True):
