@@ -563,9 +563,10 @@ def build_gene_ref(
     )
     from ..validate import SANITY_CHECK, validate_gene
     if SANITY_CHECK:
+        nuc_names, nuc_rows = partial_msa or (None, None)
         validate_gene(ref_out,
                       [decode_msa_row(mat[i]) for i in range(len(names))],
-                      names)
+                      names, nuc_names=nuc_names, nuc_rows=nuc_rows)
     return ref_out, base_var_id + V
 
 

@@ -218,6 +218,28 @@ class ShardedTyper:
             hasalt = snp_alt[:, k] < 4
             mask_np[hasalt] |= (np.uint8(1)
                                 << snp_alt[hasalt, k].astype(np.uint8))
+        # sliding-window ROW tables: rows[b, t] = table[b - OFF_LO + t].
+        # The spelling/gate lookups index the reference at
+        # base + j + off(j) where off(j) is the piecewise indel shift
+        # (|off| bounded by the stacked indel lengths), so ONE
+        # contiguous row fetch per (read, hypothesis) plus a short
+        # static-shift select sweep replaces the [n, H, W] per-element
+        # gather — the measured TPU bottleneck (~35M gathered
+        # elements/s; row fetches stream at HBM rate).
+        OFF_LO = 2 * ins_cap
+        OFF_HI = 2 * max_shift
+        Wrow = read_len + OFF_LO + OFF_HI + 1
+        self._offs = (OFF_LO, OFF_HI, Wrow)
+
+        def _rows_of(tbl_1d, dtype, fill=0):
+            padded = np.concatenate([
+                np.full(OFF_LO, fill, dtype), tbl_1d.astype(dtype),
+                np.full(Wrow, fill, dtype)])
+            return np.lib.stride_tricks.sliding_window_view(
+                padded, Wrow)[:len(bb_ext)].copy()
+
+        mask_rows = _rows_of(mask_np, np.uint8)
+        bb_rows = _rows_of(bb_ext, np.int8, fill=4)
         dc = DeviceCounter(gene)
         # MXU counting tables: the add_count set algebra as two matmuls
         # (see _compat_mxu) — links as a dense bf16 [V, A] matrix (0/1
@@ -233,13 +255,23 @@ class ShardedTyper:
         for k in range(MAX_SNP_ALTS):
             hasalt = snp_alt[:, k] < 4
             av_np[hasalt, snp_alt[hasalt, k]] = snp_var[hasalt, k]
+        # u16-packed per-(pos, base) SNP ids for the ROW lookup (two
+        # bases per u32 word; sentinel = n_vars)
+        assert gene.n_vars < (1 << 16) - 1, \
+            "catalog too large for packed av rows"
+        avu = av_np.astype(np.uint32)
+        av01_np = avu[:, 0] | (avu[:, 1] << 16)
+        av23_np = avu[:, 2] | (avu[:, 3] << 16)
+        sent_pack = np.uint32(gene.n_vars | (gene.n_vars << 16))
         self._tables = tuple(
             jnp.asarray(t) for t in (
                 pwm_ext, bb_ext, snp_alt, snp_var,
                 ind_pos, ind_len, ind_ins, ind_var, ins_enc,
                 dc.links_packed, dc.nd_pos, dc.nd_prefix, dc.del_pos,
                 dc.del_right, dc.del_links, dc.var_pos_d, dc.var_right_d,
-                mask_np, links_f, av_np))
+                mask_np, links_f, av_np, mask_rows, bb_rows,
+                _rows_of(av01_np, np.uint32, fill=int(sent_pack)),
+                _rows_of(av23_np, np.uint32, fill=int(sent_pack))))
         n_tables = len(self._tables)
 
         sentinel = gene.n_vars
@@ -467,10 +499,9 @@ class ShardedTyper:
             # resolved as the straight spelling by the host too
             # (_fast_exact_batch, align/aligner.py:946-975: sc0 >= lens
             # fully in-backbone) — equal-cost indel ties never surface
-            mask_tbl = tabs[17]
-            j1 = jnp.arange(W, dtype=jnp.int32)[None, :]
-            gp0 = jnp.clip(s0[:, None] + j1, 0, Lbb - 1)
-            mk0 = mask_tbl[gp0]
+            mask_rows_t = tabs[20]
+            mk0 = mask_rows_t[jnp.clip(s0, 0, Lbb - 1),
+                              OFF_LO:OFF_LO + W]
             cu0 = jnp.minimum(oriented, 4).astype(jnp.uint8)
             ok0 = ((mk0 >> cu0) & 1) == 1
             valid0 = (oriented < 4) & (((mk0 >> 4) & 1) == 1)
@@ -550,16 +581,23 @@ class ShardedTyper:
             in_ins_a = (ila3 > 0) & after_a & ~after_ai
             in_ins_b = (ilb3 > 0) & after_b & ~after_bi
             in_ins = in_ins_a | in_ins_b
-            bbpos = (s_a[..., None] + jj
-                     + jnp.where(after_a, dla3, 0)
-                     - jnp.where(after_ai, ila3, 0)
-                     + jnp.where(after_b, dlb3, 0)
-                     - jnp.where(after_bi, ilb3, 0))            # [n, H, W]
-            gp = jnp.clip(bbpos, 0, Lbb - 1)
-            # ONE u8 gather scores the whole hypothesis plane: bit c =
-            # base matches backbone-or-catalog-SNP (the aligner's "free"
-            # bases), bit 4 = in-backbone
-            mk = mask_tbl[gp]                                  # [n, H, W]
+            # mask value at s_a + j + off(j): ONE contiguous row fetch
+            # per hypothesis + a static-shift select sweep over the
+            # bounded indel offsets (no [n, H, W] element gather).
+            # bit c = base matches backbone-or-catalog-SNP (the
+            # aligner's "free" bases), bit 4 = in-backbone.  A scored
+            # hypothesis has s_a >= 0 and bbpos >= 0 everywhere (ok_a),
+            # and positions past the backbone land in the rows' zero
+            # padding (bit4 = 0), matching the padded mask table.
+            off = (jnp.where(after_a, dla3, 0)
+                   - jnp.where(after_ai, ila3, 0)
+                   + jnp.where(after_b, dlb3, 0)
+                   - jnp.where(after_bi, ilb3, 0))              # [n, H, W]
+            mrow = mask_rows_t[jnp.clip(s_a, 0, Lbb - 1)]   # [n, H, Wrow]
+            mk = jnp.zeros((n, H, W), jnp.uint8)
+            for o in range(-OFF_LO, OFF_HI + 1):
+                mk = jnp.where(off == o,
+                               mrow[:, :, OFF_LO + o:OFF_LO + o + W], mk)
             c = oriented[:, None, :]
             cu = jnp.minimum(c, 4).astype(jnp.uint8)
             ok_bb = ((mk >> cu) & 1) == 1
@@ -647,21 +685,36 @@ class ShardedTyper:
                 ins_a_w = (ila_w[:, None] > 0) & aft_a & ~aft_ai
                 ins_b_w = (ilb_w[:, None] > 0) & aft_b & ~aft_bi
                 in_ins_w = ins_a_w | ins_b_w
-                bbpos_w = (s_w[:, None] + j
-                           + jnp.where(aft_a, dla_w[:, None], 0)
-                           - jnp.where(aft_ai, ila_w[:, None], 0)
-                           + jnp.where(aft_b, dlb_w[:, None], 0)
-                           - jnp.where(aft_bi, ilb_w[:, None], 0))
+                off_w = (jnp.where(aft_a, dla_w[:, None], 0)
+                         - jnp.where(aft_ai, ila_w[:, None], 0)
+                         + jnp.where(aft_b, dlb_w[:, None], 0)
+                         - jnp.where(aft_bi, ilb_w[:, None], 0))
+                bbpos_w = s_w[:, None] + j + off_w
                 gp_w = jnp.clip(bbpos_w, 0, Lbb - 1)
-                bb_w_base = bb_ext[gp_w]
+                # row lookups (one contiguous fetch per read + static-
+                # shift sweep) for the backbone base and the packed
+                # per-(pos, base) SNP ids — no [n, W] element gathers
+                base = jnp.clip(s_w, 0, Lbb - 1)
+                brow = tabs[21][base]
+                a01r = tabs[22][base]
+                a23r = tabs[23][base]
+                bb_w_base = jnp.full((brow.shape[0], W), 4, jnp.int8)
+                a01 = jnp.full((brow.shape[0], W), sent_pack, jnp.uint32)
+                a23 = jnp.full((brow.shape[0], W), sent_pack, jnp.uint32)
+                for o in range(-OFF_LO, OFF_HI + 1):
+                    hit = off_w == o
+                    sl = slice(OFF_LO + o, OFF_LO + o + W)
+                    bb_w_base = jnp.where(hit, brow[:, sl], bb_w_base)
+                    a01 = jnp.where(hit, a01r[:, sl], a01)
+                    a23 = jnp.where(hit, a23r[:, sl], a23)
                 cc = oriented
                 valid_w = (cc < 4) & ((bb_w_base < 4) | in_ins_w)
                 match_w = valid_w & ~in_ins_w & (cc == bb_w_base)
                 mism_w = valid_w & ~match_w & ~in_ins_w
-                av_tbl = tabs[19]
-                var_w = jnp.where(
-                    mism_w,
-                    av_tbl[gp_w, jnp.clip(cc, 0, 3)], sentinel)
+                avv = jnp.where(cc < 2, a01, a23)
+                var16 = ((avv >> (16 * (cc & 1).astype(jnp.uint32)))
+                         & jnp.uint32(0xFFFF)).astype(jnp.int32)
+                var_w = jnp.where(mism_w, var16, sentinel)
                 span = jnp.where(
                     ins_a_w, pa_w[:, None],
                     jnp.where(ins_b_w, pb_w[:, None], bbpos_w))
@@ -670,7 +723,7 @@ class ShardedTyper:
                 return dict(
                     gp=gp_w, in_ins=in_ins_w, valid=valid_w,
                     var=var_w, match=match_w,
-                    l=l, r=r,
+                    l=l, r=r, sa=s_w,
                     iva=ind_var[ca_w], ivb=ind_var[cb_w],
                     pa=pa_w, pb=pb_w, dla=dla_w, dlb=dlb_w)
 
@@ -743,7 +796,15 @@ class ShardedTyper:
                         | (single.astype(jnp.int32) << 8)
                         | ((single & (b == bbv)).astype(jnp.int32) << 9)
                         | (corr.astype(jnp.int32) << 12))
-            return rep_pack, pile, gate_tbl
+            # sliding-window rows (built once per count pass, ~1.5 MB):
+            # the gate then pays one contiguous row fetch per plane
+            # (zero pad rows -> rp == 0 -> never flagged out of range)
+            gpad = jnp.concatenate([
+                jnp.zeros(OFF_LO, jnp.int32), gate_tbl,
+                jnp.zeros(Wrow, jnp.int32)])
+            gate_rows = jnp.stack(
+                [gpad[t:t + P_bb] for t in range(Wrow)], 1)
+            return rep_pack, pile, gate_rows
 
         def gate_hyp(tabs, sp, h, rep):
             """Pileup re-gating of one hypothesis's per-base
@@ -751,12 +812,21 @@ class ShardedTyper:
             (typing_core.py:119-243).  Returns (gated var plane [n, W],
             corrections counted [n], supported-novel count [n]).
             ONE packed-gate-word gather per plane (rep_of)."""
-            _rp, _pile, gate_tbl = rep
+            _rp, _pile, gate_rows = rep
             gp, c = h["gp"], sp["oriented"]
+            n_g, W_g = gp.shape
             pos_ok = h["valid"] & ~h["in_ins"]
-            gpc = jnp.clip(gp, 0, P_bb - 1)
             in_bb = gp < P_bb
-            tv = gate_tbl[gpc]
+            # row lookup: off(j) recovered from the stored absolute
+            # positions; out-of-sweep offsets (clipped positions past
+            # the backbone) resolve to tv == 0 -> never flagged
+            jg = jnp.arange(W_g, dtype=jnp.int32)[None, :]
+            off_w = gp - h["sa"][:, None] - jg
+            grow = gate_rows[jnp.clip(h["sa"], 0, P_bb - 1)]
+            tv = jnp.zeros((n_g, W_g), jnp.int32)
+            for o in range(-OFF_LO, OFF_HI + 1):
+                tv = jnp.where(off_w == o,
+                               grow[:, OFF_LO + o:OFF_LO + o + W_g], tv)
             rp = tv & 0xFF
             cu = jnp.clip(c, 0, 3).astype(jnp.int32)
             sup = ((rp >> cu) & 1) == 1
@@ -1295,7 +1365,7 @@ class ShardedTyper:
                       "straight_perfect", "score_w", "n_novel_w",
                       "n_valid_w")
         PLANE_KEYS = ("gp", "in_ins", "valid", "var", "match", "l", "r",
-                      "iva", "ivb", "pa", "pb", "dla", "dlb")
+                      "sa", "iva", "ivb", "pa", "pb", "dla", "dlb")
 
         def sp_flatten(sp):
             return ([sp[k] for k in SP_SCALARS]

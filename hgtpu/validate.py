@@ -80,18 +80,76 @@ def check_allele_validity(gene, seqs_by_name):
         assert gene.allele_seq(name) == seq, name
 
 
-def validate_exons(gene):
-    """Exons must be within the backbone and primaries a subset
-    (ref: validate_exons:234)."""
+def allele_exon_seq(gene, name):
+    """Reconstruct one allele's exonic sequence from the GeneRef:
+    backbone bases over each exon window with the allele's catalog
+    variants applied — SNPs substitute, deletions skip, an insertion
+    anchored at backbone position p (occupying the gap before p)
+    contributes when l < p <= r.  This is the reconstruction the
+    reference's validate_exons diffs against `_nuc.fasta`
+    (hisatgenotype_validation_check.py:234-312)."""
+    from .db.catalog import VT_DELETION, VT_INSERTION, VT_SINGLE
+
+    a = list(gene.allele_names).index(name)
+    carried = np.flatnonzero(gene.links[:, a])
+    out = []
+    for l, r in gene.exons:
+        seq = list(gene.backbone[l:r + 1])
+        skip = np.zeros(r - l + 1, bool)
+        ins_at = {}
+        for v in carried:
+            p = int(gene.var_pos[v])
+            t = int(gene.var_type[v])
+            if t == VT_SINGLE:
+                if l <= p <= r:
+                    seq[p - l] = gene.var_data[v]
+            elif t == VT_DELETION:
+                for q in range(p, p + int(gene.var_len[v])):
+                    if l <= q <= r:
+                        skip[q - l] = True
+            elif t == VT_INSERTION:
+                if l < p <= r:
+                    ins_at.setdefault(p, []).append(gene.var_data[v])
+        parts = []
+        for q in range(l, r + 1):
+            for ins in ins_at.get(q, ()):
+                parts.append(ins)
+            if not skip[q - l]:
+                parts.append(seq[q - l])
+        out.append("".join(parts))
+    return "".join(out)
+
+
+def validate_exons(gene, nuc_names=None, nuc_rows=None):
+    """Exon consistency (ref: validate_exons:234-312).
+
+    Structural check always: exons within the backbone, primaries a
+    subset.  With a nuc (exon-only) alignment supplied, additionally
+    reconstruct each shared allele's exonic sequence from the GeneRef
+    and diff it against the gap-stripped nuc row — the check that
+    catches exon-boundary off-by-ones and partial-grafting drift."""
     for l, r in gene.exons:
         assert 0 <= l <= r < len(gene.backbone)
     assert {tuple(e) for e in gene.primary_exons} \
         <= {tuple(e) for e in gene.exons}
+    if nuc_names is None or nuc_rows is None:
+        return
+    lookup = dict(zip(nuc_names, nuc_rows))
+    for name in gene.allele_names:
+        row = lookup.get(name)
+        if row is None:
+            continue
+        expect = row.replace(".", "").replace("-", "").replace("~", "")
+        got = allele_exon_seq(gene, name)
+        assert got == expect, \
+            "exon sequence mismatch for %s: %d vs %d nt" % (
+                name, len(got), len(expect))
 
 
-def validate_gene(gene, msa_rows=None, names=None):
+def validate_gene(gene, msa_rows=None, names=None, nuc_names=None,
+                  nuc_rows=None):
     """Run the full suite on one GeneRef."""
     validate_variants_sorted(gene)
     validate_constructs(gene, msa_rows, names)
     validate_haplotypes(gene)
-    validate_exons(gene)
+    validate_exons(gene, nuc_names, nuc_rows)
