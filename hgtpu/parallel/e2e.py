@@ -1424,10 +1424,7 @@ class ShardedTyper:
                 return spell_single_tail(tabs, sp, reads.shape[0])
             return f
 
-        def count_single_pass(*args):
-            tabs = args[:n_tables]
-            pile_in = args[n_tables]
-            rest = args[n_tables + 1:]
+        def count_single_body(tabs, pile_in, rest):
             sp = sp_unflatten(rest[:NSP])
             amb_all, pre_punt = rest[NSP], rest[NSP + 1]
             n_loc = sp["oriented"].shape[0]
@@ -1507,10 +1504,7 @@ class ShardedTyper:
                 return spell_pairs_tail(tabs, sp1, sp2, r1.shape[0])
             return f
 
-        def count_pairs_pass(*args):
-            tabs = args[:n_tables]
-            pile_in = args[n_tables]
-            rest = args[n_tables + 1:]
+        def count_pairs_body(tabs, pile_in, rest):
             sp1 = sp_unflatten(rest[:NSP])
             sp2 = sp_unflatten(rest[NSP:2 * NSP])
             amb1, amb2, conc, pre_punt, disc_susp = rest[2 * NSP:]
@@ -1540,6 +1534,25 @@ class ShardedTyper:
                 cnts.append(cnt_px)
             return assemble_buf_b(pack_classes(
                 cnts, used, punt, excl, n_reads_m, n_loc))
+
+        def make_count_multi(m, T):
+            """Count pass over T spelling tiers in ONE dispatch: each
+            shard concatenates its per-tier local rows (row-independent
+            gate/count; only the psum'd totals are global), so the
+            whole batch pays one roundtrip instead of T."""
+            NS = self._NSTATE[m]
+            body = count_single_body if m == 1 else count_pairs_body
+
+            def f(*args):
+                tabs = args[:n_tables]
+                pile_in = args[n_tables]
+                rest = args[n_tables + 1:]
+                parts = [rest[t * NS:(t + 1) * NS] for t in range(T)]
+                cat = parts[0] if T == 1 else tuple(
+                    jnp.concatenate([p[k] for p in parts], 0)
+                    for k in range(NS))
+                return body(tabs, pile_in, cat)
+            return f
 
         # -- 6. staged SQUAREM EM over the device-resident class shard -- #
         def em_shard(remove_low, use_len, cnt, w, include, restrict):
@@ -1635,14 +1648,13 @@ class ShardedTyper:
             in_specs=specs_t + (P(axis),) * 8,
             out_specs=(P(axis),) * (1 + self._NSTATE[2]),
             check_rep=False)) for ns, prs in self._tier_cfg]
-        self._count_single_pass = jax.jit(shard_map(
-            count_single_pass, mesh,
-            in_specs=specs_t + (P(),) + (P(axis),) * self._NSTATE[1],
-            out_specs=cls_outs, check_rep=False))
-        self._count_pairs_pass = jax.jit(shard_map(
-            count_pairs_pass, mesh,
-            in_specs=specs_t + (P(),) + (P(axis),) * self._NSTATE[2],
-            out_specs=cls_outs, check_rep=False))
+        self._count_multi = {
+            (m, T): jax.jit(shard_map(
+                make_count_multi(m, T), mesh,
+                in_specs=(specs_t + (P(),)
+                          + (P(axis),) * (T * self._NSTATE[m])),
+                out_specs=cls_outs, check_rep=False))
+            for m in (1, 2) for T in (1, 2, 3)}
         self._em_steps = {
             key: jax.jit(shard_map(
                 functools.partial(em_shard, *key), mesh,
@@ -1847,82 +1859,86 @@ class ShardedTyper:
         if merge_pileup is not None:
             final_pile = merge_pileup(pile_dev, excl, winner)
 
-        # -- per-tier pass B: gate + count + pack vs the final pileup - #
+        # -- pass B: ONE dispatch gates + counts + packs every tier's
+        # rows (per-shard concat inside the program) vs the final
+        # pileup -- #
         _t_cnt = TRACE.stage("device.countB")
         _t_cnt.__enter__()
         pin = jnp.asarray(np.ascontiguousarray(
             final_pile, dtype=np.int32).reshape(-1))
-        bouts = []
-        for t, idx, n_pad_t, aout in tinfo:
-            state = aout[1:]
-            if n_mates == 1:
-                bouts.append(self._count_single_pass(
-                    *self._tables, pin, *state))
-            else:
-                bouts.append(self._count_pairs_pass(
-                    *self._tables, pin, *state))
+        T = len(tinfo)
+        flat_state = [a for (_t, _i, _np_, aout) in tinfo
+                      for a in aout[1:]]
+        out = self._count_multi[(n_mates, T)](*self._tables, pin,
+                                              *flat_state)
+        n_loc_list = [n_pad_t // ndev for (_t, _i, n_pad_t, _a) in tinfo]
+        n_loc = sum(n_loc_list)
+        cap = min(self._class_cap, NLEV * n_loc)
+        npw = (n_loc + 31) // 32
+        BUF = cap * W32 + 2 * cap + NLEV * A + 2 * npw + 4
+        buf = np.asarray(out[0]).reshape(ndev, BUF)
+        # per-shard local row -> original read index (concat layout:
+        # tier-0 local rows, then tier-1, then tier-2 per shard)
+        orig_shard = np.full((ndev, n_loc), n, np.int64)
+        off_t = np.concatenate([[0], np.cumsum(n_loc_list)])
+        for ti, (_t, idx, n_pad_t, _a) in enumerate(tinfo):
+            nl = n_loc_list[ti]
+            om = np.full(n_pad_t, n, np.int64)
+            om[:len(idx)] = idx
+            orig_shard[:, off_t[ti]:off_t[ti] + nl] = \
+                om.reshape(ndev, nl)
 
         rows_parts, uw_parts, ord_parts = [], [], []
-        punt = np.zeros(n, bool)
+        punt = np.zeros(n + 1, bool)
         n_reads = 0
         n_pairs = 0
-        totals = np.zeros((NLEV, A), np.int64)
-        for (t, idx, n_pad_t, _aout), out in zip(tinfo, bouts):
-            n_loc_t = n_pad_t // ndev
-            npw_t = (n_loc_t + 31) // 32
-            cap = min(self._class_cap, NLEV * n_loc_t)
-            BUF = cap * W32 + 2 * cap + NLEV * A + 2 * npw_t + 4
-            buf = np.asarray(out[0]).reshape(ndev, BUF)
-            orig_map = np.full(n_pad_t, n, np.int64)
-            orig_map[:len(idx)] = idx
-            punt_t = np.zeros(n_pad_t, bool)
-            overflow_fetch = None
-            for s in range(ndev):
-                b = buf[s]
-                at = cap * W32
-                rows_s = b[:at].reshape(cap, W32)
-                uw_s = b[at:at + cap].astype(np.int64)
-                min_s = b[at + cap:at + 2 * cap].astype(np.int64)
-                at += 2 * cap
-                tt = b[at:at + NLEV * A].astype(np.int64).reshape(NLEV, A)
-                at += NLEV * A
-                pw = b[at:at + npw_t]
-                at += 2 * npw_t     # punt words + excl words
-                n_uniq, nr, npair, _np_ = (int(x) for x in b[at:at + 4])
-                if s == 0:
-                    totals += tt          # psum-replicated per tier
-                n_reads += nr
-                n_pairs += npair
-                punt_t[s * n_loc_t:(s + 1) * n_loc_t] = \
-                    self._unpack_bits(pw, n_loc_t)
-                if n_uniq > cap:
-                    # rare overflow: fetch the full sorted rows for
-                    # this shard through the exact secondary leaves
-                    if overflow_fetch is None:
-                        overflow_fetch = [np.asarray(x) for x in out[1:5]]
-                    fs_all, first_all, uw_all, min_all = overflow_fetch
-                    blk = NLEV * n_loc_t
-                    fs_s = fs_all[s * blk:(s + 1) * blk]
-                    first_s = first_all[s * blk:(s + 1) * blk]
-                    uwf = uw_all[s * blk:(s + 1) * blk]
-                    minf = min_all[s * blk:(s + 1) * blk]
-                    fr = np.flatnonzero(first_s)
-                    rows_s = fs_s[fr]
-                    uw_s = uwf[:len(fr)].astype(np.int64)
-                    min_s = minf[:len(fr)].astype(np.int64)
-                    n_uniq = len(fr)
-                rows_s = rows_s[:n_uniq]
-                uw_s = uw_s[:n_uniq]
-                min_s = min_s[:n_uniq]
-                keep = uw_s > 0
-                rows_parts.append(rows_s[keep])
-                uw_parts.append(uw_s[keep])
-                # global first-seen order: (level, original read index)
-                m = min_s[keep]
-                ord_parts.append(
-                    (m // n_loc_t) * np.int64(n + 1)
-                    + orig_map[s * n_loc_t + (m % n_loc_t)])
-            punt[idx] = punt_t[:len(idx)]
+        totals = None
+        overflow_fetch = None
+        for s in range(ndev):
+            b = buf[s]
+            at = cap * W32
+            rows_s = b[:at].reshape(cap, W32)
+            uw_s = b[at:at + cap].astype(np.int64)
+            min_s = b[at + cap:at + 2 * cap].astype(np.int64)
+            at += 2 * cap
+            tt = b[at:at + NLEV * A].astype(np.int64).reshape(NLEV, A)
+            at += NLEV * A
+            pw = b[at:at + npw]
+            at += 2 * npw     # punt words + excl words
+            n_uniq, nr, npair, _np_ = (int(x) for x in b[at:at + 4])
+            if s == 0:
+                totals = tt           # psum-replicated
+            n_reads += nr
+            n_pairs += npair
+            bits = self._unpack_bits(pw, n_loc)
+            punt[orig_shard[s][bits]] = True
+            if n_uniq > cap:
+                # rare overflow: fetch the full sorted rows for this
+                # shard through the exact secondary leaves
+                if overflow_fetch is None:
+                    overflow_fetch = [np.asarray(x) for x in out[1:5]]
+                fs_all, first_all, uw_all, min_all = overflow_fetch
+                blk = NLEV * n_loc
+                fs_s = fs_all[s * blk:(s + 1) * blk]
+                first_s = first_all[s * blk:(s + 1) * blk]
+                uwf = uw_all[s * blk:(s + 1) * blk]
+                minf = min_all[s * blk:(s + 1) * blk]
+                fr = np.flatnonzero(first_s)
+                rows_s = fs_s[fr]
+                uw_s = uwf[:len(fr)].astype(np.int64)
+                min_s = minf[:len(fr)].astype(np.int64)
+                n_uniq = len(fr)
+            rows_s = rows_s[:n_uniq]
+            uw_s = uw_s[:n_uniq]
+            min_s = min_s[:n_uniq]
+            keep = uw_s > 0
+            rows_parts.append(rows_s[keep])
+            uw_parts.append(uw_s[keep])
+            # global first-seen order: (level, original read index)
+            m = min_s[keep]
+            ord_parts.append((m // n_loc) * np.int64(n + 1)
+                             + orig_shard[s][m % n_loc])
+        punt = punt[:n]
         rows = np.concatenate(rows_parts) if rows_parts else \
             np.zeros((0, W32), np.uint32)
         uws = np.concatenate(uw_parts) if uw_parts else \
