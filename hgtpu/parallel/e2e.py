@@ -1716,10 +1716,13 @@ class ShardedTyper:
                     + 2.0 * (2.0 * rows) * V * A
                     + 3.0 * self._NLEV * n_pad * A)
         # bytes: placement score planes (f32), ~10 spelling planes
-        # [n, H, W] i32, compat count rows [rows, A] i32 (~3 passes:
-        # write + class compare + pack), prefix gathers (2 [A] rows per
-        # group row), class-pack sort keys
-        H = 1 + 2 * MAX_INDEL_CAND
+        # [n, H, W] i32 (upper bound: the tiered dispatch runs most
+        # reads at H=2/3; H here is the full single+pair budget),
+        # compat count rows [rows, A] i32 (~3 passes: write + class
+        # compare + pack), class-pack sort keys
+        H = 1 + 2 * MAX_INDEL_CAND + 3 * len(
+            [(u, v) for u in range(MAX_INDEL_CAND)
+             for v in range(u + 1, MAX_INDEL_CAND)])
         TRACE.count("bytes.device_classes",
                     n_mates * 2.0 * n_pad * P1 * 4
                     + n_mates * 10.0 * n_pad * H * W * 4
