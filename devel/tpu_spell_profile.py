@@ -10,7 +10,7 @@ sys.path.insert(0, ".")
 
 import hgtpu
 
-hgtpu.enable_compilation_cache("/root/repo/.xla_cache_probe")
+hgtpu.enable_compilation_cache()   # ~/.cache/hgtpu_xla (shared)
 
 import jax
 import jax.numpy as jnp
