@@ -50,6 +50,12 @@ def encode_reads(seqs, read_len: int) -> np.ndarray:
     clipped = [s[:read_len] for s in seqs]
     lens = np.fromiter((len(s) for s in clipped), np.int64, n)
     flat = _ENC[np.frombuffer("".join(clipped).encode("ascii"), np.uint8)]
+    L0 = int(lens[0])
+    if int(lens.min()) == L0 == int(lens.max()):
+        # uniform-length batch (the common case): one reshape instead
+        # of the ragged fancy scatter
+        out[:, :L0] = flat.reshape(n, L0)
+        return out
     tot = int(lens.sum())
     rows = np.repeat(np.arange(n, dtype=np.int64), lens)
     cols = np.arange(tot, dtype=np.int64) \

@@ -85,6 +85,7 @@ multi-host slice.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -192,6 +193,22 @@ class ShardedTyper:
         self.n_devices = int(np.prod(mesh.devices.shape))
         ipos_np, ilen_np, iins_np, _, _ = _indel_tables(gene)
         max_shift = int(ilen_np.max()) if len(ilen_np) else 0
+        # gene-level hypothesis ceiling: the densest WIDE window
+        # ([s0 - 2*max_shift, s0 + W + max_shift], place_mates) any read
+        # can see bounds every read's candidate count, so a gene whose
+        # ceiling is small can spell its whole batch in ONE fused
+        # place+spell dispatch at that ceiling — dropping only
+        # hypotheses built on sentinel candidates (invalid in the full
+        # program), the same argument that makes tiered == full.
+        D_real = len(ipos_np) - 1
+        if D_real > 0:
+            _p = ipos_np[:D_real].astype(np.int64)
+            _hi = np.searchsorted(_p, _p + read_len + 3 * max_shift,
+                                  side="right")
+            max_cw = int((_hi - np.arange(D_real)).max())
+        else:
+            max_cw = 0
+        self._fused_ns = min(max_cw, max_indel_cand)
         ins_lens = ilen_np[iins_np == 1]
         ins_cap = int(ins_lens.max()) if len(ins_lens) else 0
         del_lens = ilen_np[(iins_np == 0)]
@@ -1648,6 +1665,42 @@ class ShardedTyper:
             in_specs=specs_t + (P(axis),) * 8,
             out_specs=(P(axis),) * (1 + self._NSTATE[2]),
             check_rep=False)) for ns, prs in self._tier_cfg]
+        # fused place+spell at the gene's hypothesis ceiling: one
+        # dispatch for the whole batch (no place fetch, no tier
+        # partition roundtrip) — engaged by count_classes when the
+        # ceiling keeps H small (low-indel-density genes, where the
+        # tunnel roundtrips dominate the extra hypothesis planes)
+        fused_ns = self._fused_ns
+        fused_prs = tuple((u, v) for u in range(fused_ns)
+                          for v in range(u + 1, fused_ns))
+        self._fused_H = 1 + 2 * fused_ns + 3 * len(fused_prs)
+
+        def spell_fused_single(*args):
+            tabs = args[:n_tables]
+            reads = args[n_tables]
+            sp = mate_spell(tabs, reads, pair_combos=fused_prs,
+                            n_single=fused_ns)
+            return spell_single_tail(tabs, sp, reads.shape[0])
+
+        def spell_fused_pairs(*args):
+            tabs = args[:n_tables]
+            r1, r2 = args[n_tables], args[n_tables + 1]
+            sp1 = mate_spell(tabs, r1, pair_combos=fused_prs,
+                             n_single=fused_ns)
+            sp2 = mate_spell(tabs, r2, pair_combos=fused_prs,
+                             n_single=fused_ns)
+            return spell_pairs_tail(tabs, sp1, sp2, r1.shape[0])
+
+        self._spell_fused = {
+            1: jax.jit(shard_map(
+                spell_fused_single, mesh, in_specs=specs_t + (P(axis),),
+                out_specs=(P(axis),) * (1 + self._NSTATE[1]),
+                check_rep=False)),
+            2: jax.jit(shard_map(
+                spell_fused_pairs, mesh,
+                in_specs=specs_t + (P(axis), P(axis)),
+                out_specs=(P(axis),) * (1 + self._NSTATE[2]),
+                check_rep=False))}
         self._count_multi = {
             (m, T): jax.jit(shard_map(
                 make_count_multi(m, T), mesh,
@@ -1740,7 +1793,8 @@ class ShardedTyper:
                 & 1).astype(bool).reshape(-1)[:n_loc]
 
     def count_classes(self, r1_codes: np.ndarray, r2_codes=None,
-                      bucket: bool = True, merge_pileup=None):
+                      bucket: bool = True, merge_pileup=None,
+                      overlap=None):
         """Run the two-pass production program.  Returns a dict:
           levels: {"full"|"exon"|"primary":
                       (rows uint32 [U, W32], weights int64 [U],
@@ -1767,51 +1821,73 @@ class ShardedTyper:
         NLEV, W32, A = self._NLEV, self._W32, self.A
         P6 = self.P_bb * 6
 
-        # -- place pass over the full batch: tier assignment ---------- #
-        _t_place = TRACE.stage("device.place")
-        _t_place.__enter__()
-        p1f = self._pad(r1_codes, bucket)
-        self._count_work(p1f.shape[0], n_mates)
-        if n_mates == 1:
-            pl = np.asarray(self._place_single_p(
-                *self._tables, jnp.asarray(p1f)))
-        else:
-            p2f = self._pad(r2_codes, bucket)
-            pl = np.asarray(self._place_pairs_p(
-                *self._tables, jnp.asarray(p1f), jnp.asarray(p2f)))
-        pl = pl[:n].T
-        _t_place.__exit__(None, None, None)
-        _t_spell = TRACE.stage("device.spell")
-        _t_spell.__enter__()
-        tier = np.clip(pl[3], 0, 2)
-        if n_mates == 2:
-            tier = np.maximum(tier, np.clip(pl[7], 0, 2))
-        idx_t = [np.flatnonzero(tier == t) for t in range(3)]
-
-        # -- per-tier pass A: all dispatched, then fetched ------------ #
-        tinfo = []
-        for t, idx in enumerate(idx_t):
-            if len(idx) == 0:
-                continue
-            c1t = self._pad(r1_codes[idx], bucket)
+        # fused place+spell when the gene's hypothesis ceiling is small
+        # (H <= 8: every read's wide window holds <= 2 catalog indels):
+        # one dispatch for the whole batch instead of place -> fetch ->
+        # per-tier spell — the tunnel roundtrips cost more than the
+        # extra hypothesis planes in this regime
+        fuse = (self._fused_H <= 8
+                and os.environ.get("HGTPU_FUSED_SPELL", "auto") != "off")
+        if fuse:
+            _t_spell = TRACE.stage("device.spell")
+            _t_spell.__enter__()
+            c1t = self._pad(r1_codes, bucket)
             n_pad_t = c1t.shape[0]
-
-            def padi(row, n_pad_t=n_pad_t, idx=idx):
-                out = np.zeros(n_pad_t, np.int32)
-                out[:len(idx)] = row[idx]
-                return jnp.asarray(out)
-
+            self._count_work(n_pad_t, n_mates)
             if n_mates == 1:
-                aout = self._spell_single_t[t](
-                    *self._tables, jnp.asarray(c1t),
-                    padi(pl[0]), padi(pl[1]), padi(pl[2]))
+                aout = self._spell_fused[1](
+                    *self._tables, jnp.asarray(c1t))
             else:
-                c2t = self._pad(r2_codes[idx], bucket)
-                aout = self._spell_pairs_t[t](
-                    *self._tables, jnp.asarray(c1t), jnp.asarray(c2t),
-                    padi(pl[0]), padi(pl[1]), padi(pl[2]),
-                    padi(pl[4]), padi(pl[5]), padi(pl[6]))
-            tinfo.append((t, idx, n_pad_t, aout))
+                c2t = self._pad(r2_codes, bucket)
+                aout = self._spell_fused[2](
+                    *self._tables, jnp.asarray(c1t), jnp.asarray(c2t))
+            tinfo = [(0, np.arange(n), n_pad_t, aout)]
+        else:
+            # -- place pass over the full batch: tier assignment ------ #
+            _t_place = TRACE.stage("device.place")
+            _t_place.__enter__()
+            p1f = self._pad(r1_codes, bucket)
+            self._count_work(p1f.shape[0], n_mates)
+            if n_mates == 1:
+                pl = np.asarray(self._place_single_p(
+                    *self._tables, jnp.asarray(p1f)))
+            else:
+                p2f = self._pad(r2_codes, bucket)
+                pl = np.asarray(self._place_pairs_p(
+                    *self._tables, jnp.asarray(p1f), jnp.asarray(p2f)))
+            pl = pl[:n].T
+            _t_place.__exit__(None, None, None)
+            _t_spell = TRACE.stage("device.spell")
+            _t_spell.__enter__()
+            tier = np.clip(pl[3], 0, 2)
+            if n_mates == 2:
+                tier = np.maximum(tier, np.clip(pl[7], 0, 2))
+            idx_t = [np.flatnonzero(tier == t) for t in range(3)]
+
+            # -- per-tier pass A: all dispatched, then fetched -------- #
+            tinfo = []
+            for t, idx in enumerate(idx_t):
+                if len(idx) == 0:
+                    continue
+                c1t = self._pad(r1_codes[idx], bucket)
+                n_pad_t = c1t.shape[0]
+
+                def padi(row, n_pad_t=n_pad_t, idx=idx):
+                    out = np.zeros(n_pad_t, np.int32)
+                    out[:len(idx)] = row[idx]
+                    return jnp.asarray(out)
+
+                if n_mates == 1:
+                    aout = self._spell_single_t[t](
+                        *self._tables, jnp.asarray(c1t),
+                        padi(pl[0]), padi(pl[1]), padi(pl[2]))
+                else:
+                    c2t = self._pad(r2_codes[idx], bucket)
+                    aout = self._spell_pairs_t[t](
+                        *self._tables, jnp.asarray(c1t), jnp.asarray(c2t),
+                        padi(pl[0]), padi(pl[1]), padi(pl[2]),
+                        padi(pl[4]), padi(pl[5]), padi(pl[6]))
+                tinfo.append((t, idx, n_pad_t, aout))
 
         pile_dev = np.zeros((self.P_bb, 6), np.int64)
         excl = np.zeros(n, bool)
@@ -1879,9 +1955,10 @@ class ShardedTyper:
         cap = min(self._class_cap, NLEV * n_loc)
         npw = (n_loc + 31) // 32
         BUF = cap * W32 + 2 * cap + NLEV * A + 2 * npw + 4
-        buf = np.asarray(out[0]).reshape(ndev, BUF)
         # per-shard local row -> original read index (concat layout:
-        # tier-0 local rows, then tier-1, then tier-2 per shard)
+        # tier-0 local rows, then tier-1, then tier-2 per shard) —
+        # built BEFORE the blocking fetch so host prep overlaps the
+        # device count pass
         orig_shard = np.full((ndev, n_loc), n, np.int64)
         off_t = np.concatenate([[0], np.cumsum(n_loc_list)])
         for ti, (_t, idx, n_pad_t, _a) in enumerate(tinfo):
@@ -1890,6 +1967,12 @@ class ShardedTyper:
             om[:len(idx)] = idx
             orig_shard[:, off_t[ti]:off_t[ti] + nl] = \
                 om.reshape(ndev, nl)
+        if overlap is not None:
+            # host work independent of the count-pass output (e.g. the
+            # punt rescue's fast-path memo prefill) runs while the
+            # dispatched program executes on device
+            overlap()
+        buf = np.asarray(out[0]).reshape(ndev, BUF)
 
         rows_parts, uw_parts, ord_parts = [], [], []
         punt = np.zeros(n + 1, bool)

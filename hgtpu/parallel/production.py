@@ -353,38 +353,23 @@ def _rescued_fragment_rows(gene, opts, reads_1, by_pair, idx, mpileup):
     return keys, rows_f, rows_e, rows_p, n_reads, novel
 
 
-def _count_rescued(gene, opts, reads_1, by_pair, idx, mpileup, stats):
-    """read_hts + count the punted pairs exactly as type_gene would,
-    merging their classes into the device accumulators before EM.
-    Corrections run against the merged (final) pileup.  Returns
-    (n_reads, n_pairs, novel) added."""
-    novel = NovelVars()
-    if len(idx) == 0:
-        return 0, 0, novel
-    typer_h = GeneTyper(gene, opts)
-    # iterate pairs in read-id order (the host engine's sorted-SAM
-    # order) for identical accumulation order
-    by_read = {}
-    for i in idx:
-        alns = by_pair.get(int(i))
-        if alns:
-            # pairs sharing a fragment-id prefix merge into ONE fragment
-            # (the host engine's read-id-change grouping over sorted SAM)
-            by_read.setdefault(
-                reads_1[i][0].split("|")[0], []).extend(alns)
-
-    # batch fast paths over unique nm==0 all-catalog alignments (the
-    # vectorized twins type_gene uses) prefill the read_hts memo
+def _fast_path_fill(typer_h, opts, alns_groups, mpileup, hts_memo):
+    """Batch the read_hts fast paths (the vectorized twins type_gene
+    uses) over every unique nm==0 all-catalog alignment in the given
+    groups, prefilling `hts_memo`.  Keys already resolved in the memo
+    are skipped, so the fill can run in two phases (overlap prefill of
+    the excl set + the post-fetch remainder) with identical results —
+    the fast paths are per-alignment deterministic and never register
+    novel variants."""
     from ..align.types import aln_key
 
-    hts_memo = {}
     uniq_clean, uniq_indel = {}, {}
-    for alns0 in by_read.values():
+    for alns0 in alns_groups:
         for a in alns0:
             if a.nm != 0:
                 continue
             k = aln_key(a)
-            if k in uniq_clean or k in uniq_indel:
+            if k in hts_memo or k in uniq_clean or k in uniq_indel:
                 continue
             catalog, has_indel = a.catalog, a.has_indel
             if catalog is None:
@@ -406,6 +391,53 @@ def _count_rescued(gene, opts, reads_1, by_pair, idx, mpileup, stats):
                                 opts.error_correction, hts_memo)
         typer_h.indel_clean_hts_batch(list(uniq_indel.values()), mpileup,
                                       opts.error_correction, hts_memo)
+
+
+def _prepare_rescue(gene, opts, reads_1, by_pair, idx, mpileup):
+    """Rescue prep that is independent of the count-pass output, safe
+    to run while the device count pass is in flight (count_classes'
+    `overlap` hook): the GeneTyper construction and the fast-path memo
+    prefill over the excl pairs' alignments.  Pure w.r.t. novel-variant
+    state (the fast paths never register novels), and excl ⊆ punt (a
+    pre-punting mate stays needs_host in the count pass; disc_susp
+    punts directly), so no prefilled work is wasted on unpunted pairs."""
+    typer_h = GeneTyper(gene, opts)
+    hts_memo = {}
+    _fast_path_fill(typer_h, opts,
+                    (by_pair.get(int(i)) or () for i in idx),
+                    mpileup, hts_memo)
+    return typer_h, hts_memo
+
+
+def _count_rescued(gene, opts, reads_1, by_pair, idx, mpileup, stats,
+                   pre=None):
+    """read_hts + count the punted pairs exactly as type_gene would,
+    merging their classes into the device accumulators before EM.
+    Corrections run against the merged (final) pileup.  `pre` is the
+    (typer, memo) pair from _prepare_rescue when the prefill overlapped
+    the device count pass.  Returns (n_reads, n_pairs, novel) added."""
+    novel = NovelVars()
+    if len(idx) == 0:
+        return 0, 0, novel
+    if pre is not None:
+        typer_h, hts_memo = pre
+    else:
+        typer_h = GeneTyper(gene, opts)
+        hts_memo = {}
+    # iterate pairs in read-id order (the host engine's sorted-SAM
+    # order) for identical accumulation order
+    by_read = {}
+    for i in idx:
+        alns = by_pair.get(int(i))
+        if alns:
+            # pairs sharing a fragment-id prefix merge into ONE fragment
+            # (the host engine's read-id-change grouping over sorted SAM)
+            by_read.setdefault(
+                reads_1[i][0].split("|")[0], []).extend(alns)
+
+    from ..align.types import aln_key
+
+    _fast_path_fill(typer_h, opts, by_read.values(), mpileup, hts_memo)
 
     full_stats, exon_stats, primary_stats = stats
     n_reads = 0
@@ -545,9 +577,21 @@ def type_reads_device(gene: GeneRef, reads_1, reads_2=None,
             mp = _merge_pileup(gene, opts, pile_dev, bp, idx)
         holder["by_pair"] = bp
         holder["mpileup"] = mp
+        holder["excl_idx"] = idx
         return mp.counts
 
-    out = st.count_classes(c1, c2, merge_pileup=_merge_cb)
+    def _overlap_cb():
+        # rescue prep independent of the count-pass output runs while
+        # the dispatched count program executes on device: the
+        # GeneTyper build + the fast-path memo prefill over the excl
+        # pairs (excl ⊆ punt, so none of this work is wasted)
+        with TRACE.stage("rescue.prefill"):
+            holder["pre"] = _prepare_rescue(
+                gene, opts, reads_1, holder["by_pair"],
+                holder["excl_idx"], holder["mpileup"])
+
+    out = st.count_classes(c1, c2, merge_pileup=_merge_cb,
+                           overlap=_overlap_cb)
     by_pair = holder["by_pair"]
     mpileup = holder["mpileup"]
 
@@ -582,7 +626,8 @@ def type_reads_device(gene: GeneRef, reads_1, reads_2=None,
     with TRACE.stage("device.rescue"):
         r_reads, r_pairs, novel = _count_rescued(
             gene, opts, reads_1, by_pair, punt_idx, mpileup,
-            (full_stats, exon_stats, primary_stats))
+            (full_stats, exon_stats, primary_stats),
+            pre=holder.get("pre"))
     n_reads += r_reads
     n_pairs += r_pairs
 

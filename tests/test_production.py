@@ -246,6 +246,63 @@ def test_count_classes_mesh_invariant(indel_ref):
             assert norm(o_rows, o_w) == norm(r_rows, r_w), (n_dev, name)
 
 
+def test_fused_spell_matches_tiered():
+    """Low-indel-density genes spell in ONE fused place+spell dispatch
+    at the gene's hypothesis ceiling (e2e count_classes, fuse branch).
+    The fused program must return the same classes/pileup/punt as the
+    tiered path, and both must match the host engine."""
+    import os
+
+    from tests.synth import make_gene_msa
+    from hgtpu.parallel.e2e import ShardedTyper
+    from hgtpu.parallel.sharded import make_mesh
+
+    spec = make_gene_msa(seed=11, n_alleles=60, length=3000)
+    ref, _ = build_gene_ref("A", spec["names"], spec["rows"],
+                            spec["ref_allele"],
+                            exons_ref_coords=spec["exons"],
+                            min_var_freq=0.0)
+    st = ShardedTyper(ref, make_mesh(8))
+    assert st._fused_H <= 8, "gene no longer exercises the fused branch"
+    r1, r2, _ = simulate_reads(ref, ref.allele_names[:2],
+                               simulate_interval=4, read_len=100,
+                               frag_len=250, seed=5,
+                               perbase_errorrate=0.02)
+    c1 = st.encode([r.seq for r in r1])
+    c2 = st.encode([r.seq for r in r2])
+    fused = st.count_classes(c1, c2)
+    os.environ["HGTPU_FUSED_SPELL"] = "off"
+    try:
+        tiered = st.count_classes(c1, c2)
+    finally:
+        del os.environ["HGTPU_FUSED_SPELL"]
+    assert np.array_equal(fused["pileup"], tiered["pileup"])
+    assert np.array_equal(fused["punt"], tiered["punt"])
+    assert np.array_equal(fused["excl"], tiered["excl"])
+    assert fused["n_reads"] == tiered["n_reads"]
+    assert fused["n_pairs"] == tiered["n_pairs"]
+    for name in tiered["levels"]:
+        f_rows, f_w, f_tot = fused["levels"][name]
+        t_rows, t_w, t_tot = tiered["levels"][name]
+        assert np.array_equal(f_tot, t_tot), name
+
+        def norm(rows, w):
+            agg = {}
+            for r, x in zip(rows, w):
+                k = tuple(r)
+                agg[k] = agg.get(k, 0) + int(x)
+            return agg
+        assert norm(f_rows, f_w) == norm(t_rows, t_w), name
+    # end-to-end through the production pipeline (fused engaged)
+    R1 = [(r.name, r.seq) for r in r1]
+    R2 = [(r.name, r.seq) for r in r2]
+    dev = type_reads(ref, R1, R2,
+                     TypingOptions(simulation=True, device_typing="on"))
+    host = type_reads(ref, R1, R2,
+                      TypingOptions(simulation=True, device_typing="off"))
+    _assert_equal_results(dev, host, ref.allele_names[:2])
+
+
 def test_codis_family_routes_host():
     """device_typing_supported must refuse the configs the device
     program does not model (codis pair-distance, assembly, linear,
