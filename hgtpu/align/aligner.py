@@ -529,9 +529,22 @@ class GeneAligner:
     def _proposal_meta(self, cand_pos, cand_scores, m,
                        max_clip_frac=0.35):
         """_proposal_entries without materializing subreads: ordered
-        (start, clip_front, sub_len) tuples (same dedup + clip rules)."""
-        out = []
+        (start, clip_front, sub_len) tuples (same dedup + clip rules).
+
+        Memoized on (valid candidate prefix, m): the output depends on
+        cand_scores only through the first below-threshold break, so
+        reads anchored at the same diagonals (common among punts from
+        the same locus) share one computed list."""
         min_score = m * self.min_seed_frac
+        kv = 0
+        while kv < len(cand_pos) and cand_scores[kv] >= min_score:
+            kv += 1
+        ck = (m, bytes(np.ascontiguousarray(cand_pos[:kv]).data))
+        cache = self.__dict__.setdefault("_pmeta_cache", {})
+        hit = cache.get(ck)
+        if hit is not None:
+            return hit
+        out = []
         P = len(self.gene.backbone)
         max_clip = int(m * max_clip_frac)
         tried = set()
@@ -558,6 +571,9 @@ class GeneAligner:
                     continue
                 tried.add(key)
                 out.append(key)
+        if len(cache) > 100000:
+            cache.clear()
+        cache[ck] = out
         return out
 
     def _lb_values_meta(self, st, flat_meta, flat_starts):

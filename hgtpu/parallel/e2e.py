@@ -184,6 +184,14 @@ class ShardedTyper:
                  max_ht_vars: int = 16, family: str = "hla",
                  max_indel_cand: int = MAX_INDEL_CAND,
                  with_primary: bool = False, class_cap: int = 2048):
+        # class_cap bounds the per-shard fetch buffer of unique class
+        # rows; the effective cap (count_classes) is budget-adaptive:
+        # the fetch pays tunnel DMA per word, so wide-row panels (large
+        # A: the bench's 3,600-allele het pair dedups to 48 full + 122
+        # exon classes) shrink the cap to ~64k fetched words while
+        # small-A panels (which dedup far less: the toy's 693 rows)
+        # keep the full depth cheaply.  The rare overflow re-fetches
+        # through the exact full-resolution leaves.
         self.gene = gene
         self.mesh = mesh
         self.read_len = read_len
@@ -247,6 +255,12 @@ class ShardedTyper:
         OFF_HI = 2 * max_shift
         Wrow = read_len + OFF_LO + OFF_HI + 1
         self._offs = (OFF_LO, OFF_HI, Wrow)
+        # NOTE: restricting the select sweeps to the catalog-achievable
+        # shift set (sums of two net indel shifts) was tried and
+        # MEASURED SLOWER on the TPU (toy countB 0.16 -> 0.26 s): XLA
+        # lowers the dense contiguous-range sweep better than a sparse
+        # irregular offset list.  Keep the full range.
+        SHIFTS = range(-OFF_LO, OFF_HI + 1)
 
         def _rows_of(tbl_1d, dtype, fill=0):
             padded = np.concatenate([
@@ -612,7 +626,7 @@ class ShardedTyper:
                    - jnp.where(after_bi, ilb3, 0))              # [n, H, W]
             mrow = mask_rows_t[jnp.clip(s_a, 0, Lbb - 1)]   # [n, H, Wrow]
             mk = jnp.zeros((n, H, W), jnp.uint8)
-            for o in range(-OFF_LO, OFF_HI + 1):
+            for o in SHIFTS:
                 mk = jnp.where(off == o,
                                mrow[:, :, OFF_LO + o:OFF_LO + o + W], mk)
             c = oriented[:, None, :]
@@ -718,7 +732,7 @@ class ShardedTyper:
                 bb_w_base = jnp.full((brow.shape[0], W), 4, jnp.int8)
                 a01 = jnp.full((brow.shape[0], W), sent_pack, jnp.uint32)
                 a23 = jnp.full((brow.shape[0], W), sent_pack, jnp.uint32)
-                for o in range(-OFF_LO, OFF_HI + 1):
+                for o in SHIFTS:
                     hit = off_w == o
                     sl = slice(OFF_LO + o, OFF_LO + o + W)
                     bb_w_base = jnp.where(hit, brow[:, sl], bb_w_base)
@@ -841,7 +855,7 @@ class ShardedTyper:
             off_w = gp - h["sa"][:, None] - jg
             grow = gate_rows[jnp.clip(h["sa"], 0, P_bb - 1)]
             tv = jnp.zeros((n_g, W_g), jnp.int32)
-            for o in range(-OFF_LO, OFF_HI + 1):
+            for o in SHIFTS:
                 tv = jnp.where(off_w == o,
                                grow[:, OFF_LO + o:OFF_LO + o + W_g], tv)
             rp = tv & 0xFF
@@ -1066,11 +1080,17 @@ class ShardedTyper:
                     | ((vr >= l) & (vr <= r)))                 # [Hn, V]
             M1 = in_r.astype(jnp.bfloat16)
             Kq = vars_.shape[1]
-            rowi = jnp.repeat(jnp.arange(Hn, dtype=jnp.int32), Kq)
-            cols = vars_.reshape(-1)
-            wv = (cols < V).astype(jnp.bfloat16)
-            M2 = jnp.zeros((Hn, V), jnp.bfloat16).at[
-                rowi, jnp.clip(cols, 0, V - 1)].add(wv)
+            # one-hot accumulate via a K-slot compare sweep: the
+            # equivalent scatter-add (.at[rowi, cols].add) measured ~3x
+            # slower on the TPU (read-modify-write lowering); a dense
+            # (vars_[:, k] == iota_V) compare per slot streams on the
+            # VPU.  Sentinel slots (== V) never match iota < V, exactly
+            # the old wv = (cols < V) masking.
+            iota_v = jnp.arange(V, dtype=jnp.int32)[None, :]
+            M2 = jnp.zeros((Hn, V), jnp.bfloat16)
+            for k in range(Kq):
+                M2 = M2 + (vars_[:, k:k + 1] == iota_v).astype(
+                    jnp.bfloat16)
             prod = jnp.dot(jnp.concatenate([M1, M2], 0), links_f,
                            preferred_element_type=jnp.float32)
             cnt, own = prod[:Hn], prod[Hn:]
@@ -1303,7 +1323,9 @@ class ShardedTyper:
             uw = jax.ops.segment_sum(w_rows, uniq_rank, num_segments=LG)
             min_idx = jax.ops.segment_min(order.astype(jnp.int32),
                                           uniq_rank, num_segments=LG)
-            cap = min(class_cap, LG)
+            # budget-adaptive fetch cap — must mirror count_classes'
+            # unpack formula exactly (buffer layout contract)
+            cap = min(class_cap, LG, max(512, 65536 // max(W32, 1)))
             up = jnp.nonzero(is_first, size=cap, fill_value=LG)[0]
             rows_c = fs[jnp.clip(up, 0, LG - 1)]
             n_uniq = jnp.sum(is_first.astype(jnp.uint32))
@@ -1708,6 +1730,17 @@ class ShardedTyper:
                           + (P(axis),) * (T * self._NSTATE[m])),
                 out_specs=cls_outs, check_rep=False))
             for m in (1, 2) for T in (1, 2, 3)}
+
+        # device-side concat of the per-tier spell buffers: the spell
+        # pass fetches ONE array instead of one per tier — each fetch
+        # pays a full tunnel roundtrip
+        ndev_c = self.n_devices
+
+        def _combine(*bufs):
+            return jnp.concatenate(
+                [b.reshape(ndev_c, -1) for b in bufs], axis=1)
+
+        self._combine_bufs = jax.jit(_combine)
         self._em_steps = {
             key: jax.jit(shard_map(
                 functools.partial(em_shard, *key), mesh,
@@ -1898,8 +1931,19 @@ class ShardedTyper:
                        iva=np.zeros(n, np.int64),
                        ivb=np.zeros(n, np.int64))
                   for _ in range(n_mates)]
-        for t, idx, n_pad_t, aout in tinfo:
-            abuf = np.asarray(aout[0]).reshape(ndev, -1)
+        # ONE fetch for every tier's spell buffer (device-side concat)
+        if len(tinfo) > 1:
+            widths = [int(a[0].shape[0]) // ndev
+                      for (_t, _i, _np_, a) in tinfo]
+            comb = np.asarray(self._combine_bufs(
+                *[a[0] for (_t, _i, _np_, a) in tinfo]))
+            offs = np.concatenate([[0], np.cumsum(widths)])
+            abufs = [comb[:, offs[k]:offs[k + 1]]
+                     for k in range(len(tinfo))]
+        else:
+            abufs = [np.asarray(tinfo[0][3][0]).reshape(ndev, -1)]
+        for ti, (t, idx, n_pad_t, aout) in enumerate(tinfo):
+            abuf = abufs[ti]
             n_loc_t = n_pad_t // ndev
             npw_t = (n_loc_t + 31) // 32
             pile_dev += abuf[0, :P6].astype(np.int64).reshape(
@@ -1952,7 +1996,8 @@ class ShardedTyper:
                                               *flat_state)
         n_loc_list = [n_pad_t // ndev for (_t, _i, n_pad_t, _a) in tinfo]
         n_loc = sum(n_loc_list)
-        cap = min(self._class_cap, NLEV * n_loc)
+        cap = min(self._class_cap, NLEV * n_loc,
+                  max(512, 65536 // max(W32, 1)))
         npw = (n_loc + 31) // 32
         BUF = cap * W32 + 2 * cap + NLEV * A + 2 * npw + 4
         # per-shard local row -> original read index (concat layout:

@@ -170,8 +170,12 @@ class DeviceFold:
         dc = self.dc
         LG = nlev * G
         W32 = (A + 31) // 32
-        cap = min(2048, LG)   # unique classes rarely exceed this; the
-        # two-step path below covers the overflow exactly
+        # budget-adaptive fetch cap: the fetch pays tunnel DMA per
+        # buffer word, so wide rows (large A) bound the cap at ~64k
+        # fetched words (the bench scale panel's rescue folds ~170
+        # unique rows) while small-A panels keep full depth; the
+        # two-step path below covers the rare overflow exactly
+        cap = min(LG, max(512, 65536 // max(W32, 1)))
         with TRACE.stage("type.count_fold.exec"):
             buf, fs, is_first, uw, min_idx = _fold_levels(
                 dc.links_packed, dc.nd_pos, dc.nd_prefix, dc.del_pos,
