@@ -203,9 +203,21 @@ def type_reads_device_distributed(gene, reads_1, reads_2=None, opts=None,
         mp.finalize()
         holder["by_pair"] = bp
         holder["mpileup"] = mp
+        holder["excl_idx"] = idx
         return final
 
-    out = st.count_classes(c1, c2, merge_pileup=_merge_cb)
+    def _overlap_cb():
+        # process-local rescue prep (GeneTyper build + fast-path memo
+        # prefill over the excl pairs) runs while the count pass
+        # executes on device — same overlap as the single-process path
+        from .production import _prepare_rescue
+
+        holder["pre"] = _prepare_rescue(
+            gene, opts, reads_1, holder["by_pair"],
+            holder["excl_idx"], holder["mpileup"])
+
+    out = st.count_classes(c1, c2, merge_pileup=_merge_cb,
+                           overlap=_overlap_cb)
     by_pair = holder["by_pair"]
     mpileup = holder["mpileup"]
 
@@ -244,7 +256,8 @@ def type_reads_device_distributed(gene, reads_1, reads_2=None, opts=None,
         by_pair.update(_align_punts(gene, opts, reads_1, reads_2,
                                     extra, out["winner"]))
     keys, rf, re_, rp, r_reads, novel = _rescued_fragment_rows(
-        gene, opts, reads_1, by_pair, punt_idx, mpileup)
+        gene, opts, reads_1, by_pair, punt_idx, mpileup,
+        pre=holder.get("pre"))
     kw = _gather_parts(keys.astype(np.uint8))
     kl = max(k.shape[1] if k.size else 0 for k in kw)
     kpad = [np.pad(k, ((0, 0), (0, kl - k.shape[1])))

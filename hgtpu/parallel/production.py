@@ -265,7 +265,8 @@ def _merge_pileup(gene, opts, pileup_counts, by_pair, excl_idx):
     return mpileup
 
 
-def _rescued_fragment_rows(gene, opts, reads_1, by_pair, idx, mpileup):
+def _rescued_fragment_rows(gene, opts, reads_1, by_pair, idx, mpileup,
+                           pre=None):
     """Per-fragment compatibility-count rows for the punted pairs —
     the multi-host export form of `_count_rescued`: instead of folding
     into the local accumulators, emit (read-id sort keys, per-fragment
@@ -273,7 +274,9 @@ def _rescued_fragment_rows(gene, opts, reads_1, by_pair, idx, mpileup):
     so the caller can merge fragments from every process in global
     sorted-read-id order and feed ONE add_reads_batch per level —
     accumulating exactly as a single-process rescue over the
-    concatenated punt set would."""
+    concatenated punt set would.  `pre` is _prepare_rescue's
+    (typer, memo) when the fast-path prefill overlapped the count
+    pass."""
     from ..align.types import aln_key
 
     novel = NovelVars()
@@ -282,7 +285,11 @@ def _rescued_fragment_rows(gene, opts, reads_1, by_pair, idx, mpileup):
         tuple(np.zeros((0, A), np.int32) for _ in range(3)) + (0,)
     if len(idx) == 0:
         return empty + (novel,)
-    typer_h = GeneTyper(gene, opts)
+    if pre is not None:
+        typer_h, hts_memo = pre
+    else:
+        typer_h = GeneTyper(gene, opts)
+        hts_memo = {}
     by_read = {}
     for i in idx:
         alns = by_pair.get(int(i))
@@ -291,7 +298,10 @@ def _rescued_fragment_rows(gene, opts, reads_1, by_pair, idx, mpileup):
                 reads_1[i][0].split("|")[0], []).extend(alns)
     if not by_read:
         return empty + (novel,)
-    hts_memo = {}
+    # the read_hts fast paths (bit-identical, per-alignment
+    # deterministic) prefill the memo exactly as the single-process
+    # rescue does
+    _fast_path_fill(typer_h, opts, by_read.values(), mpileup, hts_memo)
     n_reads = 0
     frag_ids = []
     frag_hts = []
